@@ -1,0 +1,71 @@
+"""Pairwise Euclidean distances and exact k-NN — the FAISS replacement.
+
+The reference leans on two native components for distance work:
+
+- ``torch.cdist`` inside the alpha-weight math
+  (Anomaly-Clustering/models/patchcore/utils.py:222-237),
+- FAISS ``IndexFlatL2`` for the PatchCore scorer
+  (Anomaly-Clustering/models/patchcore/common.py:14-117).
+
+On TPU both reduce to the same primitive: a tiled
+``|a|^2 - 2ab + |b|^2`` matmul on the MXU followed by a row reduction
+(min / top-k).  f32 with HIGHEST precision is used so the cancellation in
+``-2ab + |a|^2 + |b|^2`` matches torch's mm-based cdist path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sq_dists(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Squared L2 distances between rows: [..., M, D] x [..., N, D] -> [..., M, N]."""
+    a2 = jnp.sum(jnp.square(a), axis=-1, keepdims=True)
+    b2 = jnp.sum(jnp.square(b), axis=-1, keepdims=True)
+    ab = jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((a.ndim - 1,), (b.ndim - 1,)),
+                           (tuple(range(a.ndim - 2)), tuple(range(b.ndim - 2)))),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d2 = a2 - 2.0 * ab + jnp.swapaxes(b2, -1, -2)
+    return jnp.maximum(d2, 0.0)
+
+
+def cdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """torch.cdist(p=2) via the matmul path (clamped sqrt of sq-dists)."""
+    return jnp.sqrt(pairwise_sq_dists(a, b))
+
+
+def knn(query: jnp.ndarray, index: jnp.ndarray, k: int,
+        *, tile: int = 4096) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact k nearest neighbours by L2 distance (FAISS IndexFlatL2.search).
+
+    Args:
+        query: [M, D] query vectors.
+        index: [N, D] database vectors.
+        k: number of neighbours.
+        tile: query rows processed per step (bounds the [tile, N] live
+            distance matrix so HBM stays flat for large M).
+    Returns:
+        (sq_distances [M, k], indices [M, k]) — FAISS returns *squared* L2
+        distances, which the reference consumes directly.
+    """
+    m = query.shape[0]
+    if m <= tile:
+        d2 = pairwise_sq_dists(query, index)
+        neg, idx = jax.lax.top_k(-d2, k)
+        return -neg, idx
+
+    pad = (-m) % tile
+    q = jnp.pad(query, ((0, pad), (0, 0)))
+    q = q.reshape(-1, tile, query.shape[1])
+
+    def step(_, qt):
+        d2 = pairwise_sq_dists(qt, index)
+        neg, idx = jax.lax.top_k(-d2, k)
+        return None, (-neg, idx)
+
+    _, (dists, idxs) = jax.lax.scan(step, None, q)
+    return dists.reshape(-1, k)[:m], idxs.reshape(-1, k)[:m]
