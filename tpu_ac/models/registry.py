@@ -1,0 +1,107 @@
+"""Backbone registry — the patchcore.backbones.load equivalent.
+
+The reference resolves ~40 timm/torchvision names plus four special-cased
+DINO hub checkpoints (backbones.py:7-79).  Here each known name maps to a
+(model family, config, hub checkpoint filename); weights load from a local
+checkpoint directory (no-egress environments cannot hit torch.hub) and fall
+back to deterministic random init when absent.
+
+Note the reference bug reproduced-as-documentation: backbones.load builds
+``vit_base`` regardless of the dino_* name (backbones.py:70), so
+``dino_deitsmall*`` checkpoints could never load there.  We build the
+*correct* architecture per name.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+
+from tpu_ac.models.vit import (
+    VIT_BASE,
+    VIT_SMALL,
+    ViTConfig,
+    init_vit_params,
+)
+from tpu_ac.models.convert import load_torch_checkpoint
+
+LOGGER = logging.getLogger(__name__)
+
+_DEFAULT_CKPT_DIRS = (
+    os.path.expanduser("~/.cache/tpu_ac/checkpoints"),
+    os.path.expanduser("~/.cache/torch/hub/checkpoints"),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneSpec:
+    family: str  # "vit" | "resnet"
+    config: object
+    checkpoint: str | None  # local filename of the released weights
+    checkpoint_key: str | None = None
+
+
+BACKBONE_CONFIGS: dict[str, BackboneSpec] = {
+    # DINO hub checkpoints (backbones.py:53-79, hubconf.py:22-151)
+    "dino_vitbase8": BackboneSpec(
+        "vit", dataclasses.replace(VIT_BASE, patch_size=8),
+        "dino_vitbase8_pretrain.pth"),
+    "dino_vitbase16": BackboneSpec(
+        "vit", dataclasses.replace(VIT_BASE, patch_size=16),
+        "dino_vitbase16_pretrain.pth"),
+    "dino_deitsmall16": BackboneSpec(
+        "vit", dataclasses.replace(VIT_SMALL, patch_size=16),
+        "dino_deitsmall16_pretrain.pth"),
+    "dino_deitsmall8_300ep": BackboneSpec(
+        "vit", dataclasses.replace(VIT_SMALL, patch_size=8),
+        "dino_deitsmall8_300ep_pretrain.pth"),
+    "dino_deitsmall8": BackboneSpec(
+        "vit", dataclasses.replace(VIT_SMALL, patch_size=8),
+        "dino_deitsmall8_pretrain.pth"),
+}
+
+
+def register_backbone(name: str, spec: BackboneSpec) -> None:
+    BACKBONE_CONFIGS[name] = spec
+
+
+def _find_checkpoint(filename: str | None, checkpoint_dir: str | None) -> str | None:
+    if filename is None:
+        return None
+    dirs = ((checkpoint_dir,) if checkpoint_dir else ()) + _DEFAULT_CKPT_DIRS
+    for d in dirs:
+        if d is None:
+            continue
+        path = os.path.join(d, filename)
+        if os.path.exists(path):
+            return path
+    return None
+
+
+def load_backbone(name: str, *, checkpoint_dir: str | None = None,
+                  checkpoint_path: str | None = None, seed: int = 0):
+    """Resolve a backbone name to (params, config, family).
+
+    Weights come from ``checkpoint_path`` if given, else from the first
+    matching file under ``checkpoint_dir`` / default cache dirs, else a
+    deterministic random init (with a warning — metrics parity obviously
+    requires the released weights).
+    """
+    if name not in BACKBONE_CONFIGS:
+        raise KeyError(
+            f"Unknown backbone '{name}'. Registered: {sorted(BACKBONE_CONFIGS)}")
+    spec = BACKBONE_CONFIGS[name]
+    path = checkpoint_path or _find_checkpoint(spec.checkpoint, checkpoint_dir)
+    if spec.family == "vit":
+        cfg: ViTConfig = spec.config  # type: ignore[assignment]
+        if path is not None:
+            params = load_torch_checkpoint(path, spec.checkpoint_key)
+        else:
+            LOGGER.warning(
+                "No checkpoint found for %s — using random init (seed=%d). "
+                "Place the released weights in %s for metric parity.",
+                name, seed, _DEFAULT_CKPT_DIRS[0])
+            params = init_vit_params(seed, cfg)
+        return params, cfg, "vit"
+    raise NotImplementedError(f"family {spec.family}")

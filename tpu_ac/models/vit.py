@@ -1,0 +1,294 @@
+"""DINO-compatible Vision Transformer, TPU-first.
+
+Functional re-design of the reference's vendored DINO ViT
+(Anomaly-Clustering/models/patchcore/vision_transformer.py:68-254 and
+dino-main/vision_transformer.py): instead of nn.Modules + forward hooks, the
+forward is a pure function over a flat params dict and *returns* the tapped
+block outputs — the JAX-native replacement for the reference's
+NetworkFeatureAggregator hook machinery (common.py:211-274).
+
+TPU notes:
+- patch embedding is evaluated as space-to-depth + one big [B*N, C*ps*ps] x
+  [C*ps*ps, D] matmul (MXU) rather than a conv — identical math, better
+  layout;
+- attention is softmax(QK^T * scale)V per head; at seq len 785 the whole
+  score matrix fits VMEM-tiled by XLA, and a fused Pallas attention kernel
+  (tpu_ac.kernels.attention) can be swapped in via ``attention_impl``;
+- parameters keep torch (out, in) layout; matmuls contract against the
+  trailing axis of the weight (x @ W^T) which XLA folds with no copies.
+
+Param keys mirror the torch state_dict of the released DINO checkpoints
+(e.g. ``blocks.3.attn.qkv.weight``), making checkpoint conversion a
+mechanical array copy (tpu_ac/models/convert.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_ac.ops.interpolate import interpolate_bicubic
+from tpu_ac.ops.normalize import layernorm
+
+Params = Mapping[str, jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    ln_eps: float = 1e-6
+    img_size: int = 224  # pretraining image size (defines pos_embed length)
+
+    @property
+    def grid(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid * self.grid
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def scale(self) -> float:
+        return self.head_dim ** -0.5
+
+
+# Factories mirroring vision_transformer.py:236-254.
+VIT_TINY = ViTConfig(embed_dim=192, num_heads=3)
+VIT_SMALL = ViTConfig(embed_dim=384, num_heads=6)
+VIT_BASE = ViTConfig(embed_dim=768, num_heads=12)
+
+
+def _trunc_normal_np(rng: np.random.Generator, shape, std=0.02, a=-2.0, b=2.0):
+    """trunc_normal_ init (utils.py:181-219): inverse-CDF of a truncated normal."""
+    def norm_cdf(x):
+        return (1.0 + math.erf(x / math.sqrt(2.0))) / 2.0
+
+    l, u = norm_cdf(a / std), norm_cdf(b / std)
+    x = rng.uniform(2 * l - 1, 2 * u - 1, size=shape)
+    from scipy.special import erfinv
+
+    x = erfinv(x) * std * math.sqrt(2.0)
+    return np.clip(x, a * std, b * std).astype(np.float32)
+
+
+def init_vit_params(seed: int, cfg: ViTConfig) -> dict[str, jnp.ndarray]:
+    """Random init matching the reference's _init_weights scheme."""
+    rng = np.random.default_rng(seed)
+    d = cfg.embed_dim
+    p: dict[str, np.ndarray] = {}
+    p["cls_token"] = _trunc_normal_np(rng, (1, 1, d))
+    p["pos_embed"] = _trunc_normal_np(rng, (1, cfg.num_patches + 1, d))
+    p["patch_embed.proj.weight"] = (
+        rng.standard_normal((d, 3, cfg.patch_size, cfg.patch_size)) *
+        math.sqrt(1.0 / (3 * cfg.patch_size ** 2))
+    ).astype(np.float32)
+    p["patch_embed.proj.bias"] = np.zeros((d,), np.float32)
+    hidden = int(d * cfg.mlp_ratio)
+    for i in range(cfg.depth):
+        pre = f"blocks.{i}."
+        p[pre + "norm1.weight"] = np.ones((d,), np.float32)
+        p[pre + "norm1.bias"] = np.zeros((d,), np.float32)
+        p[pre + "attn.qkv.weight"] = _trunc_normal_np(rng, (3 * d, d))
+        if cfg.qkv_bias:
+            p[pre + "attn.qkv.bias"] = np.zeros((3 * d,), np.float32)
+        p[pre + "attn.proj.weight"] = _trunc_normal_np(rng, (d, d))
+        p[pre + "attn.proj.bias"] = np.zeros((d,), np.float32)
+        p[pre + "norm2.weight"] = np.ones((d,), np.float32)
+        p[pre + "norm2.bias"] = np.zeros((d,), np.float32)
+        p[pre + "mlp.fc1.weight"] = _trunc_normal_np(rng, (hidden, d))
+        p[pre + "mlp.fc1.bias"] = np.zeros((hidden,), np.float32)
+        p[pre + "mlp.fc2.weight"] = _trunc_normal_np(rng, (d, hidden))
+        p[pre + "mlp.fc2.bias"] = np.zeros((d,), np.float32)
+    p["norm.weight"] = np.ones((d,), np.float32)
+    p["norm.bias"] = np.zeros((d,), np.float32)
+    return {k: jnp.asarray(v) for k, v in p.items()}
+
+
+def _linear(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None,
+            precision) -> jnp.ndarray:
+    """x @ W^T + b with torch-layout (out, in) weights."""
+    y = jax.lax.dot_general(
+        x, w, dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        precision=precision)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def patch_embed(params: Params, images: jnp.ndarray, cfg: ViTConfig,
+                precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Conv(ps, stride=ps) patch projection as space-to-depth + matmul.
+
+    images: [B, 3, H, W] -> tokens [B, N, D].  Flatten order of each patch is
+    (c, kh, kw), matching the conv weight layout [D, 3, ps, ps].
+    """
+    b, c, h, w = images.shape
+    ps = cfg.patch_size
+    gh, gw = h // ps, w // ps
+    x = images.reshape(b, c, gh, ps, gw, ps)
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, gh * gw, c * ps * ps)
+    w_flat = params["patch_embed.proj.weight"].reshape(cfg.embed_dim, -1)
+    return _linear(x, w_flat, params["patch_embed.proj.bias"], precision)
+
+
+def interpolate_pos_encoding(params: Params, npatch: int, w: int, h: int,
+                             cfg: ViTConfig) -> jnp.ndarray:
+    """Bicubic pos-embed resize for non-pretraining image sizes
+    (vision_transformer.py:174-194), incl. the +0.1 scale fudge."""
+    pos_embed = params["pos_embed"]
+    n = pos_embed.shape[1] - 1
+    if npatch == n and w == h:
+        return pos_embed
+    dim = pos_embed.shape[-1]
+    class_pos = pos_embed[:, :1]
+    patch_pos = pos_embed[:, 1:]
+    w0 = w // cfg.patch_size + 0.1
+    h0 = h // cfg.patch_size + 0.1
+    side = int(math.sqrt(n))
+    grid = patch_pos.reshape(1, side, side, dim).transpose(0, 3, 1, 2)
+    grid = interpolate_bicubic(
+        grid, scale_factor=(w0 / side, h0 / side))
+    grid = grid.transpose(0, 2, 3, 1).reshape(1, -1, dim)
+    return jnp.concatenate([class_pos, grid], axis=1)
+
+
+def prepare_tokens(params: Params, images: jnp.ndarray, cfg: ViTConfig,
+                   precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    b, _, h, w = images.shape
+    x = patch_embed(params, images, cfg, precision)
+    cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    return x + interpolate_pos_encoding(params, x.shape[1] - 1, w, h, cfg)
+
+
+def _attention_xla(q, k, v, scale, precision):
+    """Dense softmax(QK^T)V — XLA fuses this well at ViT sequence lengths."""
+    attn = jax.lax.dot_general(
+        q, k, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        precision=precision) * scale
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jax.lax.dot_general(
+        attn, v, dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        precision=precision)
+    return out, attn
+
+
+def block_forward(params: Params, i: int, x: jnp.ndarray, cfg: ViTConfig,
+                  precision=jax.lax.Precision.HIGHEST,
+                  attention_impl: Callable | None = None,
+                  return_attention: bool = False) -> jnp.ndarray:
+    """One pre-LN transformer block (vision_transformer.py:95-113)."""
+    pre = f"blocks.{i}."
+    b, n, d = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+
+    y = layernorm(x, params[pre + "norm1.weight"], params[pre + "norm1.bias"],
+                  cfg.ln_eps)
+    qkv = _linear(y, params[pre + "attn.qkv.weight"],
+                  params.get(pre + "attn.qkv.bias"), precision)
+    qkv = qkv.reshape(b, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]  # each [B, nh, N, hd]
+
+    if attention_impl is not None and not return_attention:
+        out = attention_impl(q, k, v, cfg.scale)
+        attn = None
+    else:
+        out, attn = _attention_xla(q, k, v, cfg.scale, precision)
+    if return_attention:
+        return attn
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+    out = _linear(out, params[pre + "attn.proj.weight"],
+                  params[pre + "attn.proj.bias"], precision)
+    x = x + out
+
+    y = layernorm(x, params[pre + "norm2.weight"], params[pre + "norm2.bias"],
+                  cfg.ln_eps)
+    y = _linear(y, params[pre + "mlp.fc1.weight"], params[pre + "mlp.fc1.bias"],
+                precision)
+    y = jax.nn.gelu(y, approximate=False)
+    y = _linear(y, params[pre + "mlp.fc2.weight"], params[pre + "mlp.fc2.bias"],
+                precision)
+    return x + y
+
+
+def vit_forward(
+    params: Params,
+    images: jnp.ndarray,
+    cfg: ViTConfig,
+    *,
+    taps: Sequence[int] = (),
+    precision=jax.lax.Precision.HIGHEST,
+    attention_impl: Callable | None = None,
+    max_depth: int | None = None,
+) -> dict[int, jnp.ndarray]:
+    """Run the ViT trunk, returning raw block outputs for each tapped index.
+
+    Replaces the hook-based NetworkFeatureAggregator (common.py:211-274):
+    tapped values are the block outputs *before* the final norm — exactly
+    what a forward hook on ``blocks.i`` observes.  Computation stops after
+    the deepest tap (the reference aborts the forward by raising from the
+    last hook, common.py:262-268).
+
+    Returns {tap_index: [B, N+1, D]}.
+    """
+    x = prepare_tokens(params, images, cfg, precision)
+    taps = tuple(taps)
+    depth = max_depth
+    if depth is None:
+        depth = (max(taps) + 1) if taps else cfg.depth
+    out: dict[int, jnp.ndarray] = {}
+    for i in range(depth):
+        x = block_forward(params, i, x, cfg, precision, attention_impl)
+        if i in taps:
+            out[i] = x
+    out[-1] = x  # last computed block output
+    return out
+
+
+def vit_cls_forward(params: Params, images: jnp.ndarray, cfg: ViTConfig,
+                    precision=jax.lax.Precision.HIGHEST,
+                    attention_impl: Callable | None = None) -> jnp.ndarray:
+    """Full forward -> final norm -> CLS token (vision_transformer.py:209-214)."""
+    x = vit_forward(params, images, cfg, precision=precision,
+                    attention_impl=attention_impl, max_depth=cfg.depth)[-1]
+    x = layernorm(x, params["norm.weight"], params["norm.bias"], cfg.ln_eps)
+    return x[:, 0]
+
+
+def vit_intermediate_layers(params: Params, images: jnp.ndarray,
+                            cfg: ViTConfig, n: int = 1,
+                            precision=jax.lax.Precision.HIGHEST,
+                            attention_impl: Callable | None = None) -> list[jnp.ndarray]:
+    """get_intermediate_layers (vision_transformer.py:225-233): final-norm'd
+    outputs of the last n blocks."""
+    taps = tuple(range(cfg.depth - n, cfg.depth))
+    outs = vit_forward(params, images, cfg, taps=taps, precision=precision,
+                       attention_impl=attention_impl, max_depth=cfg.depth)
+    return [
+        layernorm(outs[i], params["norm.weight"], params["norm.bias"], cfg.ln_eps)
+        for i in taps
+    ]
+
+
+def vit_last_selfattention(params: Params, images: jnp.ndarray, cfg: ViTConfig,
+                           precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Attention map of the final block (vision_transformer.py:216-223)."""
+    x = prepare_tokens(params, images, cfg, precision)
+    for i in range(cfg.depth - 1):
+        x = block_forward(params, i, x, cfg, precision)
+    return block_forward(params, cfg.depth - 1, x, cfg, precision,
+                         return_attention=True)
