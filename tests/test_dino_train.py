@@ -1,0 +1,137 @@
+"""DINO train step: correctness invariants + dp-sharded execution."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_ac.models.vit import ViTConfig
+from tpu_ac.train import (
+    DINOConfig,
+    init_dino_state,
+    make_dino_train_step,
+    cosine_scheduler,
+)
+
+TINY_VIT = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                     img_size=32)
+TINY_CFG = DINOConfig(out_dim=64, local_crops_number=2, global_size=32,
+                      local_size=16, head_hidden_dim=32,
+                      head_bottleneck_dim=16, epochs=2, steps_per_epoch=4)
+
+
+@pytest.fixture(scope="module")
+def state():
+    return init_dino_state(0, TINY_VIT, TINY_CFG)
+
+
+@pytest.fixture(scope="module")
+def batch(rng):
+    b = 8
+    g = rng.standard_normal((2 * b, 3, 32, 32)).astype(np.float32)
+    l = rng.standard_normal((2 * b, 3, 16, 16)).astype(np.float32)
+    return jnp.asarray(g), jnp.asarray(l)
+
+
+def _scalars(freeze=False):
+    return dict(lr=jnp.float32(1e-3), wd=jnp.float32(0.04),
+                teacher_momentum=jnp.float32(0.996),
+                teacher_temp=jnp.float32(0.04),
+                freeze_last=jnp.asarray(freeze))
+
+
+class TestDinoStep:
+    def test_step_runs_and_loss_finite(self, state, batch):
+        step = jax.jit(make_dino_train_step(TINY_VIT, TINY_CFG))
+        g, l = batch
+        new_state, metrics = step(state, g, l, **_scalars())
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(new_state.step) == 1
+
+    def test_teacher_is_ema_of_student(self, state, batch):
+        step = jax.jit(make_dino_train_step(TINY_VIT, TINY_CFG))
+        g, l = batch
+        s1, _ = step(state, g, l, **_scalars())
+        k = "backbone.blocks.0.attn.qkv.weight"
+        m = 0.996
+        want = m * np.asarray(state.teacher[k]) + (1 - m) * np.asarray(s1.student[k])
+        np.testing.assert_allclose(np.asarray(s1.teacher[k]), want,
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_center_updates(self, state, batch):
+        step = jax.jit(make_dino_train_step(TINY_VIT, TINY_CFG))
+        g, l = batch
+        s1, _ = step(state, g, l, **_scalars())
+        assert not np.allclose(np.asarray(s1.center), 0.0)
+
+    def test_freeze_last_layer(self, state, batch):
+        step = jax.jit(make_dino_train_step(TINY_VIT, TINY_CFG))
+        g, l = batch
+        s1, _ = step(state, g, l, **_scalars(freeze=True))
+        np.testing.assert_array_equal(
+            np.asarray(s1.student["head.last_layer.weight_v"]),
+            np.asarray(state.student["head.last_layer.weight_v"]))
+        # non-frozen params did move
+        assert not np.allclose(
+            np.asarray(s1.student["head.mlp.0.weight"]),
+            np.asarray(state.student["head.mlp.0.weight"]))
+
+    def test_weight_g_frozen_by_norm_last_layer(self, state, batch):
+        step = jax.jit(make_dino_train_step(TINY_VIT, TINY_CFG))
+        g, l = batch
+        s1, _ = step(state, g, l, **_scalars())
+        np.testing.assert_array_equal(
+            np.asarray(s1.student["head.last_layer.weight_g"]),
+            np.asarray(state.student["head.last_layer.weight_g"]))
+
+    def test_loss_decreases_over_steps(self, state, batch):
+        step = jax.jit(make_dino_train_step(TINY_VIT, TINY_CFG))
+        g, l = batch
+        s = state
+        losses = []
+        for _ in range(5):
+            s, m = step(s, g, l, **_scalars())
+            losses.append(float(m["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]  # same batch -> should overfit
+
+
+class TestDinoSharded:
+    def test_dp_sharded_step_matches_replicated(self, state, batch):
+        """The same step under an 8-device dp mesh gives the same numbers."""
+        devs = jax.devices()
+        assert len(devs) == 8, "conftest must provide 8 virtual CPU devices"
+        mesh = Mesh(np.array(devs), ("dp",))
+        step = make_dino_train_step(TINY_VIT, TINY_CFG)
+
+        g, l = batch
+        batch_sharding = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
+        g_sh = jax.device_put(g, batch_sharding)
+        l_sh = jax.device_put(l, batch_sharding)
+        state_sh = jax.device_put(state, repl)
+
+        sharded_step = jax.jit(step)
+        s1, m1 = sharded_step(state_sh, g_sh, l_sh, **_scalars())
+        s2, m2 = jax.jit(step)(state, g, l, **_scalars())
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(s1.center), np.asarray(s2.center), rtol=1e-5, atol=1e-7)
+
+
+class TestSchedules:
+    def test_cosine_scheduler_shape_and_endpoints(self):
+        s = cosine_scheduler(1.0, 0.1, 100, warmup_steps=10)
+        assert len(s) == 100
+        assert s[0] == 0.0 and abs(s[9] - 1.0) < 0.11
+        assert abs(s[-1] - 0.1) < 0.01
+
+    def test_make_schedules(self):
+        from tpu_ac.train.dino import make_schedules
+        sch = make_schedules(TINY_CFG, batch_size_global=64)
+        assert len(sch["lr"]) == TINY_CFG.total_steps
+        assert len(sch["teacher_temp"]) == TINY_CFG.epochs
+        assert sch["momentum"][-1] <= 1.0

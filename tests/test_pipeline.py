@@ -1,0 +1,168 @@
+"""Dataset walking/transforms + end-to-end pipeline on synthetic MVTec."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpu_ac.data import (
+    DatasetSplit,
+    MVTecDataset,
+    make_synthetic_mvtec,
+)
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mvtec"))
+    make_synthetic_mvtec(root, classname="bottle", image_size=64,
+                         n_per_anomaly=4, n_train=6)
+    return root
+
+
+class TestMVTecDataset:
+    def test_walk_order_and_counts(self, synth_root):
+        ds = MVTecDataset(synth_root, classname="bottle",
+                          split=DatasetSplit.TEST)
+        assert len(ds) == 12
+        # iteration is sorted by (anomaly, filename) like the reference
+        anomalies = [it.anomaly for it in ds.items]
+        assert anomalies == sorted(anomalies)
+
+    def test_train_split_good_only(self, synth_root):
+        ds = MVTecDataset(synth_root, classname="bottle",
+                          split=DatasetSplit.TRAIN)
+        assert len(ds) == 6
+        assert all(it.anomaly == "good" for it in ds.items)
+
+    def test_item_fields(self, synth_root):
+        ds = MVTecDataset(synth_root, classname="bottle",
+                          split=DatasetSplit.TEST, resize=48, imagesize=32)
+        item = ds[0]
+        assert item["image"].shape == (3, 32, 32)
+        assert item["mask"].shape == (1, 32, 32)
+        assert item["is_anomaly"] in (0, 1)
+        assert item["classname"] == "bottle"
+
+    def test_transform_pil_semantics(self, synth_root):
+        """Pin torchvision Resize/CenterCrop/Normalize semantics via PIL.
+
+        (torchvision is not in this image; transforms.Resize on PIL input
+        delegates to PIL bilinear resize, which is what we pin here.)
+        """
+        from PIL import Image
+        from tpu_ac.data.mvtec import load_image, IMAGENET_MEAN, IMAGENET_STD
+
+        ds = MVTecDataset(synth_root, classname="bottle",
+                          split=DatasetSplit.TEST)
+        path = ds.items[0].image_path
+        got = load_image(path, resize=48, imagesize=32)
+        img = Image.open(path).convert("RGB")
+        w, h = img.size  # square 64x64 -> both edges to 48
+        assert w == h == 64
+        ref = np.asarray(img.resize((48, 48), Image.BILINEAR),
+                         dtype=np.float32) / 255.0
+        ref = ref[8:40, 8:40]  # center crop 48 -> 32
+        ref = (ref - IMAGENET_MEAN) / IMAGENET_STD
+        np.testing.assert_allclose(got, ref.transpose(2, 0, 1),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_nonsquare_resize_shorter_edge(self, tmp_path):
+        """Resize(int) must scale the shorter edge, preserving aspect."""
+        from PIL import Image
+        from tpu_ac.data.mvtec import _resize_shorter_edge
+
+        img = Image.new("RGB", (100, 50))
+        out = _resize_shorter_edge(img, 48)
+        assert out.size == (96, 48)
+        img = Image.new("RGB", (50, 100))
+        out = _resize_shorter_edge(img, 48)
+        assert out.size == (48, 96)
+
+    def test_batches_padding(self, synth_root):
+        ds = MVTecDataset(synth_root, classname="bottle",
+                          split=DatasetSplit.TEST, resize=48, imagesize=32)
+        batches = list(ds.batches(batch_size=5))
+        assert [v for _, v in batches] == [5, 5, 2]
+        assert all(b.shape == (5, 3, 32, 32) for b, _ in batches)
+        assert np.all(batches[-1][0][2:] == 0)
+
+
+class TestPipelineEndToEnd:
+    @pytest.fixture(scope="class")
+    def tiny_cfg(self):
+        from tpu_ac.pipeline import PipelineConfig
+        return PipelineConfig(
+            backbone_name="tiny_test", layers=("blocks.2", "blocks.3"),
+            pretrain_embed_dimension=96, target_embed_dimension=192,
+            resize=48, imagesize=32, batch_size=4)
+
+    @pytest.fixture(scope="class")
+    def tiny_embedder(self, tiny_cfg):
+        from tpu_ac.models import ViTConfig, init_vit_params
+        from tpu_ac.pipeline import CategoryEmbedder
+        vit_cfg = ViTConfig(patch_size=8, embed_dim=64, depth=4, num_heads=4,
+                            img_size=32)
+        params = init_vit_params(0, vit_cfg)
+        return CategoryEmbedder(params, vit_cfg, tiny_cfg)
+
+    def test_run_category_all_modes(self, synth_root, tiny_cfg, tiny_embedder,
+                                    tmp_path):
+        import dataclasses
+        from tpu_ac.pipeline import run_category, category_metrics
+
+        for mode in ("unsupervised", "supervised", "average"):
+            cfg = dataclasses.replace(tiny_cfg, supervised=mode)
+            out = run_category(synth_root, "bottle", cfg, tiny_embedder,
+                               output_dir=str(tmp_path))
+            n = 12
+            assert out["alpha"].shape == (n, 16)
+            assert out["X"].shape == (n, 192)
+            np.testing.assert_allclose(out["alpha"].sum(axis=1), 1.0,
+                                       rtol=1e-5)
+            assert os.path.exists(out["artifact_path"])
+            scores = category_metrics(out["X"], out["anomaly_labels"])
+            assert set(scores) == {"NMI", "ARI", "F1"}
+            assert 0.0 <= scores["F1"] <= 1.0
+
+    def test_artifact_roundtrip(self, synth_root, tiny_cfg, tiny_embedder,
+                                tmp_path):
+        from tpu_ac.pipeline import run_category, load_alpha_X
+        out = run_category(synth_root, "bottle", tiny_cfg, tiny_embedder,
+                           output_dir=str(tmp_path))
+        alpha, X = load_alpha_X(out["artifact_path"])
+        assert alpha.shape == (12, 1, 16)  # [N, 1, P] like the reference
+        np.testing.assert_allclose(X, out["X"], rtol=1e-6)
+
+    def test_cli_main_and_evaluate(self, synth_root, tmp_path):
+        """Drive both CLI stages on the synthetic category."""
+        from tpu_ac.cli.main import main as cli_main
+        from tpu_ac.cli.evaluate import main as cli_eval
+        from tpu_ac.models.registry import register_backbone, BackboneSpec
+        from tpu_ac.models.vit import ViTConfig
+
+        register_backbone("tiny_test", BackboneSpec(
+            "vit", ViTConfig(patch_size=8, embed_dim=64, depth=4,
+                             num_heads=4, img_size=32), None))
+        out_dir = str(tmp_path / "outputs")
+        common = ["--path", synth_root, "--backbone_names", "tiny_test",
+                  "--layers_to_extract_from", "blocks.2", "blocks.3",
+                  "--pretrain_embed_dimension", "96",
+                  "--target_embed_dimension", "192",
+                  "--output_dir", out_dir, "--categories", "bottle"]
+        cli_main(common + ["--supervised", "unsupervised", "--tau", "1.0",
+                           "--batch_size", "4"])
+        # the synthetic tree only has 'bottle'; resize happens inside cfg
+        cli_eval(["--path", synth_root, "--output_dir", out_dir,
+                  "--backbone_names", "tiny_test",
+                  "--layers_to_extract_from", "blocks.2", "blocks.3",
+                  "--pretrain_embed_dimension", "96",
+                  "--target_embed_dimension", "192",
+                  "--tau_list", "1.0", "--supervised_modes", "unsupervised",
+                  "--categories", "bottle"])
+        csv_path = os.path.join(
+            out_dir, "mvtec_ad", "tiny_test", "unsupervised",
+            "blocks.2_blocks.3_96_192_tau_result.csv")
+        assert os.path.exists(csv_path)
+        content = open(csv_path).read()
+        assert "bottle" in content and "MVTec(object)" in content

@@ -76,3 +76,91 @@ def torch_vit_blocks(params, images_np, cfg, taps):
         if i in taps:
             outs[i] = h.numpy()
     return outs
+
+
+def torch_embed_pipeline(block_outputs, pretrain_dim, target_dim, patchsize=3):
+    """Reference _embed tail (patchcore.py:355-431) with torch ops.
+
+    block_outputs: list of [B, N+1, D] numpy token tensors (tapped blocks).
+    Returns [B, P, target_dim] numpy.
+    """
+    feats = []
+    for arr in block_outputs:
+        f = torch.from_numpy(arr)
+        f = f[:, 1:, :]
+        g = int(math.sqrt(f.shape[1]))
+        f = f.reshape(f.shape[0], g, g, f.shape[2]).permute(0, 3, 1, 2)
+        ln = torch.nn.LayerNorm([f.shape[1], f.shape[2], f.shape[3]])
+        with torch.no_grad():
+            f = ln(f)
+        feats.append(f)
+
+    pad = (patchsize - 1) // 2
+    unfolder = torch.nn.Unfold(kernel_size=patchsize, stride=1, padding=pad)
+    patched, grids = [], []
+    for f in feats:
+        u = unfolder(f)
+        u = u.reshape(*f.shape[:2], patchsize, patchsize, -1)
+        u = u.permute(0, 4, 1, 2, 3)  # [B, P, C, k, k]
+        patched.append(u)
+        grids.append((f.shape[2], f.shape[3]))
+
+    ref = grids[0]
+    for i in range(1, len(patched)):
+        if grids[i] != ref:
+            x = patched[i]
+            b, _, c, k, _ = x.shape
+            x = x.reshape(b, grids[i][0], grids[i][1], c, k, k)
+            x = x.permute(0, 3, 4, 5, 1, 2)
+            shp = x.shape
+            x = x.reshape(-1, *x.shape[-2:])
+            x = F.interpolate(x.unsqueeze(1), size=ref, mode="bilinear",
+                              align_corners=False).squeeze(1)
+            x = x.reshape(*shp[:-2], *ref)
+            x = x.permute(0, 4, 5, 1, 2, 3).reshape(b, ref[0] * ref[1], c, k, k)
+            patched[i] = x
+
+    b, p = patched[0].shape[:2]
+    pooled = []
+    for x in patched:
+        flat = x.reshape(b * p, 1, -1)
+        pooled.append(F.adaptive_avg_pool1d(flat, pretrain_dim).squeeze(1))
+    stacked = torch.stack(pooled, dim=1)  # [B*P, L, pretrain]
+    agg = F.adaptive_avg_pool1d(stacked.reshape(b * p, 1, -1), target_dim)
+    return agg.reshape(b, p, target_dim).numpy()
+
+
+def torch_alpha_unsupervised(Z_np, tau):
+    """Reference Matrix_Alpha_Unsupervised (utils.py:222-257) verbatim math."""
+    Z = torch.from_numpy(Z_np)
+    rows = []
+    for i in range(Z.shape[0]):
+        mins = []
+        for j in range(Z.shape[0]):
+            if j != i:
+                mins.append(torch.min(torch.cdist(Z[i], Z[j]), 1)[0])
+        w = torch.stack(mins, dim=1).mean(dim=1).double()
+        if math.isclose(tau, 0):
+            a = (w == w.max()).double()
+        else:
+            a = torch.exp(w / tau)
+        rows.append((a / a.sum()).numpy())
+    return np.stack(rows)
+
+
+def torch_alpha_supervised(Z_np, Ztr_np, tau):
+    """Reference Matrix_Alpha_Supervised (utils.py:230-277) verbatim math."""
+    Z = torch.from_numpy(Z_np)
+    Ztr = torch.from_numpy(Ztr_np)
+    rows = []
+    for i in range(Z.shape[0]):
+        mins = []
+        for j in range(Ztr.shape[0]):
+            mins.append(torch.min(torch.cdist(Z[i], Ztr[j]), 1)[0])
+        w = torch.stack(mins, dim=1).min(dim=1)[0].double()
+        if math.isclose(tau, 0):
+            a = (w == w.max()).double()
+        else:
+            a = torch.exp(w / tau)
+        rows.append((a / a.sum()).numpy())
+    return np.stack(rows)

@@ -1,0 +1,119 @@
+"""Alpha patch-weighting math — the WACV'23 Anomaly Clustering core.
+
+Reference (Anomaly-Clustering/models/patchcore/utils.py:222-277) computes,
+per test image i with patch embeddings Z[i] in R^{P x D}:
+
+- unsupervised: W[i,p] = mean_{j != i} min_q ||Z[i,p] - Z[j,q]||   (L222-227)
+- supervised:   W[i,p] = min_{j,q}    ||Z[i,p] - Z_train[j,q]||    (L230-237)
+- alpha[i]      = exp(W[i]/tau) row-normalized; tau=0 -> one-hot of the
+                  argmax (ties split uniformly)                    (L240-277)
+- X[i]          = alpha[i] @ Z[i]  (weighted-average embedding,
+                  examples/main.py:294-296)
+
+The reference loops image-by-image in Python with per-pair torch.cdist
+calls.  Here the same math is a single XLA program: one [P, N*P] tiled
+distance matmul per image inside a lax.map, with the min/mean reductions
+fused — O(N^2 P^2 D) FLOPs on the MXU, no host round-trips.
+
+The exp-normalization is evaluated with row-max subtraction (exact for a
+softmax) so f32 never overflows where the reference's f64 exp(+d/tau)
+could; tau=0 keeps the reference's exact tie-splitting semantics.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from tpu_ac.ops.distances import pairwise_sq_dists
+
+
+def _min_dists_to_set(zi: jnp.ndarray, zall_flat: jnp.ndarray,
+                      n_images: int) -> jnp.ndarray:
+    """min_q ||zi[p] - Z[j,q]|| for every (p, j): [P, D] x [N*P, D] -> [P, N]."""
+    p = zi.shape[0]
+    d2 = pairwise_sq_dists(zi, zall_flat)  # [P, N*P]
+    d2 = d2.reshape(p, n_images, -1)
+    return jnp.sqrt(jnp.min(d2, axis=-1))
+
+
+def weight_distance_unsupervised(Z: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized Weight_Distance_Unsupervised (utils.py:222-227).
+
+    Args:
+        Z: [N, P, D] patch embeddings of the test set.
+    Returns:
+        W: [N, P]; W[i,p] = mean over j != i of min_q ||Z[i,p]-Z[j,q]||.
+
+    The j == i term of the sum is exactly 0 (min over q includes q = p), so
+    the masked mean is sum_j / (N-1) without an explicit mask.
+    """
+    n, p, d = Z.shape
+    z_flat = Z.reshape(n * p, d)
+
+    def per_image(zi: jnp.ndarray) -> jnp.ndarray:
+        mins = _min_dists_to_set(zi, z_flat, n)  # [P, N]
+        return jnp.sum(mins, axis=-1) / (n - 1)
+
+    return jax.lax.map(per_image, Z)
+
+
+def weight_distance_supervised(Z: jnp.ndarray, Z_train: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized Weight_Distance_Supervised (utils.py:230-237).
+
+    Args:
+        Z: [N, P, D] test patch embeddings.
+        Z_train: [Nt, P, D] normal-image (train) patch embeddings.
+    Returns:
+        W: [N, P]; W[i,p] = min over all train patches of the L2 distance.
+    """
+    nt, pt, d = Z_train.shape
+    zt_flat = Z_train.reshape(nt * pt, d)
+
+    def per_image(zi: jnp.ndarray) -> jnp.ndarray:
+        mins = _min_dists_to_set(zi, zt_flat, nt)  # [P, Nt]
+        return jnp.min(mins, axis=-1)
+
+    return jax.lax.map(per_image, Z)
+
+
+def alpha_from_weights(W: jnp.ndarray, tau: float, k: float = 1.0) -> jnp.ndarray:
+    """Row-normalized exp(W/tau) weights (utils.py:240-277).
+
+    tau = 0 reproduces the reference's special case: a one-hot (uniform over
+    ties) of the row argmax.  For tau > 0 the row-max is subtracted before
+    exponentiation — mathematically exact (softmax shift invariance; the
+    constant k likewise cancels) and overflow-free in f32.
+    """
+    if math.isclose(tau, 0.0):
+        hot = (W == jnp.max(W, axis=1, keepdims=True)).astype(W.dtype)
+        return hot / jnp.sum(hot, axis=1, keepdims=True)
+    scaled = W / tau
+    scaled = scaled - jnp.max(scaled, axis=1, keepdims=True)
+    e = jnp.exp(scaled)
+    return e / jnp.sum(e, axis=1, keepdims=True)
+
+
+def matrix_alpha_unsupervised(tau: float, k: float, Z: jnp.ndarray) -> jnp.ndarray:
+    """Matrix_Alpha_Unsupervised (utils.py:240-257): [N, P, D] -> [N, P]."""
+    return alpha_from_weights(weight_distance_unsupervised(Z), tau, k)
+
+
+def matrix_alpha_supervised(tau: float, k: float, Z: jnp.ndarray,
+                            Z_train: jnp.ndarray) -> jnp.ndarray:
+    """Matrix_Alpha_Supervised (utils.py:260-277): -> [N, P]."""
+    return alpha_from_weights(weight_distance_supervised(Z, Z_train), tau, k)
+
+
+def matrix_alpha_average(Z: jnp.ndarray) -> jnp.ndarray:
+    """Uniform weights — the 'average' mode (examples/main.py:292)."""
+    n, p, _ = Z.shape
+    return jnp.full((n, p), 1.0 / p, dtype=Z.dtype)
+
+
+def weighted_embedding(alpha: jnp.ndarray, Z: jnp.ndarray) -> jnp.ndarray:
+    """X = bmm(alpha, Z): [N, P] x [N, P, D] -> [N, D] (examples/main.py:294-296)."""
+    return jnp.einsum("np,npd->nd", alpha.astype(Z.dtype), Z,
+                      precision=jax.lax.Precision.HIGHEST)

@@ -1,0 +1,151 @@
+"""Patch-embedding pipeline: the AnomalyClusteringCore._embed equivalent.
+
+Reference semantics (Anomaly-Clustering/models/patchcore/patchcore.py:355-431
+and common.py:145-183), re-designed as one batched, jittable function:
+
+1. multi-layer tap of the backbone (vit_forward returns tapped blocks —
+   the JAX-native replacement for NetworkFeatureAggregator's forward hooks,
+   common.py:211-274),
+2. per tapped layer: drop the CLS token, reshape tokens to the [D, G, G]
+   grid, ad-hoc LayerNorm over all non-batch dims (patchcore.py:377-386),
+3. 3x3 zero-padded neighborhood patchify (PatchMaker.patchify,
+   patchcore.py:439-465),
+4. bilinear alignment of coarser layer grids onto the first layer's grid
+   (patchcore.py:398-421; a no-op for same-size ViT blocks),
+5. per-layer MeanMapper: adaptive_avg_pool1d of the flattened (D*k*k)
+   window to ``pretrain_embed_dimension`` (common.py:163-170),
+6. Aggregator: adaptive_avg_pool1d of the stacked layers to
+   ``target_embed_dimension`` (common.py:173-183).
+
+TPU notes: the two adaptive pools are evaluated as banded [L, out] matmuls
+so they ride the MXU and fuse with the surrounding reshapes; the whole
+pipeline is static-shape and jit/vmap/shard_map friendly.  With B images the
+embedding is [B, P, target_dim] where P = grid*grid patches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tpu_ac.models.vit import ViTConfig, vit_forward
+from tpu_ac.ops.normalize import adhoc_layernorm
+from tpu_ac.ops.pooling import adaptive_avg_pool1d, patchify
+from tpu_ac.ops.interpolate import interpolate_bilinear
+
+
+@dataclasses.dataclass(frozen=True)
+class EmbedConfig:
+    """Hyperparameters of the embedding pipeline (examples/main.py:314-330)."""
+
+    layers: tuple[str, ...] = ("blocks.10", "blocks.11")
+    pretrain_embed_dimension: int = 2048
+    target_embed_dimension: int = 4096
+    patchsize: int = 3
+    patchstride: int = 1
+
+    @property
+    def tap_indices(self) -> tuple[int, ...]:
+        return tuple(int(name.split(".")[-1]) for name in self.layers)
+
+
+def _grid_features(tokens: jnp.ndarray) -> jnp.ndarray:
+    """[B, N+1, D] tokens -> [B, D, G, G] grid (CLS dropped).
+
+    Mirrors patchcore.py:377-383 (reshape assumes a square grid).
+    """
+    b, n1, d = tokens.shape
+    g = int(round((n1 - 1) ** 0.5))
+    x = tokens[:, 1:, :].reshape(b, g, g, d)
+    return x.transpose(0, 3, 1, 2)
+
+
+def _align_patches(patches: jnp.ndarray, grid: tuple[int, int],
+                   ref_grid: tuple[int, int]) -> jnp.ndarray:
+    """Bilinearly resample a layer's patch grid onto the reference grid.
+
+    patches: [B, gh*gw, D, k, k] -> [B, ref_gh*ref_gw, D, k, k]
+    (patchcore.py:398-421; align_corners=False).
+    """
+    if grid == ref_grid:
+        return patches
+    b, _, d, k, _ = patches.shape
+    gh, gw = grid
+    x = patches.reshape(b, gh, gw, d * k * k).transpose(0, 3, 1, 2)
+    x = interpolate_bilinear(x, size=ref_grid)
+    x = x.transpose(0, 2, 3, 1).reshape(b, ref_grid[0] * ref_grid[1], d, k, k)
+    return x
+
+
+def aggregate_layer_patches(layer_patches: Sequence[jnp.ndarray],
+                            cfg: EmbedConfig) -> jnp.ndarray:
+    """Preprocessing + Aggregator (common.py:145-183), batched.
+
+    Args:
+        layer_patches: per layer [B, P, D_l, k, k], already grid-aligned.
+        cfg: embedding config.
+    Returns:
+        [B, P, target_embed_dimension]
+    """
+    pooled = []
+    for x in layer_patches:
+        b, p = x.shape[:2]
+        flat = x.reshape(b, p, -1)  # (D, k, k) flatten order = torch reshape
+        pooled.append(
+            adaptive_avg_pool1d(flat, cfg.pretrain_embed_dimension,
+                                use_matmul=True))
+    stacked = jnp.stack(pooled, axis=2)  # [B, P, L, pretrain]
+    b, p = stacked.shape[:2]
+    flat = stacked.reshape(b, p, -1)
+    return adaptive_avg_pool1d(flat, cfg.target_embed_dimension,
+                               use_matmul=True)
+
+
+def embed_vit_features(params: Mapping[str, jnp.ndarray], images: jnp.ndarray,
+                       vit_cfg: ViTConfig, cfg: EmbedConfig,
+                       *, precision=jax.lax.Precision.HIGHEST,
+                       attention_impl=None) -> jnp.ndarray:
+    """Full _embed pipeline for a ViT backbone.
+
+    Args:
+        params: ViT parameter dict.
+        images: [B, 3, H, W] normalized images.
+        vit_cfg: backbone architecture.
+        cfg: embedding hyperparameters.
+    Returns:
+        [B, P, target_embed_dimension] patch embeddings, P = (H/ps)*(W/ps).
+    """
+    taps = cfg.tap_indices
+    outs = vit_forward(params, images, vit_cfg, taps=taps,
+                       precision=precision, attention_impl=attention_impl)
+    layer_patches = []
+    grids: list[tuple[int, int]] = []
+    for t in taps:
+        x = _grid_features(outs[t])
+        x = adhoc_layernorm(x)
+        patches, grid = patchify(x, cfg.patchsize, cfg.patchstride)
+        layer_patches.append(patches)
+        grids.append(grid)
+    ref_grid = grids[0]
+    layer_patches = [
+        _align_patches(pch, g, ref_grid)
+        for pch, g in zip(layer_patches, grids)
+    ]
+    return aggregate_layer_patches(layer_patches, cfg)
+
+
+def build_embedder(params: Mapping[str, jnp.ndarray], vit_cfg: ViTConfig,
+                   cfg: EmbedConfig, *, precision=jax.lax.Precision.HIGHEST,
+                   attention_impl=None):
+    """Return a jitted ``images [B,3,H,W] -> [B,P,target_dim]`` closure."""
+
+    @jax.jit
+    def embed(images: jnp.ndarray) -> jnp.ndarray:
+        return embed_vit_features(params, images, vit_cfg, cfg,
+                                  precision=precision,
+                                  attention_impl=attention_impl)
+
+    return embed

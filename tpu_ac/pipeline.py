@@ -1,0 +1,219 @@
+"""Category-level anomaly-clustering pipeline: the make_category_data +
+calculate_metrics equivalents (Anomaly-Clustering/examples/main.py:183-311,
+examples/test.py:134-226), orchestrated TPU-first.
+
+Reference control flow is file-based: stage 1 pickles (alpha, X) per
+category, stage 2 loads them and computes clustering metrics.  Both stages
+are kept (artifact formats compatible: a (alpha [N, 1, P] f32, X [N, D] f32
+numpy) tuple pickle) but the device work — batched embedding of the whole
+category, pairwise-distance alpha weights, weighted embeddings — runs as a
+handful of jitted programs with exactly one host->device upload of the
+decoded images and one device->host download of (alpha, X).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_ac.cluster.alpha import (
+    alpha_from_weights,
+    matrix_alpha_average,
+    weight_distance_supervised,
+    weight_distance_unsupervised,
+    weighted_embedding,
+)
+from tpu_ac.cluster.metrics import (
+    agglomerative_cluster,
+    clustering_scores,
+    encode_labels,
+)
+from tpu_ac.data.mvtec import DatasetSplit, MVTecDataset
+from tpu_ac.features.embedding import EmbedConfig, embed_vit_features
+from tpu_ac.models.registry import load_backbone
+from tpu_ac.models.vit import ViTConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Hyperparameters mirroring examples/main.py:314-330 flags."""
+
+    backbone_name: str = "dino_vitbase8"
+    layers: tuple[str, ...] = ("blocks.10", "blocks.11")
+    pretrain_embed_dimension: int = 2048
+    target_embed_dimension: int = 4096
+    patchsize: int = 3
+    tau: float = 1.0
+    train_ratio: float = 1.0
+    supervised: str = "unsupervised"  # unsupervised | supervised | average
+    resize: int = 256
+    imagesize: int = 224
+    batch_size: int = 8
+
+    @property
+    def embed_config(self) -> EmbedConfig:
+        return EmbedConfig(
+            layers=self.layers,
+            pretrain_embed_dimension=self.pretrain_embed_dimension,
+            target_embed_dimension=self.target_embed_dimension,
+            patchsize=self.patchsize,
+        )
+
+
+class CategoryEmbedder:
+    """Batched, jit-cached embedding of an image set on the device."""
+
+    def __init__(self, params: Mapping[str, jnp.ndarray], vit_cfg: ViTConfig,
+                 cfg: PipelineConfig, attention_impl=None,
+                 precision=jax.lax.Precision.HIGHEST):
+        self._params = params
+        self._vit_cfg = vit_cfg
+        self._cfg = cfg
+        ecfg = cfg.embed_config
+
+        @jax.jit
+        def _embed(images: jnp.ndarray) -> jnp.ndarray:
+            return embed_vit_features(params, images, vit_cfg, ecfg,
+                                      precision=precision,
+                                      attention_impl=attention_impl)
+
+        self._embed = _embed
+
+    def __call__(self, images: np.ndarray) -> jnp.ndarray:
+        """[N, 3, H, W] host images -> [N, P, D] device embeddings.
+
+        Pads N up to a multiple of batch_size so only one program shape is
+        ever compiled, then trims the padding.
+        """
+        n = images.shape[0]
+        bs = self._cfg.batch_size
+        pad = (-n) % bs
+        if pad:
+            images = np.concatenate(
+                [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
+        chunks = [
+            self._embed(jnp.asarray(images[i:i + bs]))
+            for i in range(0, images.shape[0], bs)
+        ]
+        return jnp.concatenate(chunks)[:n]
+
+
+def compute_alpha_X(Z: jnp.ndarray, supervised: str, tau: float,
+                    Z_train: jnp.ndarray | None = None
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(alpha [N, P], X [N, D]) per the selected mode (examples/main.py:270-296)."""
+    if supervised == "supervised":
+        if Z_train is None:
+            raise ValueError("supervised mode requires Z_train")
+        w = weight_distance_supervised(Z, Z_train)
+        alpha = alpha_from_weights(w, tau)
+    elif supervised == "unsupervised":
+        alpha = alpha_from_weights(weight_distance_unsupervised(Z), tau)
+    else:  # "average"
+        alpha = matrix_alpha_average(Z)
+    return alpha, weighted_embedding(alpha, Z)
+
+
+def artifact_dir(output_dir: str, dataset: str, backbone: str, supervised: str,
+                 cfg: PipelineConfig) -> str:
+    """Reference-compatible output tree (examples/main.py:302-309)."""
+    return os.path.join(
+        output_dir, dataset, backbone, supervised,
+        "_".join(cfg.layers) + f"_{cfg.pretrain_embed_dimension}"
+        f"_{cfg.target_embed_dimension}_{float(cfg.tau)}_{float(cfg.train_ratio)}")
+
+
+def save_alpha_X(path_dir: str, category: str, supervised: str,
+                 alpha: np.ndarray, X: np.ndarray) -> str:
+    """Pickle (alpha [N,1,P] f32, X [N,D] f32) like torch.save of the tuple."""
+    os.makedirs(path_dir, exist_ok=True)
+    path = os.path.join(
+        path_dir, f"matrix_alpha_X_{category}_{supervised}.pickle")
+    with open(path, "wb") as f:
+        pickle.dump((np.asarray(alpha, np.float32)[:, None, :],
+                     np.asarray(X, np.float32)), f)
+    return path
+
+
+def load_alpha_X(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Load (alpha, X) from a pickle written by ``save_alpha_X`` or by the
+    reference's torch.save (falls back to torch deserialization)."""
+    with open(path, "rb") as f:
+        head = f.read(2)
+    if head == b"PK":  # torch zipfile serialization from the reference
+        import torch
+
+        alpha, X = torch.load(path, map_location="cpu", weights_only=False)
+        return np.asarray(alpha), np.asarray(X)
+    with open(path, "rb") as f:
+        alpha, X = pickle.load(f)
+    return np.asarray(alpha), np.asarray(X)
+
+
+def run_category(source: str, category: str, cfg: PipelineConfig,
+                 embedder: CategoryEmbedder,
+                 output_dir: str | None = None, dataset_name: str = "mvtec_ad",
+                 seed: int = 2023) -> dict:
+    """Embed one category and compute (alpha, X) — make_category_data.
+
+    Returns a dict with alpha, X, labels (anomaly-type strings) and the
+    per-item metadata needed by the metrics stage.
+    """
+    test_ds = MVTecDataset(source, classname=category, resize=cfg.resize,
+                           imagesize=cfg.imagesize, split=DatasetSplit.TEST)
+    images = test_ds.load_all_images()
+    Z = embedder(images)
+
+    Z_train = None
+    if cfg.supervised == "supervised":
+        train_ds = MVTecDataset(source, classname=category, resize=cfg.resize,
+                                imagesize=cfg.imagesize,
+                                split=DatasetSplit.TRAIN)
+        # Reference quirk reproduced (examples/main.py:281): the train set is
+        # truncated to train_ratio * len(test set), in (shuffled) order.
+        order = np.random.default_rng(seed).permutation(len(train_ds))
+        keep = order[: int(cfg.train_ratio * len(test_ds))]
+        train_imgs = np.stack([
+            train_ds[int(i)]["image"] for i in keep])
+        Z_train = embedder(train_imgs)
+
+    alpha, X = compute_alpha_X(Z, cfg.supervised, cfg.tau, Z_train)
+    alpha_np, x_np = np.asarray(alpha), np.asarray(X)
+
+    result = {
+        "alpha": alpha_np,
+        "X": x_np,
+        "anomaly_labels": [it.anomaly for it in test_ds.items],
+        "items": test_ds.items,
+    }
+    if output_dir is not None:
+        d = artifact_dir(output_dir, dataset_name, cfg.backbone_name,
+                         cfg.supervised, cfg)
+        result["artifact_path"] = save_alpha_X(
+            d, category, cfg.supervised, alpha_np, x_np)
+    return result
+
+
+def category_metrics(X: np.ndarray, anomaly_labels: list[str]) -> dict[str, float]:
+    """Agglomerative clustering + Hungarian-mapped NMI/ARI/F1
+    (examples/test.py:177-220, incl. the 'combined' label drop)."""
+    keep = [i for i, a in enumerate(anomaly_labels) if a != "combined"]
+    X = np.asarray(X)[keep]
+    labels = encode_labels([anomaly_labels[i] for i in keep])
+    preds = agglomerative_cluster(X, n_clusters=len(set(labels.tolist())))
+    return clustering_scores(labels, preds)
+
+
+def build_embedder_for_config(cfg: PipelineConfig, *, checkpoint_dir=None,
+                              attention_impl=None, seed: int = 0
+                              ) -> CategoryEmbedder:
+    params, vit_cfg, _family = load_backbone(
+        cfg.backbone_name, checkpoint_dir=checkpoint_dir, seed=seed)
+    return CategoryEmbedder(params, vit_cfg, cfg,
+                            attention_impl=attention_impl)
