@@ -1,0 +1,161 @@
+"""Benchmark: anomaly-clustering hot path (feature extraction + alpha build).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": R}
+
+Workload (mirrors BASELINE.json's north star): embed a 32-image MVTec-sized
+category with DINO ViT-B/8 (blocks.10+11 taps, 2048->4096 patch embeddings,
+224x224 inputs) and compute the unsupervised alpha matrix + weighted
+embeddings — the end-to-end device work of examples/main.py's
+make_category_data (reference: batch_size=1 torch loop;
+here: batched jitted XLA programs).
+
+vs_baseline compares against the PyTorch reference implementation measured
+locally on CPU (the reference publishes no throughput numbers — SURVEY.md
+section 6).  The torch baseline is measured once and cached in
+~/.cache/tpu_ac/bench_baseline.json since it is slow.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_IMAGES = 32
+BATCH = 8
+IMG = 224
+BASELINE_CACHE = os.path.expanduser("~/.cache/tpu_ac/bench_baseline.json")
+
+
+def _setup_jax():
+    import jax
+
+    cache = os.path.expanduser("~/.cache/jax_compilation")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def measure_tpu(images: np.ndarray) -> float:
+    """images/sec of embed(blocks.10+11 -> 4096) + unsupervised alpha + X."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from tpu_ac.features.embedding import EmbedConfig, embed_vit_features
+    from tpu_ac.cluster.alpha import (
+        alpha_from_weights,
+        weight_distance_unsupervised,
+        weighted_embedding,
+    )
+    from tpu_ac.models.registry import load_backbone
+
+    params, vit_cfg, _ = load_backbone("dino_vitbase8")
+    ecfg = EmbedConfig(layers=("blocks.10", "blocks.11"),
+                       pretrain_embed_dimension=2048,
+                       target_embed_dimension=4096)
+
+    @jax.jit
+    def embed(batch):
+        return embed_vit_features(params, batch, vit_cfg, ecfg,
+                                  precision=jax.lax.Precision.DEFAULT)
+
+    @jax.jit
+    def alpha_x(z):
+        alpha = alpha_from_weights(weight_distance_unsupervised(z), tau=1.0)
+        return alpha, weighted_embedding(alpha, z)
+
+    def run_once():
+        chunks = [embed(jnp.asarray(images[i:i + BATCH]))
+                  for i in range(0, N_IMAGES, BATCH)]
+        z = jnp.concatenate(chunks)
+        alpha, x = alpha_x(z)
+        x.block_until_ready()
+        return alpha, x
+
+    run_once()  # warmup / compile
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        run_once()
+    dt = (time.perf_counter() - t0) / reps
+    return N_IMAGES / dt
+
+
+def measure_torch_baseline() -> float:
+    """Reference-faithful torch CPU pipeline, per-image extrapolated.
+
+    Embeds ``n_base`` images one by one (the reference uses batch_size=1,
+    examples/main.py:211-217) and runs the alpha double loop on a subset,
+    then scales the alpha cost quadratically to N_IMAGES.
+    """
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_images_per_sec"]
+
+    import torch
+
+    torch.manual_seed(0)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.torch_ref import (
+        torch_vit_blocks,
+        torch_embed_pipeline,
+        torch_alpha_unsupervised,
+    )
+    from tpu_ac.models.registry import load_backbone
+
+    params, vit_cfg, _ = load_backbone("dino_vitbase8")
+    rng = np.random.default_rng(0)
+
+    n_base = 2
+    imgs = rng.standard_normal((n_base, 3, IMG, IMG)).astype(np.float32)
+    t0 = time.perf_counter()
+    zs = []
+    for i in range(n_base):
+        blocks = torch_vit_blocks(params, imgs[i:i + 1], vit_cfg, (10, 11))
+        zs.append(torch_embed_pipeline([blocks[10], blocks[11]], 2048, 4096))
+    t_embed_per_img = (time.perf_counter() - t0) / n_base
+
+    n_alpha = 4
+    z_small = rng.standard_normal((n_alpha, 784, 4096)).astype(np.float32)
+    t0 = time.perf_counter()
+    torch_alpha_unsupervised(z_small, tau=1.0)
+    t_alpha = time.perf_counter() - t0
+    t_alpha_per_pair = t_alpha / (n_alpha * n_alpha)
+
+    total = N_IMAGES * t_embed_per_img + N_IMAGES * N_IMAGES * t_alpha_per_pair
+    ips = N_IMAGES / total
+    os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"torch_images_per_sec": ips,
+                   "t_embed_per_img": t_embed_per_img,
+                   "t_alpha_per_pair": t_alpha_per_pair}, f)
+    return ips
+
+
+def main() -> None:
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((N_IMAGES, 3, IMG, IMG)).astype(np.float32)
+
+    tpu_ips = measure_tpu(images)
+    try:
+        torch_ips = measure_torch_baseline()
+    except Exception as e:  # noqa: BLE001 — baseline failure shouldn't kill bench
+        print(f"torch baseline failed: {e}", file=sys.stderr)
+        torch_ips = None
+
+    out = {
+        "metric": "images/sec ViT-B/8 feature+alpha extraction (N=32, 224x224)",
+        "value": round(tpu_ips, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(tpu_ips / torch_ips, 2) if torch_ips else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

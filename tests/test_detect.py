@@ -1,0 +1,199 @@
+"""PatchCore detection tests, mirroring the reference's test strategy
+(patchcore-inspection-main/test/{test_common,test_patchcore,test_sampler}.py):
+dummy data, shape/determinism/save-load invariants — but never skip-gated
+on accelerators (they run on the CPU backend)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu_ac.detect import (
+    ApproximateGreedyCoresetSampler,
+    GreedyCoresetSampler,
+    IdentitySampler,
+    NearestNeighbourScorer,
+    PatchCore,
+    RandomSampler,
+    RescaleSegmentor,
+    compute_imagewise_retrieval_metrics,
+    compute_pixelwise_retrieval_metrics,
+)
+
+
+class TestSamplers:
+    """Coreset invariants (reference test_sampler.py:22-133)."""
+
+    def test_identity(self, rng):
+        f = rng.standard_normal((10, 4)).astype(np.float32)
+        np.testing.assert_array_equal(IdentitySampler().run(f), f)
+
+    def test_exact_count_and_uniqueness(self, rng):
+        f = rng.standard_normal((100, 16)).astype(np.float32)
+        out = GreedyCoresetSampler(0.25, seed=1).run(f)
+        assert out.shape == (25, 16)
+        assert len(np.unique(out, axis=0)) == 25
+
+    def test_approximate_count(self, rng):
+        f = rng.standard_normal((100, 16)).astype(np.float32)
+        out = ApproximateGreedyCoresetSampler(0.3, seed=1).run(f)
+        assert out.shape == (30, 16)
+        assert len(np.unique(out, axis=0)) == 30
+
+    def test_members_come_from_input(self, rng):
+        f = rng.standard_normal((50, 8)).astype(np.float32)
+        out = GreedyCoresetSampler(0.2, dimension_to_project_features_to=8).run(f)
+        rows = {tuple(r) for r in f}
+        assert all(tuple(r) in rows for r in out)
+
+    def test_coreset_spreads(self, rng):
+        """Greedy picks should cover both of two separated blobs."""
+        a = rng.standard_normal((50, 8)).astype(np.float32) + 20
+        b = rng.standard_normal((50, 8)).astype(np.float32) - 20
+        f = np.concatenate([a, b])
+        out = ApproximateGreedyCoresetSampler(
+            0.1, dimension_to_project_features_to=8).run(f)
+        assert (out.mean(1) > 0).any() and (out.mean(1) < 0).any()
+
+    def test_random_sampler(self, rng):
+        f = rng.standard_normal((40, 4)).astype(np.float32)
+        out = RandomSampler(0.5).run(f)
+        assert out.shape == (20, 4)
+
+    def test_percentage_validation(self):
+        with pytest.raises(ValueError):
+            GreedyCoresetSampler(1.5)
+        with pytest.raises(ValueError):
+            RandomSampler(0.0)
+
+    def test_jl_projection_keeps_original_dim(self, rng):
+        f = rng.standard_normal((60, 32)).astype(np.float32)
+        out = GreedyCoresetSampler(0.5, dimension_to_project_features_to=8).run(f)
+        assert out.shape[1] == 32  # selection happens in 8-d, output in 32-d
+
+
+class TestScorer:
+    """FAISS-wrapper equivalents (reference test_common.py:7-64)."""
+
+    def test_nn_search_matches_bruteforce(self, rng):
+        bank = rng.standard_normal((100, 8)).astype(np.float32)
+        query = rng.standard_normal((20, 8)).astype(np.float32)
+        scorer = NearestNeighbourScorer(n_nearest_neighbours=3)
+        scorer.fit([bank])
+        scores, d2, idx = scorer.predict([query])
+        # brute force squared L2
+        full = ((query[:, None] - bank[None]) ** 2).sum(-1)
+        want_idx = np.argsort(full, axis=1)[:, :3]
+        want_d2 = np.take_along_axis(full, want_idx, axis=1)
+        np.testing.assert_allclose(d2, want_d2, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(scores, want_d2.mean(-1), rtol=1e-4)
+
+    def test_unfitted_raises(self, rng):
+        with pytest.raises(ValueError):
+            NearestNeighbourScorer().predict(
+                [rng.standard_normal((4, 8)).astype(np.float32)])
+
+    def test_save_load_roundtrip(self, rng, tmp_path):
+        bank = rng.standard_normal((50, 8)).astype(np.float32)
+        query = rng.standard_normal((10, 8)).astype(np.float32)
+        s1 = NearestNeighbourScorer(2)
+        s1.fit([bank])
+        s1.save(str(tmp_path))
+        s2 = NearestNeighbourScorer(1)
+        s2.load(str(tmp_path))
+        a, _, _ = s1.predict([query])
+        b, _, _ = s2.predict([query])
+        np.testing.assert_allclose(a, b)
+
+
+class TestSegmentor:
+    def test_shapes_and_smoothing(self, rng):
+        scores = rng.uniform(size=(2, 7, 7)).astype(np.float32)
+        seg = RescaleSegmentor(target_size=(56, 56))
+        masks = seg.convert_to_segmentation(scores)
+        assert masks.shape == (2, 56, 56)
+
+    def test_matches_scipy_pipeline(self, rng):
+        """Upsample+blur must match the reference's torch-interp + scipy path."""
+        import torch
+        import torch.nn.functional as F
+        from scipy import ndimage
+
+        scores = rng.uniform(size=(1, 5, 5)).astype(np.float32)
+        got = RescaleSegmentor(target_size=(20, 20)).convert_to_segmentation(scores)
+        t = F.interpolate(torch.from_numpy(scores).unsqueeze(1), size=(20, 20),
+                          mode="bilinear", align_corners=False).squeeze(1).numpy()
+        want = np.stack([ndimage.gaussian_filter(m, sigma=4.0) for m in t])
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class TestDetectionMetrics:
+    def test_imagewise_auroc_perfect(self):
+        m = compute_imagewise_retrieval_metrics([0.1, 0.2, 0.9, 0.8],
+                                                [0, 0, 1, 1])
+        assert m["auroc"] == 1.0
+
+    def test_pixelwise_auroc(self, rng):
+        seg = rng.uniform(size=(2, 8, 8))
+        truth = np.zeros((2, 8, 8))
+        truth[:, :4] = 1
+        seg[:, :4] += 2.0
+        m = compute_pixelwise_retrieval_metrics(seg, truth)
+        assert m["auroc"] == 1.0
+        assert 0 <= m["optimal_fpr"] <= 1
+
+
+class TestPatchCoreEndToEnd:
+    """Integration with a dummy embedder (reference test_patchcore.py:83-135)."""
+
+    @staticmethod
+    def _mean_pool_embedder(images):
+        """A trivial patch embedder: 4x4 grid of channel means."""
+        b, c, h, w = images.shape
+        x = images.reshape(b, c, 4, h // 4, 4, w // 4).mean(axis=(3, 5))
+        return jnp.asarray(x.transpose(0, 2, 3, 1).reshape(b, 16, c))
+
+    def test_training_set_scores_near_zero(self, rng):
+        train = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)
+        pc = PatchCore(self._mean_pool_embedder, target_size=(32, 32),
+                       batch_size=4)
+        pc.fit(train)
+        scores, masks = pc.predict(train)
+        assert scores.shape == (8,) and masks.shape == (8, 32, 32)
+        np.testing.assert_allclose(scores, 0.0, atol=1e-6)
+
+    def test_anomalies_score_higher(self, rng):
+        train = rng.standard_normal((8, 3, 32, 32)).astype(np.float32) * 0.1
+        test = rng.standard_normal((4, 3, 32, 32)).astype(np.float32) * 0.1
+        test[2:] += 5.0  # anomalous
+        pc = PatchCore(self._mean_pool_embedder, target_size=(32, 32),
+                       batch_size=4)
+        pc.fit(train)
+        scores, _ = pc.predict(test)
+        assert scores[2:].min() > scores[:2].max()
+
+    def test_save_load_deterministic(self, rng, tmp_path):
+        train = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)
+        test = rng.standard_normal((4, 3, 32, 32)).astype(np.float32)
+        pc = PatchCore(self._mean_pool_embedder, target_size=(32, 32),
+                       batch_size=4, config={"backbone": "dummy"})
+        pc.fit(train)
+        s1, m1 = pc.predict(test)
+        pc.save_to_path(str(tmp_path))
+
+        pc2 = PatchCore(self._mean_pool_embedder, target_size=(32, 32),
+                        batch_size=4)
+        pc2.load_from_path(str(tmp_path))
+        s2, m2 = pc2.predict(test)
+        np.testing.assert_allclose(s1, s2)
+        np.testing.assert_allclose(m1, m2)
+        assert pc2.config == {"backbone": "dummy"}
+
+    def test_with_coreset(self, rng):
+        train = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)
+        pc = PatchCore(self._mean_pool_embedder,
+                       featuresampler=ApproximateGreedyCoresetSampler(
+                           0.5, dimension_to_project_features_to=3),
+                       target_size=(32, 32), batch_size=4)
+        pc.fit(train)
+        assert pc.anomaly_scorer.detection_features.shape == (64, 3)

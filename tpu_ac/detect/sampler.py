@@ -1,0 +1,118 @@
+"""Coreset subsampling (reference: models/patchcore/sampler.py:9-191).
+
+The greedy coreset loop is inherently sequential (each pick depends on the
+running min-distance vector); the TPU version keeps the whole loop on
+device as a ``lax.fori_loop`` whose body is one [N, d] x [d] matvec + a
+min — no host round-trip per iteration, unlike the reference's
+``.item()``-per-step torch loop (sampler.py:102-115).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpu_ac.ops.distances import cdist, pairwise_sq_dists
+
+
+class IdentitySampler:
+    """Pass-through (sampler.py:9-13) — the clustering path's sampler."""
+
+    def run(self, features):
+        return features
+
+
+class RandomSampler:
+    """Uniform subsample without replacement (sampler.py:174-191)."""
+
+    def __init__(self, percentage: float, seed: int = 0):
+        if not 0 < percentage < 1:
+            raise ValueError("Percentage value not in (0, 1).")
+        self.percentage = percentage
+        self.seed = seed
+
+    def run(self, features):
+        n = len(features)
+        keep = np.random.default_rng(self.seed).choice(
+            n, int(n * self.percentage), replace=False)
+        return features[keep]
+
+
+def _project(features: jnp.ndarray, dim: int, seed: int) -> jnp.ndarray:
+    """Johnson-Lindenstrauss random linear projection to ``dim``
+    (sampler.py:52-60 uses an untrained nn.Linear — any fixed random map)."""
+    if features.shape[1] == dim:
+        return features
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((features.shape[1], dim)).astype(np.float32)
+    w /= np.sqrt(features.shape[1])
+    return features @ jnp.asarray(w)
+
+
+def _greedy_select(features: jnp.ndarray, init_anchor: jnp.ndarray,
+                   n_select: int) -> jnp.ndarray:
+    """Shared greedy loop: repeatedly pick argmax of the running
+    min-distance-to-selected vector (sampler.py:100-115, 155-170)."""
+
+    def body(i, carry):
+        anchor, idxs = carry
+        sel = jnp.argmax(anchor)
+        idxs = idxs.at[i].set(sel)
+        d = jnp.sqrt(jnp.maximum(
+            jnp.sum(jnp.square(features - features[sel]), axis=-1), 0.0))
+        return jnp.minimum(anchor, d), idxs
+
+    idxs0 = jnp.zeros((n_select,), jnp.int32)
+    _, idxs = jax.lax.fori_loop(0, n_select, body, (init_anchor, idxs0))
+    return idxs
+
+
+class GreedyCoresetSampler:
+    """Exact greedy coreset (sampler.py:39-115): anchor initialised from the
+    row norms of the full N x N distance matrix.  O(N^2) memory — use the
+    approximate variant for large banks."""
+
+    def __init__(self, percentage: float,
+                 dimension_to_project_features_to: int = 128, seed: int = 0):
+        if not 0 < percentage < 1:
+            raise ValueError("Percentage value not in (0, 1).")
+        self.percentage = percentage
+        self.proj_dim = dimension_to_project_features_to
+        self.seed = seed
+
+    def _indices(self, reduced: jnp.ndarray, n_select: int) -> jnp.ndarray:
+        dmat = cdist(reduced, reduced)
+        anchor = jnp.linalg.norm(dmat, axis=1)
+        return _greedy_select(reduced, anchor, n_select)
+
+    def run(self, features):
+        was_numpy = isinstance(features, np.ndarray)
+        f = jnp.asarray(features)
+        reduced = _project(f, self.proj_dim, self.seed)
+        n_select = int(len(f) * self.percentage)
+        idxs = self._indices(reduced, n_select)
+        out = f[idxs]
+        return np.asarray(out) if was_numpy else out
+
+
+class ApproximateGreedyCoresetSampler(GreedyCoresetSampler):
+    """Approximate greedy coreset (sampler.py:118-171): anchor initialised
+    from mean distance to ``number_of_starting_points`` random points; no
+    N x N matrix is ever materialised."""
+
+    def __init__(self, percentage: float,
+                 number_of_starting_points: int = 10,
+                 dimension_to_project_features_to: int = 128, seed: int = 0):
+        super().__init__(percentage, dimension_to_project_features_to, seed)
+        self.number_of_starting_points = number_of_starting_points
+
+    def _indices(self, reduced: jnp.ndarray, n_select: int) -> jnp.ndarray:
+        n = reduced.shape[0]
+        n_start = min(self.number_of_starting_points, n)
+        start = np.random.default_rng(self.seed).choice(
+            n, n_start, replace=False)
+        d0 = jnp.sqrt(pairwise_sq_dists(reduced, reduced[jnp.asarray(start)]))
+        anchor = jnp.mean(d0, axis=-1)
+        return _greedy_select(reduced, anchor, n_select)

@@ -1,0 +1,63 @@
+"""Nearest-neighbour anomaly scorer — the FAISS IndexFlatL2 replacement.
+
+Reference (models/patchcore/common.py:296-393) wraps a FAISS flat index;
+scores are the mean of the k smallest *squared* L2 distances from each test
+patch to the memory bank.  Here the search is ``tpu_ac.ops.distances.knn``
+— a tiled |a|^2 - 2ab + |b|^2 MXU matmul + top-k, exact like IndexFlatL2.
+Persistence is a plain .npz of the memory bank (the index *is* the array).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from tpu_ac.ops.distances import knn
+
+
+class NearestNeighbourScorer:
+    def __init__(self, n_nearest_neighbours: int = 1):
+        self.n_nearest_neighbours = n_nearest_neighbours
+        self.detection_features: np.ndarray | None = None
+
+    def fit(self, detection_features: list[np.ndarray]) -> None:
+        """Store the memory bank (concat over feature groups,
+        common.py:316-330)."""
+        self.detection_features = np.concatenate(
+            [np.asarray(f).reshape(len(f), -1) for f in detection_features],
+            axis=1)
+
+    def predict(self, query_features: list[np.ndarray]
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(anomaly_scores, sq_distances, nn_indices) (common.py:332-355).
+
+        anomaly_scores = mean over the k nearest squared distances, exactly
+        what FAISS search + np.mean produced in the reference.
+        """
+        if self.detection_features is None:
+            raise ValueError("Scorer is not fitted.")
+        q = np.concatenate(
+            [np.asarray(f).reshape(len(f), -1) for f in query_features],
+            axis=1)
+        d2, idx = knn(jnp.asarray(q), jnp.asarray(self.detection_features),
+                      self.n_nearest_neighbours)
+        d2, idx = np.asarray(d2), np.asarray(idx)
+        return np.mean(d2, axis=-1), d2, idx
+
+    # -- persistence (common.py:357-393): the bank array is the index. --
+    @staticmethod
+    def _bank_file(folder: str, prepend: str = "") -> str:
+        return os.path.join(folder, prepend + "nnscorer_memory_bank.npz")
+
+    def save(self, save_folder: str, prepend: str = "") -> None:
+        np.savez_compressed(self._bank_file(save_folder, prepend),
+                            bank=self.detection_features,
+                            k=self.n_nearest_neighbours)
+
+    def load(self, load_folder: str, prepend: str = "") -> None:
+        data = np.load(self._bank_file(load_folder, prepend))
+        self.detection_features = data["bank"]
+        self.n_nearest_neighbours = int(data["k"])
