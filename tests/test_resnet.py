@@ -1,0 +1,122 @@
+"""ResNet backbone parity vs torch oracle + resnet embedding path."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu_ac.models.resnet import (
+    ResNetConfig,
+    init_resnet_params,
+    resnet_forward,
+    resnet_classify,
+)
+from tests.torch_ref import torch_resnet_forward
+
+# A tiny bottleneck net in the same shape family (block counts shrunk)
+TINY = ResNetConfig(block_counts=(1, 1, 1, 1), width_per_group=16,
+                    num_classes=10)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    p = init_resnet_params(0, TINY)
+    # non-trivial BN stats so the BN math is actually exercised
+    rng = np.random.default_rng(1)
+    out = {}
+    for k, v in p.items():
+        if k.endswith("running_mean"):
+            out[k] = jnp.asarray(rng.standard_normal(v.shape).astype(np.float32) * 0.1)
+        elif k.endswith("running_var"):
+            out[k] = jnp.asarray(rng.uniform(0.5, 2.0, v.shape).astype(np.float32))
+        else:
+            out[k] = v
+    return out
+
+
+class TestResNetParity:
+    def test_taps_match_torch(self, tiny_params, rng):
+        imgs = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+        got = resnet_forward(tiny_params, jnp.asarray(imgs), TINY,
+                             taps=("layer2", "layer3"))
+        want = torch_resnet_forward(tiny_params, imgs, TINY,
+                                    taps=("layer2", "layer3"))
+        for k in ("layer2", "layer3"):
+            assert got[k].shape == want[k].shape
+            np.testing.assert_allclose(np.asarray(got[k]), want[k],
+                                       rtol=5e-4, atol=5e-5)
+
+    def test_stage_shapes(self, tiny_params, rng):
+        imgs = jnp.asarray(rng.standard_normal((1, 3, 64, 64)).astype(np.float32))
+        outs = resnet_forward(tiny_params, imgs, TINY,
+                              taps=("layer1", "layer2", "layer3", "layer4"))
+        # 64 -> conv1/pool -> 16 -> strides halve per later stage
+        assert outs["layer1"].shape == (1, 64 * 4, 16, 16)
+        assert outs["layer2"].shape == (1, 128 * 4, 8, 8)
+        assert outs["layer3"].shape == (1, 256 * 4, 4, 4)
+        assert outs["layer4"].shape == (1, 512 * 4, 2, 2)
+
+    def test_early_abort(self, tiny_params, rng):
+        imgs = jnp.asarray(rng.standard_normal((1, 3, 64, 64)).astype(np.float32))
+        outs = resnet_forward(tiny_params, imgs, TINY, taps=("layer1",))
+        assert set(outs) == {"layer1"}
+
+    def test_classify_shape(self, tiny_params, rng):
+        imgs = jnp.asarray(rng.standard_normal((2, 3, 64, 64)).astype(np.float32))
+        logits = resnet_classify(tiny_params, imgs, TINY)
+        assert logits.shape == (2, 10)
+
+    def test_wideresnet_widths(self):
+        from tpu_ac.models.resnet import WIDE_RESNET50_2
+        p = init_resnet_params(0, WIDE_RESNET50_2)
+        # wide: inner conv width doubles, stage output channels unchanged
+        assert p["layer1.0.conv1.weight"].shape == (128, 64, 1, 1)
+        assert p["layer1.0.conv3.weight"].shape == (256, 128, 1, 1)
+        assert p["layer4.2.conv3.weight"].shape == (2048, 1024, 1, 1)
+
+
+class TestResNetEmbedding:
+    def test_multiscale_embed(self, tiny_params, rng):
+        """layer2+layer3 have different grids — exercises bilinear align."""
+        from tpu_ac.features import EmbedConfig, embed_resnet_features
+
+        cfg = EmbedConfig(layers=("layer2", "layer3"),
+                          pretrain_embed_dimension=64,
+                          target_embed_dimension=128,
+                          apply_layernorm=False)
+        imgs = jnp.asarray(rng.standard_normal((2, 3, 64, 64)).astype(np.float32))
+        z = embed_resnet_features(tiny_params, imgs, TINY, cfg)
+        assert z.shape == (2, 8 * 8, 128)  # layer2 grid is the reference
+
+    def test_matches_torch_tail(self, tiny_params, rng):
+        from tpu_ac.features import EmbedConfig, embed_resnet_features
+        from tests.torch_ref import torch_embed_pipeline
+        import torch
+        import torch.nn.functional as F
+
+        cfg = EmbedConfig(layers=("layer2",), pretrain_embed_dimension=64,
+                          target_embed_dimension=64, apply_layernorm=True)
+        imgs = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+        got = np.asarray(
+            embed_resnet_features(tiny_params, jnp.asarray(imgs), TINY, cfg))
+
+        feat = torch_resnet_forward(tiny_params, imgs, TINY, taps=("layer2",))
+        f = torch.from_numpy(feat["layer2"])
+        ln = torch.nn.LayerNorm(list(f.shape[1:]))
+        with torch.no_grad():
+            f = ln(f)
+        unfolder = torch.nn.Unfold(kernel_size=3, stride=1, padding=1)
+        u = unfolder(f).reshape(*f.shape[:2], 3, 3, -1).permute(0, 4, 1, 2, 3)
+        b, p = u.shape[:2]
+        pooled = F.adaptive_avg_pool1d(u.reshape(b * p, 1, -1), 64).squeeze(1)
+        want = F.adaptive_avg_pool1d(pooled.reshape(b * p, 1, -1), 64)
+        want = want.reshape(b, p, 64).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_registry_resnet(self):
+        from tpu_ac.models import load_backbone
+        params, cfg, family = load_backbone("wideresnet50")
+        assert family == "resnet"
+        assert params["layer1.0.conv1.weight"].shape == (128, 64, 1, 1)

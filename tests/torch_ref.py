@@ -164,3 +164,43 @@ def torch_alpha_supervised(Z_np, Ztr_np, tau):
             a = torch.exp(w / tau)
         rows.append((a / a.sum()).numpy())
     return np.stack(rows)
+
+
+def torch_resnet_forward(params, images_np, cfg, taps=("layer2", "layer3")):
+    """Inference-mode torchvision-style bottleneck ResNet with torch ops."""
+    x = torch.from_numpy(images_np)
+
+    def conv(x, name, stride=1, padding=0):
+        return F.conv2d(x, _t(params, name + ".weight"), stride=stride,
+                        padding=padding)
+
+    def bn(x, name):
+        return F.batch_norm(
+            x, _t(params, name + ".running_mean"),
+            _t(params, name + ".running_var"),
+            _t(params, name + ".weight"), _t(params, name + ".bias"),
+            training=False, eps=cfg.bn_eps)
+
+    x = F.relu(bn(conv(x, "conv1", stride=2, padding=3), "bn1"))
+    x = F.max_pool2d(x, kernel_size=3, stride=2, padding=1)
+
+    stages = ("layer1", "layer2", "layer3", "layer4")
+    deepest = max(stages.index(t) for t in taps)
+    outs = {}
+    for li in range(deepest + 1):
+        stage = stages[li]
+        for b in range(cfg.block_counts[li]):
+            pre = f"{stage}.{b}."
+            stride = (1 if li == 0 else 2) if b == 0 else 1
+            identity = x
+            out = F.relu(bn(conv(x, pre + "conv1"), pre + "bn1"))
+            out = F.relu(bn(conv(out, pre + "conv2", stride=stride,
+                                 padding=1), pre + "bn2"))
+            out = bn(conv(out, pre + "conv3"), pre + "bn3")
+            if pre + "downsample.0.weight" in params:
+                identity = bn(conv(x, pre + "downsample.0", stride=stride),
+                              pre + "downsample.1")
+            x = F.relu(out + identity)
+        if stage in taps:
+            outs[stage] = x.numpy()
+    return outs

@@ -39,11 +39,19 @@ def _min_dists_to_set(zi: jnp.ndarray, zall_flat: jnp.ndarray,
     return jnp.sqrt(jnp.min(d2, axis=-1))
 
 
-def weight_distance_unsupervised(Z: jnp.ndarray) -> jnp.ndarray:
+def _use_pallas(impl: str) -> bool:
+    if impl == "auto":
+        return jax.default_backend() == "tpu"
+    return impl == "pallas"
+
+
+def weight_distance_unsupervised(Z: jnp.ndarray,
+                                 impl: str = "auto") -> jnp.ndarray:
     """Vectorized Weight_Distance_Unsupervised (utils.py:222-227).
 
     Args:
         Z: [N, P, D] patch embeddings of the test set.
+        impl: "auto" (pallas kernel on TPU, XLA elsewhere) | "xla" | "pallas".
     Returns:
         W: [N, P]; W[i,p] = mean over j != i of min_q ||Z[i,p]-Z[j,q]||.
 
@@ -51,6 +59,16 @@ def weight_distance_unsupervised(Z: jnp.ndarray) -> jnp.ndarray:
     the masked mean is sum_j / (N-1) without an explicit mask.
     """
     n, p, d = Z.shape
+
+    if _use_pallas(impl):
+        from tpu_ac.kernels.distances import min_dists_to_sets
+
+        def per_image_k(zi: jnp.ndarray) -> jnp.ndarray:
+            mins = min_dists_to_sets(zi, Z)  # [N, P]
+            return jnp.sum(mins, axis=0) / (n - 1)
+
+        return jax.lax.map(per_image_k, Z)
+
     z_flat = Z.reshape(n * p, d)
 
     def per_image(zi: jnp.ndarray) -> jnp.ndarray:
@@ -60,16 +78,27 @@ def weight_distance_unsupervised(Z: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.map(per_image, Z)
 
 
-def weight_distance_supervised(Z: jnp.ndarray, Z_train: jnp.ndarray) -> jnp.ndarray:
+def weight_distance_supervised(Z: jnp.ndarray, Z_train: jnp.ndarray,
+                               impl: str = "auto") -> jnp.ndarray:
     """Vectorized Weight_Distance_Supervised (utils.py:230-237).
 
     Args:
         Z: [N, P, D] test patch embeddings.
         Z_train: [Nt, P, D] normal-image (train) patch embeddings.
+        impl: "auto" | "xla" | "pallas" (see weight_distance_unsupervised).
     Returns:
         W: [N, P]; W[i,p] = min over all train patches of the L2 distance.
     """
     nt, pt, d = Z_train.shape
+
+    if _use_pallas(impl):
+        from tpu_ac.kernels.distances import min_dists_to_sets
+
+        def per_image_k(zi: jnp.ndarray) -> jnp.ndarray:
+            return jnp.min(min_dists_to_sets(zi, Z_train), axis=0)
+
+        return jax.lax.map(per_image_k, Z)
+
     zt_flat = Z_train.reshape(nt * pt, d)
 
     def per_image(zi: jnp.ndarray) -> jnp.ndarray:

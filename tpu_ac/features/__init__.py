@@ -10,14 +10,18 @@ per-layer adaptive pool (as an MXU matmul) -> cross-layer aggregation.
 
 from tpu_ac.features.embedding import (
     EmbedConfig,
+    embed_feature_maps,
     embed_vit_features,
+    embed_resnet_features,
     aggregate_layer_patches,
     build_embedder,
 )
 
 __all__ = [
     "EmbedConfig",
+    "embed_feature_maps",
     "embed_vit_features",
+    "embed_resnet_features",
     "aggregate_layer_patches",
     "build_embedder",
 ]

@@ -39,13 +39,21 @@ from tpu_ac.ops.interpolate import interpolate_bilinear
 
 @dataclasses.dataclass(frozen=True)
 class EmbedConfig:
-    """Hyperparameters of the embedding pipeline (examples/main.py:314-330)."""
+    """Hyperparameters of the embedding pipeline (examples/main.py:314-330).
+
+    ``apply_layernorm`` selects between the two reference variants: the
+    clustering core normalizes each tapped layer with an ad-hoc LayerNorm
+    (Anomaly-Clustering patchcore.py:384-385) while the upstream PatchCore
+    detector patchifies raw features (patchcore-inspection-main
+    src/patchcore/patchcore.py:100-141).
+    """
 
     layers: tuple[str, ...] = ("blocks.10", "blocks.11")
     pretrain_embed_dimension: int = 2048
     target_embed_dimension: int = 4096
     patchsize: int = 3
     patchstride: int = 1
+    apply_layernorm: bool = True
 
     @property
     def tap_indices(self) -> tuple[int, ...]:
@@ -104,6 +112,32 @@ def aggregate_layer_patches(layer_patches: Sequence[jnp.ndarray],
                                use_matmul=True)
 
 
+def embed_feature_maps(feature_maps: Sequence[jnp.ndarray],
+                       cfg: EmbedConfig) -> jnp.ndarray:
+    """The _embed tail for already-extracted per-layer features.
+
+    Each feature map is either [B, N+1, D] tokens (ViT — CLS dropped, grid
+    reshaped) or [B, C, H, W] conv maps (ResNet — used as-is), matching the
+    reference's ndim dispatch (patchcore.py:376-383).
+    Returns [B, P, target_embed_dimension].
+    """
+    layer_patches = []
+    grids: list[tuple[int, int]] = []
+    for f in feature_maps:
+        x = _grid_features(f) if f.ndim == 3 else f
+        if cfg.apply_layernorm:
+            x = adhoc_layernorm(x)
+        patches, grid = patchify(x, cfg.patchsize, cfg.patchstride)
+        layer_patches.append(patches)
+        grids.append(grid)
+    ref_grid = grids[0]
+    layer_patches = [
+        _align_patches(pch, g, ref_grid)
+        for pch, g in zip(layer_patches, grids)
+    ]
+    return aggregate_layer_patches(layer_patches, cfg)
+
+
 def embed_vit_features(params: Mapping[str, jnp.ndarray], images: jnp.ndarray,
                        vit_cfg: ViTConfig, cfg: EmbedConfig,
                        *, precision=jax.lax.Precision.HIGHEST,
@@ -121,20 +155,18 @@ def embed_vit_features(params: Mapping[str, jnp.ndarray], images: jnp.ndarray,
     taps = cfg.tap_indices
     outs = vit_forward(params, images, vit_cfg, taps=taps,
                        precision=precision, attention_impl=attention_impl)
-    layer_patches = []
-    grids: list[tuple[int, int]] = []
-    for t in taps:
-        x = _grid_features(outs[t])
-        x = adhoc_layernorm(x)
-        patches, grid = patchify(x, cfg.patchsize, cfg.patchstride)
-        layer_patches.append(patches)
-        grids.append(grid)
-    ref_grid = grids[0]
-    layer_patches = [
-        _align_patches(pch, g, ref_grid)
-        for pch, g in zip(layer_patches, grids)
-    ]
-    return aggregate_layer_patches(layer_patches, cfg)
+    return embed_feature_maps([outs[t] for t in taps], cfg)
+
+
+def embed_resnet_features(params: Mapping[str, jnp.ndarray],
+                          images: jnp.ndarray, resnet_cfg,
+                          cfg: EmbedConfig) -> jnp.ndarray:
+    """Full _embed pipeline for a ResNet backbone (taps by stage name,
+    e.g. layers=("layer2", "layer3"))."""
+    from tpu_ac.models.resnet import resnet_forward
+
+    outs = resnet_forward(params, images, resnet_cfg, taps=cfg.layers)
+    return embed_feature_maps([outs[name] for name in cfg.layers], cfg)
 
 
 def build_embedder(params: Mapping[str, jnp.ndarray], vit_cfg: ViTConfig,

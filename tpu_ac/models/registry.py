@@ -62,6 +62,23 @@ BACKBONE_CONFIGS: dict[str, BackboneSpec] = {
 }
 
 
+def _register_resnets() -> None:
+    from tpu_ac.models.resnet import RESNET50, RESNET101, WIDE_RESNET50_2
+
+    # torchvision names used by the reference registry (backbones.py:7-50)
+    BACKBONE_CONFIGS["resnet50"] = BackboneSpec(
+        "resnet", RESNET50, "resnet50-0676ba61.pth")
+    BACKBONE_CONFIGS["resnet101"] = BackboneSpec(
+        "resnet", RESNET101, "resnet101-63fe2227.pth")
+    BACKBONE_CONFIGS["wideresnet50"] = BackboneSpec(
+        "resnet", WIDE_RESNET50_2, "wide_resnet50_2-95faca4d.pth")
+    BACKBONE_CONFIGS["dino_resnet50"] = BackboneSpec(
+        "resnet", RESNET50, "dino_resnet50_pretrain.pth")
+
+
+_register_resnets()
+
+
 def register_backbone(name: str, spec: BackboneSpec) -> None:
     BACKBONE_CONFIGS[name] = spec
 
@@ -93,15 +110,19 @@ def load_backbone(name: str, *, checkpoint_dir: str | None = None,
             f"Unknown backbone '{name}'. Registered: {sorted(BACKBONE_CONFIGS)}")
     spec = BACKBONE_CONFIGS[name]
     path = checkpoint_path or _find_checkpoint(spec.checkpoint, checkpoint_dir)
-    if spec.family == "vit":
-        cfg: ViTConfig = spec.config  # type: ignore[assignment]
-        if path is not None:
-            params = load_torch_checkpoint(path, spec.checkpoint_key)
+    if path is not None:
+        params = load_torch_checkpoint(path, spec.checkpoint_key)
+    else:
+        LOGGER.warning(
+            "No checkpoint found for %s — using random init (seed=%d). "
+            "Place the released weights in %s for metric parity.",
+            name, seed, _DEFAULT_CKPT_DIRS[0])
+        if spec.family == "vit":
+            params = init_vit_params(seed, spec.config)
+        elif spec.family == "resnet":
+            from tpu_ac.models.resnet import init_resnet_params
+
+            params = init_resnet_params(seed, spec.config)
         else:
-            LOGGER.warning(
-                "No checkpoint found for %s — using random init (seed=%d). "
-                "Place the released weights in %s for metric parity.",
-                name, seed, _DEFAULT_CKPT_DIRS[0])
-            params = init_vit_params(seed, cfg)
-        return params, cfg, "vit"
-    raise NotImplementedError(f"family {spec.family}")
+            raise NotImplementedError(f"family {spec.family}")
+    return params, spec.config, spec.family

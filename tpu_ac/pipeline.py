@@ -69,19 +69,36 @@ class PipelineConfig:
 class CategoryEmbedder:
     """Batched, jit-cached embedding of an image set on the device."""
 
-    def __init__(self, params: Mapping[str, jnp.ndarray], vit_cfg: ViTConfig,
-                 cfg: PipelineConfig, attention_impl=None,
-                 precision=jax.lax.Precision.HIGHEST):
+    def __init__(self, params: Mapping[str, jnp.ndarray], backbone_cfg,
+                 cfg: PipelineConfig, attention_impl="auto",
+                 precision=jax.lax.Precision.HIGHEST, family: str = "vit"):
+        if attention_impl == "auto":
+            if jax.default_backend() == "tpu":
+                from tpu_ac.kernels.attention import fused_attention
+
+                attention_impl = fused_attention
+            else:
+                attention_impl = None
         self._params = params
-        self._vit_cfg = vit_cfg
+        self._backbone_cfg = backbone_cfg
         self._cfg = cfg
         ecfg = cfg.embed_config
 
-        @jax.jit
-        def _embed(images: jnp.ndarray) -> jnp.ndarray:
-            return embed_vit_features(params, images, vit_cfg, ecfg,
-                                      precision=precision,
-                                      attention_impl=attention_impl)
+        if family == "vit":
+            @jax.jit
+            def _embed(images: jnp.ndarray) -> jnp.ndarray:
+                return embed_vit_features(params, images, backbone_cfg, ecfg,
+                                          precision=precision,
+                                          attention_impl=attention_impl)
+        elif family == "resnet":
+            from tpu_ac.features.embedding import embed_resnet_features
+
+            @jax.jit
+            def _embed(images: jnp.ndarray) -> jnp.ndarray:
+                return embed_resnet_features(params, images, backbone_cfg,
+                                             ecfg)
+        else:
+            raise NotImplementedError(f"family {family}")
 
         self._embed = _embed
 
@@ -211,9 +228,9 @@ def category_metrics(X: np.ndarray, anomaly_labels: list[str]) -> dict[str, floa
 
 
 def build_embedder_for_config(cfg: PipelineConfig, *, checkpoint_dir=None,
-                              attention_impl=None, seed: int = 0
+                              attention_impl="auto", seed: int = 0
                               ) -> CategoryEmbedder:
-    params, vit_cfg, _family = load_backbone(
+    params, backbone_cfg, family = load_backbone(
         cfg.backbone_name, checkpoint_dir=checkpoint_dir, seed=seed)
-    return CategoryEmbedder(params, vit_cfg, cfg,
-                            attention_impl=attention_impl)
+    return CategoryEmbedder(params, backbone_cfg, cfg,
+                            attention_impl=attention_impl, family=family)
