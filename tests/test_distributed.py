@@ -1,0 +1,61 @@
+"""Sharded alpha computation on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpu_ac.cluster.alpha import (
+    weight_distance_supervised,
+    weight_distance_unsupervised,
+)
+from tpu_ac.distributed import (
+    get_mesh,
+    shard_batch,
+    sharded_weight_distance_unsupervised,
+    sharded_weight_distance_supervised,
+)
+
+
+class TestShardedAlpha:
+    def test_unsupervised_matches_single_device(self, rng):
+        Z = rng.standard_normal((10, 16, 64)).astype(np.float32)  # N=10 pads to 16
+        mesh = get_mesh(8)
+        z_sh, n = shard_batch(mesh, Z)
+        assert z_sh.shape[0] == 16 and n == 10
+        w = np.asarray(
+            sharded_weight_distance_unsupervised(mesh, z_sh, n_valid=n))[:n]
+        want = np.asarray(weight_distance_unsupervised(jnp.asarray(Z),
+                                                       impl="xla"))
+        np.testing.assert_allclose(w, want, rtol=2e-4, atol=2e-5)
+
+    def test_supervised_matches_single_device(self, rng):
+        Z = rng.standard_normal((9, 16, 64)).astype(np.float32)
+        Ztr = rng.standard_normal((5, 16, 64)).astype(np.float32)
+        mesh = get_mesh(8)
+        z_sh, n = shard_batch(mesh, Z)
+        w = np.asarray(sharded_weight_distance_supervised(
+            mesh, z_sh, jnp.asarray(Ztr)))[:n]
+        want = np.asarray(weight_distance_supervised(
+            jnp.asarray(Z), jnp.asarray(Ztr), impl="xla"))
+        np.testing.assert_allclose(w, want, rtol=2e-4, atol=2e-5)
+
+    def test_sharded_embed_matches_replicated(self, rng):
+        """jit auto-partitioning of the embedder over a dp-sharded batch."""
+        from tpu_ac.models import ViTConfig, init_vit_params
+        from tpu_ac.features import EmbedConfig, embed_vit_features
+
+        cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                        img_size=32)
+        params = init_vit_params(0, cfg)
+        ecfg = EmbedConfig(layers=("blocks.0", "blocks.1"),
+                           pretrain_embed_dimension=48,
+                           target_embed_dimension=96)
+        imgs = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)
+        mesh = get_mesh(8)
+        imgs_sh, _ = shard_batch(mesh, imgs)
+
+        fn = jax.jit(lambda x: embed_vit_features(params, x, cfg, ecfg))
+        got = np.asarray(fn(imgs_sh))
+        want = np.asarray(fn(jnp.asarray(imgs)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

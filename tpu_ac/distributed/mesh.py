@@ -1,0 +1,123 @@
+"""Device mesh helpers and sharded alpha computation.
+
+Replaces the reference's distributed runtime (SURVEY.md L5):
+``init_distributed_mode`` + NCCL process groups (dino-main/utils.py:467-499)
+become ``jax.distributed.initialize`` (multi-host, DCN) + a single
+``jax.sharding.Mesh`` whose collectives ride ICI.
+
+The alpha weights are the only stage needing cross-device data exchange:
+each device owns N/dp test images, all-gathers the full patch-embedding
+bank once (tiled over ICI), and computes min-distance rows for its local
+images with the Pallas kernel — an embarrassingly-parallel O(N^2 P^2 D)
+workload split N-ways with one collective.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def get_mesh(n_devices: int | None = None,
+             axis_name: str = "dp") -> Mesh:
+    """A 1-D data-parallel mesh over the first n devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree over the mesh."""
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def shard_batch(mesh: Mesh, array, axis_name: str = "dp"):
+    """Shard the leading (batch) axis over the mesh, zero-padding to a
+    multiple of the axis size.  Returns (sharded_array, n_valid)."""
+    n = array.shape[0]
+    size = mesh.shape[axis_name]
+    pad = (-n) % size
+    if pad:
+        array = np.concatenate(
+            [np.asarray(array),
+             np.zeros((pad, *array.shape[1:]), dtype=array.dtype)])
+    sharded = jax.device_put(array, NamedSharding(mesh, P(axis_name)))
+    return sharded, n
+
+
+def _per_image_weights(z_local: jnp.ndarray, bank: jnp.ndarray,
+                       reduce_mode: str, n_valid: int) -> jnp.ndarray:
+    from tpu_ac.kernels.distances import min_dists_to_sets
+
+    n_bank = bank.shape[0]
+    valid = (np.arange(n_bank) < n_valid)[:, None]  # mask padded bank rows
+
+    def per_i(zi):
+        mins = min_dists_to_sets(zi, bank)  # [N_bank, P]
+        if reduce_mode == "mean":
+            mins = jnp.where(valid, mins, 0.0)
+            return jnp.sum(mins, axis=0) / (n_valid - 1)
+        mins = jnp.where(valid, mins, jnp.inf)
+        return jnp.min(mins, axis=0)
+
+    return jax.lax.map(per_i, z_local)
+
+
+def sharded_weight_distance_unsupervised(mesh: Mesh, Z_sharded: jnp.ndarray,
+                                         n_valid: int,
+                                         axis_name: str = "dp") -> jnp.ndarray:
+    """Weight_Distance_Unsupervised with the image set sharded over dp.
+
+    Z_sharded: [N_pad, P, D], leading axis sharded; ``n_valid`` real images
+    (zero-padding rows beyond it are masked out of the bank sums, and their
+    own output rows are garbage the caller slices off).
+    Returns W [N_pad, P], sharded like the input.
+    """
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=P(axis_name), out_specs=P(axis_name),
+                       check_rep=False)
+    def f(z_local):
+        bank = jax.lax.all_gather(z_local, axis_name, axis=0, tiled=True)
+        return _per_image_weights(z_local, bank, "mean", n_valid)
+
+    return f(Z_sharded)
+
+
+def sharded_weight_distance_supervised(mesh: Mesh, Z_sharded: jnp.ndarray,
+                                       Z_train: jnp.ndarray,
+                                       axis_name: str = "dp") -> jnp.ndarray:
+    """Supervised variant: test images sharded over dp, train bank
+    replicated (it is read-only and typically small)."""
+    n_train = Z_train.shape[0]
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(axis_name), P()), out_specs=P(axis_name),
+                       check_rep=False)
+    def f(z_local, bank):
+        return _per_image_weights(z_local, bank, "min", n_train)
+
+    return f(Z_sharded, Z_train)
+
+
+def multihost_init(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> None:
+    """Multi-host (DCN) initialization — init_distributed_mode equivalent.
+
+    On single-host TPU slices this is a no-op; on multi-host pods call it
+    once per host before any jax op (jax.distributed.initialize picks up
+    cluster env vars when args are None).
+    """
+    if num_processes is not None and num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)

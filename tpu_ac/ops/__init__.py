@@ -25,7 +25,7 @@ from tpu_ac.ops.interpolate import (
     interpolate_nearest,
 )
 from tpu_ac.ops.normalize import adhoc_layernorm, l2_normalize
-from tpu_ac.ops.distances import cdist, pairwise_sq_dists, knn
+from tpu_ac.ops.distances import cdist, pairwise_sq_dists, knn, knn_ip
 from tpu_ac.ops.gaussian import gaussian_blur
 
 __all__ = [
@@ -40,5 +40,6 @@ __all__ = [
     "cdist",
     "pairwise_sq_dists",
     "knn",
+    "knn_ip",
     "gaussian_blur",
 ]

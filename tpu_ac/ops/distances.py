@@ -69,3 +69,18 @@ def knn(query: jnp.ndarray, index: jnp.ndarray, k: int,
 
     _, (dists, idxs) = jax.lax.scan(step, None, q)
     return dists.reshape(-1, k)[:m], idxs.reshape(-1, k)[:m]
+
+
+def knn_ip(query: jnp.ndarray, index: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact k-NN by inner product (FAISS IndexFlatIP.search) — used by
+    SCAN's neighbor mining (Unsupervised-Classification-master/utils/
+    memory.py:46-65) on (normalized) memory-bank features.
+
+    Returns (similarities [M, k], indices [M, k]), descending.
+    """
+    sims = jax.lax.dot_general(
+        query, index,
+        dimension_numbers=(((query.ndim - 1,), (index.ndim - 1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jax.lax.top_k(sims, k)

@@ -23,3 +23,41 @@ __all__ = [
     "cosine_scheduler",
     "dino_loss",
 ]
+
+from tpu_ac.train.scan import (  # noqa: E402
+    SCANModelConfig,
+    SCANTrainState,
+    MemoryBank,
+    simclr_loss,
+    scan_loss,
+    confidence_based_ce,
+    entropy,
+    init_contrastive_model,
+    init_clustering_model,
+    contrastive_forward,
+    clustering_forward,
+    init_train_state,
+    make_simclr_step,
+    make_scan_step,
+    make_selflabel_step,
+    scan_evaluate_heads,
+)
+
+__all__ += [
+    "SCANModelConfig",
+    "SCANTrainState",
+    "MemoryBank",
+    "simclr_loss",
+    "scan_loss",
+    "confidence_based_ce",
+    "entropy",
+    "init_contrastive_model",
+    "init_clustering_model",
+    "contrastive_forward",
+    "clustering_forward",
+    "init_train_state",
+    "make_simclr_step",
+    "make_scan_step",
+    "make_selflabel_step",
+    "scan_evaluate_heads",
+]
