@@ -32,13 +32,10 @@ BASELINE_CACHE = os.path.expanduser("~/.cache/tpu_ac/bench_baseline.json")
 
 
 def _setup_jax():
-    import jax
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tpu_ac.utils.tpu import ensure_backend
 
-    cache = os.path.expanduser("~/.cache/jax_compilation")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    return jax
+    return ensure_backend()
 
 
 def measure_tpu(images: np.ndarray) -> float:

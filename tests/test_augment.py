@@ -1,0 +1,79 @@
+"""Augmentation pipeline sanity (shapes, determinism, value ranges)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tpu_ac.data.augment import (
+    DINOAugmentation,
+    SimCLRAugmentation,
+    StrongAugmentation,
+    WeakAugmentation,
+    cutout,
+    random_resized_crop,
+    randaugment,
+    to_normalized_array,
+)
+
+
+@pytest.fixture()
+def img(rng):
+    return Image.fromarray(
+        rng.integers(0, 255, (64, 64, 3), dtype=np.uint8), "RGB")
+
+
+class TestElementaryOps:
+    def test_random_resized_crop_size(self, img):
+        import random
+        out = random_resized_crop(img, 32, (0.2, 1.0), rng=random.Random(0))
+        assert out.size == (32, 32)
+
+    def test_randaugment_returns_image(self, img):
+        import random
+        out = randaugment(img, n=4, rng=random.Random(0))
+        assert out.size == img.size
+
+    def test_cutout_zeroes_region(self, rng):
+        import random
+        arr = np.ones((3, 32, 32), np.float32)
+        out = cutout(arr, n_holes=1, length=16, rng=random.Random(0))
+        assert (out == 0).sum() > 0
+        assert out.shape == arr.shape
+
+    def test_normalize_roundtrip(self, img):
+        from tpu_ac.data.mvtec import IMAGENET_MEAN, IMAGENET_STD
+        arr = to_normalized_array(img)
+        back = arr.transpose(1, 2, 0) * IMAGENET_STD + IMAGENET_MEAN
+        np.testing.assert_allclose(back, np.asarray(img) / 255.0, atol=1e-6)
+
+
+class TestDINOAugmentation:
+    def test_crop_count_and_shapes(self, img):
+        aug = DINOAugmentation(local_crops_number=6, global_size=48,
+                               local_size=24, seed=0)
+        crops = aug(img)
+        assert len(crops) == 8
+        assert all(c.shape == (3, 48, 48) for c in crops[:2])
+        assert all(c.shape == (3, 24, 24) for c in crops[2:])
+
+    def test_seeded_determinism(self, img):
+        a = DINOAugmentation(seed=7, global_size=32, local_size=16,
+                             local_crops_number=2)(img)
+        b = DINOAugmentation(seed=7, global_size=32, local_size=16,
+                             local_crops_number=2)(img)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+
+class TestSCANAugmentations:
+    def test_simclr_shape(self, img):
+        out = SimCLRAugmentation(size=32, seed=0)(img)
+        assert out.shape == (3, 32, 32)
+
+    def test_strong_has_cutout(self, img):
+        out = StrongAugmentation(size=32, seed=0)(img)
+        assert out.shape == (3, 32, 32)
+
+    def test_weak_shape(self, img):
+        out = WeakAugmentation(size=32, seed=0)(img)
+        assert out.shape == (3, 32, 32)

@@ -1,0 +1,84 @@
+"""Config system + classification datasets/wrappers."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpu_ac.config import Config, create_config, merge
+from tpu_ac.data.classification import (
+    ArrayDataset,
+    AugmentedDataset,
+    NeighborsDataset,
+    make_synthetic_classification,
+)
+
+
+class TestConfig:
+    def test_attribute_access_and_merge(self):
+        a = Config.wrap({"model": {"dim": 64, "depth": 2}, "lr": 0.1})
+        b = merge(a, {"model": {"dim": 128}, "extra": True})
+        assert b.model.dim == 128 and b.model.depth == 2
+        assert b.lr == 0.1 and b.extra is True
+
+    def test_create_config_derived_paths(self, tmp_path):
+        env = tmp_path / "env.yml"
+        env.write_text(f"root_dir: {tmp_path}/out\n")
+        exp = tmp_path / "exp.yml"
+        exp.write_text("train_db_name: cifar-10\nnum_neighbors: 20\nlr: 0.4\n")
+        cfg = create_config(str(env), str(exp))
+        assert cfg.lr == 0.4
+        assert cfg.pretext_dir.endswith("cifar-10/pretext")
+        assert "top20-train-neighbors.npy" in cfg.topk_neighbors_train_path
+        assert os.path.isdir(cfg.scan_dir)
+
+
+class TestClassificationData:
+    def test_synthetic_dataset(self):
+        ds = make_synthetic_classification(n_per_class=5, n_classes=3)
+        assert len(ds) == 15
+        item = ds[0]
+        assert item["target"] == 0
+        assert item["image"].size == (32, 32)
+
+    def test_augmented_dataset(self):
+        from tpu_ac.data.augment import SimCLRAugmentation, WeakAugmentation
+
+        ds = make_synthetic_classification(n_per_class=4, n_classes=2)
+        wrapped = AugmentedDataset(ds, WeakAugmentation(32, seed=0),
+                                   SimCLRAugmentation(32, seed=0))
+        batch = wrapped.batch(range(4))
+        assert batch["image"].shape == (4, 3, 32, 32)
+        assert batch["image_augmented"].shape == (4, 3, 32, 32)
+        assert not np.allclose(batch["image"], batch["image_augmented"])
+
+    def test_neighbors_dataset(self):
+        from tpu_ac.data.augment import WeakAugmentation
+
+        ds = make_synthetic_classification(n_per_class=4, n_classes=2)
+        idx = np.tile(np.arange(8)[:, None], (1, 3))
+        wrapped = NeighborsDataset(ds, WeakAugmentation(32, seed=0), idx,
+                                   seed=0)
+        item = wrapped[2]
+        assert item["anchor"].shape == (3, 32, 32)
+        assert item["neighbor"].shape == (3, 32, 32)
+        batch = wrapped.batch(range(4))
+        assert batch["anchor"].shape == (4, 3, 32, 32)
+
+    def test_cifar_loader_format(self, tmp_path):
+        """Loader reads the standard pickle-batch format."""
+        import pickle
+        base = tmp_path / "cifar-10-batches-py"
+        base.mkdir()
+        rng = np.random.default_rng(0)
+        for name in [f"data_batch_{i}" for i in range(1, 6)] + ["test_batch"]:
+            data = {b"data": rng.integers(0, 255, (10, 3072), dtype=np.uint8)
+                    .astype(np.uint8),
+                    b"labels": rng.integers(0, 10, 10).tolist()}
+            with open(base / name, "wb") as f:
+                pickle.dump(data, f)
+        from tpu_ac.data.classification import load_cifar10
+        train = load_cifar10(str(tmp_path), "train")
+        test = load_cifar10(str(tmp_path), "test")
+        assert len(train) == 50 and len(test) == 10
+        assert train.images.shape == (50, 32, 32, 3)

@@ -1,0 +1,150 @@
+"""Checkpoint/logging utilities + DINO eval suites."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+class TestCheckpoint:
+    def test_roundtrip_pytree(self, tmp_path):
+        from tpu_ac.utils import save_checkpoint, restore_checkpoint
+
+        state = {"a": jnp.arange(4.0), "nested": {"b": jnp.ones((2, 3))}}
+        path = save_checkpoint(str(tmp_path), "test", state, step=7,
+                               extra={"epoch": 3})
+        restored, meta = restore_checkpoint(path, state)
+        assert meta["step"] == 7 and meta["extra"]["epoch"] == 3
+        np.testing.assert_array_equal(np.asarray(restored["a"]),
+                                      np.arange(4.0))
+        np.testing.assert_array_equal(np.asarray(restored["nested"]["b"]),
+                                      np.ones((2, 3)))
+
+    def test_latest_and_keep(self, tmp_path):
+        from tpu_ac.utils import save_checkpoint, latest_checkpoint
+
+        state = {"x": jnp.zeros(2)}
+        for s in (1, 5, 3):
+            save_checkpoint(str(tmp_path), "run", state, step=s, keep=2)
+        latest = latest_checkpoint(str(tmp_path), "run")
+        assert latest.endswith("run-00000005")
+        assert len(os.listdir(tmp_path)) == 2  # keep=2 pruned step 1
+
+    def test_structure_mismatch_raises(self, tmp_path):
+        from tpu_ac.utils import save_checkpoint, restore_checkpoint
+
+        path = save_checkpoint(str(tmp_path), "t", {"a": jnp.zeros(2)})
+        with pytest.raises(ValueError):
+            restore_checkpoint(path, {"a": jnp.zeros(2), "b": jnp.zeros(2)})
+
+    def test_dino_state_roundtrip(self, tmp_path):
+        from tpu_ac.models.vit import ViTConfig
+        from tpu_ac.train import DINOConfig, init_dino_state
+        from tpu_ac.utils import save_checkpoint, restore_checkpoint
+
+        vit = ViTConfig(patch_size=8, embed_dim=32, depth=1, num_heads=2,
+                        img_size=32)
+        cfg = DINOConfig(out_dim=32, local_crops_number=0, head_hidden_dim=16,
+                         head_bottleneck_dim=8, epochs=1, steps_per_epoch=1)
+        state = init_dino_state(0, vit, cfg)
+        path = save_checkpoint(str(tmp_path), "dino", state, step=0)
+        restored, _ = restore_checkpoint(path, state)
+        np.testing.assert_array_equal(
+            np.asarray(restored.student["backbone.cls_token"]),
+            np.asarray(state.student["backbone.cls_token"]))
+
+
+class TestLogging:
+    def test_smoothed_value(self):
+        from tpu_ac.utils import SmoothedValue
+
+        v = SmoothedValue(window_size=3)
+        for x in (1.0, 2.0, 3.0, 4.0):
+            v.update(x)
+        assert v.value == 4.0
+        assert v.avg == pytest.approx(3.0)       # window (2,3,4)
+        assert v.global_avg == pytest.approx(2.5)
+        assert v.max == 4.0
+
+    def test_metric_logger_log_every(self):
+        from tpu_ac.utils import MetricLogger
+
+        lines = []
+        ml = MetricLogger(printer=lines.append)
+        for x in ml.log_every(range(5), 2, header="ep0"):
+            ml.update(loss=float(x))
+        assert ml.meters["loss"].global_avg == pytest.approx(2.0)
+        assert any("ep0" in ln for ln in lines)
+        assert any("Total time" in ln for ln in lines)
+
+
+class TestKnnClassifier:
+    def test_separable_classes(self, rng):
+        from tpu_ac.train.evals import knn_classifier
+
+        a = rng.standard_normal((50, 16)) + 4
+        b = rng.standard_normal((50, 16)) - 4
+        train = np.concatenate([a, b]).astype(np.float32)
+        train /= np.linalg.norm(train, axis=1, keepdims=True)
+        labels = np.array([0] * 50 + [1] * 50)
+        test = train[::5]
+        tlabels = labels[::5]
+        top1, top5 = knn_classifier(train, labels, test, tlabels, k=10,
+                                    T=0.07, num_classes=2)
+        assert top1 == 100.0
+
+    def test_extract_features_batched(self, rng):
+        from tpu_ac.train.evals import extract_features
+
+        imgs = rng.standard_normal((10, 4)).astype(np.float32)
+        feats = extract_features(lambda x: x * 2, imgs, batch_size=4,
+                                 normalize=False)
+        np.testing.assert_allclose(feats, imgs * 2)
+
+
+class TestLinearProbe:
+    def test_learns_linear_problem(self, rng):
+        import jax.numpy as jnp
+        from tpu_ac.train.evals import make_linear_probe
+
+        w_true = rng.standard_normal((3, 8)).astype(np.float32)
+        x = rng.standard_normal((256, 8)).astype(np.float32)
+        y = (x @ w_true.T).argmax(1)
+        state, step, predict = make_linear_probe(8, 3, seed=0)
+        for i in range(200):
+            state, loss = step(state, jnp.asarray(x), jnp.asarray(y),
+                               jnp.float32(0.5))
+        preds = np.asarray(predict(state, jnp.asarray(x))).argmax(1)
+        assert np.mean(preds == y) > 0.95
+
+
+class TestPCAMap:
+    def test_pca_whitening(self, rng):
+        from tpu_ac.train.evals import PCA
+
+        x = rng.standard_normal((200, 16)).astype(np.float32) * \
+            np.linspace(1, 10, 16)
+        pca = PCA(dim=4, whit=0.5)
+        pca.fit(x)
+        out = pca.apply(x)
+        assert out.shape == (200, 4)
+        # whitening at whit=0.5: unit variance along kept components
+        np.testing.assert_allclose(out.std(axis=0), 1.0, rtol=0.2)
+
+    def test_compute_ap_perfect(self):
+        from tpu_ac.train.evals import compute_ap
+
+        assert compute_ap(np.array([0, 1, 2]), 3) == pytest.approx(1.0)
+
+    def test_compute_map(self):
+        from tpu_ac.train.evals import compute_map
+
+        # db of 4, one query; positives ranked 0 and 2
+        ranks = np.array([[0], [3], [1], [2]])  # ranks[:, q] = db idx order
+        gnd = [{"ok": [0, 1]}]
+        m, aps, _, _ = compute_map(ranks, gnd)
+        # positives (db 0, 1) at ranks 0 and 2; trapezoid AP:
+        # j=0: (1 + 1)/2 * 1/2 = 0.5; j=1: (1/2 + 2/3)/2 * 1/2 = 0.29167
+        assert m == pytest.approx(0.5 + (0.5 + 2.0 / 3.0) / 4.0)
