@@ -1,0 +1,66 @@
+"""Visualization utilities (headless Agg backend)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+class TestViz:
+    def test_alpha_heatmap_upsamples(self, rng):
+        from tpu_ac.viz import alpha_heatmap
+
+        alpha = rng.uniform(size=16).astype(np.float32)
+        heat = alpha_heatmap(alpha, upsample=8)
+        assert heat.shape == (32, 32)
+        assert heat.max() == pytest.approx(1.0)
+
+    def test_visualize_alpha_saves(self, rng, tmp_path):
+        from tpu_ac.viz import visualize_alpha_on_image
+
+        img = rng.standard_normal((3, 32, 32)).astype(np.float32)
+        alpha = rng.uniform(size=16)
+        path = str(tmp_path / "alpha.png")
+        visualize_alpha_on_image(img, alpha, save_path=path)
+        assert os.path.exists(path)
+
+    def test_results_csv_roundtrip(self, tmp_path):
+        from tpu_ac.viz import read_results_csv, draw_metrics
+
+        csv_path = tmp_path / "r.csv"
+        csv_path.write_text(
+            "unsupervised\nCategory,NMI,ARI,F1\n---,---,---,---\n"
+            "TAU=1.0\nbottle,0.5,0.4,0.6\ncable,0.3,0.2,0.4\n"
+            "TAU=2.0\nbottle,0.6,0.5,0.7\ncable,0.2,0.1,0.3\n")
+        res = read_results_csv(str(csv_path))
+        assert res[1.0]["bottle"] == (0.5, 0.4, 0.6)
+        assert res[2.0]["cable"] == (0.2, 0.1, 0.3)
+        out = str(tmp_path / "plot.png")
+        draw_metrics(res, ["bottle", "cable"], "NMI", save_path=out)
+        assert os.path.exists(out)
+
+    def test_plot_segmentation_images(self, rng, tmp_path):
+        from PIL import Image
+        from tpu_ac.viz import plot_segmentation_images
+
+        img_path = str(tmp_path / "img.png")
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(img_path)
+        segs = rng.uniform(size=(1, 32, 32))
+        out = str(tmp_path / "segs")
+        plot_segmentation_images(out, [img_path], segs,
+                                 anomaly_scores=[0.7])
+        assert os.path.exists(os.path.join(out, "segmentation_0000.png"))
+
+    def test_attention_maps(self, rng, tmp_path):
+        from tpu_ac.models import ViTConfig, init_vit_params
+        from tpu_ac.viz import attention_maps
+
+        cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                        img_size=32)
+        params = init_vit_params(0, cfg)
+        img = rng.standard_normal((3, 32, 32)).astype(np.float32)
+        maps = attention_maps(params, img, cfg, save_dir=str(tmp_path))
+        assert maps.shape == (2, 32, 32)
+        assert os.path.exists(tmp_path / "attn-head0.png")
+        np.testing.assert_allclose(maps.sum(), maps.sum())  # finite

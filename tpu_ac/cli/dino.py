@@ -1,0 +1,178 @@
+"""DINO self-supervised training CLI — main_dino.py rebuilt.
+
+Flag-compatible subset of dino-main/main_dino.py:41-129 driving the
+tpu_ac.train.dino step: multi-crop host augmentation, cosine schedules,
+EMA teacher, checkpoint/resume, NaN abort, per-epoch JSON-lines log.
+
+Distributed: batch arrays are dp-sharded over the local mesh (one jit
+handles 1..N chips); multi-host runs call
+tpu_ac.distributed.multihost_init first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from tpu_ac.data.augment import DINOAugmentation
+from tpu_ac.data.imagefolder import ImageFolder
+from tpu_ac.models.vit import VIT_BASE, VIT_SMALL, VIT_TINY, ViTConfig
+from tpu_ac.train.dino import (
+    DINOConfig,
+    init_dino_state,
+    make_dino_train_step,
+    make_schedules,
+)
+from tpu_ac.utils import (
+    MetricLogger,
+    fix_seeds,
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+_ARCHS = {"vit_tiny": VIT_TINY, "vit_small": VIT_SMALL, "vit_base": VIT_BASE}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("DINO (TPU-native)")
+    p.add_argument("--arch", default="vit_small", choices=sorted(_ARCHS))
+    p.add_argument("--patch_size", default=16, type=int)
+    p.add_argument("--out_dim", default=65536, type=int)
+    p.add_argument("--norm_last_layer", default=True, type=bool)
+    p.add_argument("--momentum_teacher", default=0.996, type=float)
+    p.add_argument("--warmup_teacher_temp", default=0.04, type=float)
+    p.add_argument("--teacher_temp", default=0.04, type=float)
+    p.add_argument("--warmup_teacher_temp_epochs", default=0, type=int)
+    p.add_argument("--weight_decay", default=0.04, type=float)
+    p.add_argument("--weight_decay_end", default=0.4, type=float)
+    p.add_argument("--clip_grad", default=3.0, type=float)
+    p.add_argument("--batch_size_per_gpu", default=64, type=int)
+    p.add_argument("--epochs", default=100, type=int)
+    p.add_argument("--freeze_last_layer", default=1, type=int)
+    p.add_argument("--lr", default=0.0005, type=float)
+    p.add_argument("--warmup_epochs", default=10, type=int)
+    p.add_argument("--min_lr", default=1e-6, type=float)
+    p.add_argument("--global_crops_scale", type=float, nargs="+",
+                   default=(0.4, 1.0))
+    p.add_argument("--local_crops_number", type=int, default=8)
+    p.add_argument("--local_crops_scale", type=float, nargs="+",
+                   default=(0.05, 0.4))
+    p.add_argument("--data_path", required=True, type=str)
+    p.add_argument("--output_dir", default=".", type=str)
+    p.add_argument("--saveckp_freq", default=20, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--global_size", default=224, type=int)
+    p.add_argument("--local_size", default=96, type=int)
+    p.add_argument("--max_steps_per_epoch", default=None, type=int,
+                   help="cap steps per epoch (smoke tests)")
+    return p
+
+
+def train_dino(args) -> dict:
+    import jax
+
+    fix_seeds(args.seed)
+    dataset = ImageFolder(args.data_path)
+    print(f"Data loaded: there are {len(dataset)} images.")
+
+    vit_cfg = ViTConfig(
+        **{**_ARCHS[args.arch].__dict__, "patch_size": args.patch_size,
+           "img_size": args.global_size})
+    steps_per_epoch = max(1, len(dataset) // args.batch_size_per_gpu)
+    if args.max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
+    cfg = DINOConfig(
+        out_dim=args.out_dim,
+        local_crops_number=args.local_crops_number,
+        global_size=args.global_size, local_size=args.local_size,
+        warmup_teacher_temp=args.warmup_teacher_temp,
+        teacher_temp=args.teacher_temp,
+        warmup_teacher_temp_epochs=args.warmup_teacher_temp_epochs,
+        momentum_teacher=args.momentum_teacher,
+        norm_last_layer=args.norm_last_layer,
+        epochs=args.epochs, steps_per_epoch=steps_per_epoch,
+        lr=args.lr, warmup_epochs=args.warmup_epochs, min_lr=args.min_lr,
+        weight_decay=args.weight_decay,
+        weight_decay_end=args.weight_decay_end,
+        clip_grad=args.clip_grad, freeze_last_layer=args.freeze_last_layer)
+
+    state = init_dino_state(args.seed, vit_cfg, cfg)
+    schedules = make_schedules(
+        cfg, args.batch_size_per_gpu * jax.process_count())
+    step_fn = jax.jit(make_dino_train_step(vit_cfg, cfg))
+    aug = DINOAugmentation(
+        global_crops_scale=tuple(args.global_crops_scale),
+        local_crops_scale=tuple(args.local_crops_scale),
+        local_crops_number=args.local_crops_number,
+        global_size=args.global_size, local_size=args.local_size,
+        seed=args.seed)
+
+    start_epoch = 0
+    ckpt = latest_checkpoint(args.output_dir, "checkpoint")
+    if ckpt:
+        state, meta = restore_checkpoint(ckpt, state)
+        start_epoch = meta["extra"].get("epoch", 0) + 1
+        print(f"Resumed from {ckpt} at epoch {start_epoch}")
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    stats = {}
+    for epoch in range(start_epoch, args.epochs):
+        logger = MetricLogger()
+        t_temp = schedules["teacher_temp"][min(
+            epoch, len(schedules["teacher_temp"]) - 1)]
+        batches = dataset.epoch_batches(args.batch_size_per_gpu,
+                                        seed=args.seed + epoch)
+        for i, idxs in enumerate(logger.log_every(batches, 10,
+                                                  f"Epoch: [{epoch}]")):
+            if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
+                break
+            it = min(epoch * steps_per_epoch + i, cfg.total_steps - 1)
+            crops = [aug(dataset[int(j)][0]) for j in idxs]
+            g = np.concatenate([np.stack([c[0] for c in crops]),
+                                np.stack([c[1] for c in crops])])
+            l = (np.concatenate([np.stack([c[k] for c in crops])
+                                 for k in range(2, 2 + cfg.local_crops_number)])
+                 if cfg.local_crops_number else None)
+            state, metrics = step_fn(
+                state, jnp.asarray(g),
+                jnp.asarray(l) if l is not None else None,
+                lr=jnp.float32(schedules["lr"][it]),
+                wd=jnp.float32(schedules["wd"][it]),
+                teacher_momentum=jnp.float32(schedules["momentum"][it]),
+                teacher_temp=jnp.float32(t_temp),
+                freeze_last=jnp.asarray(epoch < cfg.freeze_last_layer))
+            loss = float(metrics["loss"])
+            if not math.isfinite(loss):
+                print(f"Loss is {loss}, stopping training", flush=True)
+                sys.exit(1)
+            logger.update(loss=loss, lr=float(metrics["lr"]),
+                          wd=float(metrics["wd"]))
+        logger.synchronize_between_processes()
+        stats = {k: m.global_avg for k, m in logger.meters.items()}
+        if jax.process_index() == 0:
+            save_checkpoint(args.output_dir, "checkpoint", state,
+                            step=epoch, extra={"epoch": epoch}, keep=2)
+            if args.saveckp_freq and epoch % args.saveckp_freq == 0:
+                save_checkpoint(args.output_dir, f"checkpoint{epoch:04d}",
+                                state, step=epoch, extra={"epoch": epoch})
+            with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
+                f.write(json.dumps({"epoch": epoch, **{
+                    f"train_{k}": v for k, v in stats.items()}}) + "\n")
+    return stats
+
+
+def main(argv=None) -> None:
+    train_dino(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Plotting / visualization utilities (matplotlib + PIL, host-side).
+
+- ``read_results_csv`` / ``draw_metrics``: tau-sweep result curves
+  (Anomaly-Clustering/utils/draw.py:7-116).
+- ``alpha_heatmap`` / ``visualize_alpha_on_image``: per-image alpha weight
+  maps, nearest-neighbor upsampled next to the source image
+  (utils/draw_alpha.py:74-134, examples/test.py:71-105,158-174).
+- ``plot_segmentation_images``: image/mask/heatmap triptychs
+  (models/patchcore/utils.py:18-77).
+- ``attention_maps``: per-head CLS attention of the last block
+  (dino-main/visualize_attention.py:38-247).
+"""
+
+from __future__ import annotations
+
+import csv
+import math
+import os
+
+import numpy as np
+
+from tpu_ac.data.mvtec import IMAGENET_MEAN, IMAGENET_STD
+
+
+def read_results_csv(path: str, encoding: str = "utf-8") -> dict:
+    """Parse a tau-sweep CSV written by tpu_ac.cli.evaluate (or the
+    reference's GBK CSVs with encoding='gbk') into
+    {tau: {category: (NMI, ARI, F1)}}."""
+    out: dict[float, dict[str, tuple]] = {}
+    tau = None
+    with open(path, encoding=encoding, newline="") as f:
+        for row in csv.reader(f):
+            if not row:
+                continue
+            if row[0].startswith("TAU="):
+                tau = float(row[0].split("=", 1)[1])
+                out[tau] = {}
+            elif tau is not None and len(row) == 4 and row[1] != "NMI" \
+                    and row[0] != "---":
+                try:
+                    out[tau][row[0]] = tuple(float(v) for v in row[1:])
+                except ValueError:
+                    continue
+    return out
+
+
+def draw_metrics(results: dict, categories: list[str], metric: str = "NMI",
+                 save_path: str | None = None):
+    """Metric-vs-tau curves per category (utils/draw.py:60-116)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    idx = {"NMI": 0, "ARI": 1, "F1": 2}[metric]
+    taus = sorted(results)
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for cat in categories:
+        ys = [results[t][cat][idx] for t in taus if cat in results[t]]
+        xs = [t for t in taus if cat in results[t]]
+        ax.plot(xs, ys, marker="o", label=cat)
+    ax.set_xlabel("tau")
+    ax.set_ylabel(metric)
+    ax.legend(fontsize=7)
+    ax.grid(alpha=0.3)
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def _denormalize(image_chw: np.ndarray) -> np.ndarray:
+    img = image_chw.transpose(1, 2, 0) * IMAGENET_STD + IMAGENET_MEAN
+    return np.clip(img, 0, 1)
+
+
+def alpha_heatmap(alpha_row: np.ndarray, upsample: int = 8) -> np.ndarray:
+    """[P] alpha weights -> [G*u, G*u] heat map, nearest-neighbor upsampled
+    and max-normalized (examples/test.py:160-168, draw_alpha.py:96-110)."""
+    g = int(math.isqrt(len(alpha_row)))
+    grid = np.asarray(alpha_row, np.float32).reshape(g, g)
+    grid = grid / max(grid.max(), 1e-12)
+    return np.kron(grid, np.ones((upsample, upsample), np.float32))
+
+
+def visualize_alpha_on_image(image_chw: np.ndarray, alpha_row: np.ndarray,
+                             save_path: str | None = None):
+    """Side-by-side source image + alpha heat map (test.py:71-105)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    heat = alpha_heatmap(alpha_row)
+    fig, axes = plt.subplots(1, 2, figsize=(8, 4))
+    axes[0].imshow(_denormalize(image_chw))
+    axes[0].set_title("image")
+    axes[1].imshow(heat, cmap="viridis")
+    axes[1].set_title("alpha")
+    for ax in axes:
+        ax.axis("off")
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_segmentation_images(save_dir: str, image_paths: list[str],
+                             segmentations: np.ndarray,
+                             anomaly_scores=None, mask_paths=None,
+                             image_transform=lambda x: x) -> None:
+    """Image / ground-truth / predicted-heatmap rows saved per image
+    (models/patchcore/utils.py:18-77)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from PIL import Image
+
+    os.makedirs(save_dir, exist_ok=True)
+    for i, (path, seg) in enumerate(zip(image_paths, segmentations)):
+        img = image_transform(np.asarray(Image.open(path).convert("RGB")))
+        cols = 3 if mask_paths else 2
+        fig, axes = plt.subplots(1, cols, figsize=(4 * cols, 4))
+        axes[0].imshow(img)
+        axes[0].set_title("image")
+        if mask_paths:
+            mask = np.asarray(Image.open(mask_paths[i])) if mask_paths[i] \
+                else np.zeros(seg.shape)
+            axes[1].imshow(mask, cmap="gray")
+            axes[1].set_title("ground truth")
+        axes[-1].imshow(seg, cmap="jet")
+        title = "prediction"
+        if anomaly_scores is not None:
+            title += f" (score {anomaly_scores[i]:.3f})"
+        axes[-1].set_title(title)
+        for ax in axes:
+            ax.axis("off")
+        fig.savefig(os.path.join(save_dir, f"segmentation_{i:04d}.png"),
+                    dpi=100, bbox_inches="tight")
+        plt.close(fig)
+
+
+def attention_maps(params, image_chw: np.ndarray, vit_cfg,
+                   save_dir: str | None = None) -> np.ndarray:
+    """Per-head CLS attention of the final block, reshaped to the patch
+    grid and upsampled to image size (visualize_attention.py:38-247)."""
+    import jax.numpy as jnp
+
+    from tpu_ac.models.vit import vit_last_selfattention
+    from tpu_ac.ops.interpolate import interpolate_nearest
+
+    attn = vit_last_selfattention(params, jnp.asarray(image_chw[None]),
+                                  vit_cfg)  # [1, nh, N+1, N+1]
+    nh = attn.shape[1]
+    cls_attn = attn[0, :, 0, 1:]  # [nh, N]
+    g = int(math.isqrt(cls_attn.shape[-1]))
+    maps = cls_attn.reshape(nh, g, g)
+    h, w = image_chw.shape[1:]
+    maps = interpolate_nearest(maps[None], size=(h, w))[0]
+    maps = np.asarray(maps)
+    if save_dir:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        os.makedirs(save_dir, exist_ok=True)
+        for h_i in range(nh):
+            plt.imsave(os.path.join(save_dir, f"attn-head{h_i}.png"),
+                       maps[h_i], cmap="inferno")
+    return maps
