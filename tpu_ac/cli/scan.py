@@ -1,0 +1,281 @@
+"""SCAN 3-stage pipeline CLI — simclr.py / scan.py / selflabel.py / eval.py
+rebuilt (Unsupervised-Classification-master top-level entry points).
+
+One entry with a stage subcommand, driven by the same two-file YAML config
+style (env + experiment, tpu_ac.config.create_config).  Stage artifacts
+flow through the derived paths exactly like the reference
+(utils/config.py:25-50): pretext -> top-k neighbors .npy -> scan model ->
+selflabel model.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpu_ac.config import create_config
+from tpu_ac.cluster.metrics import clustering_scores, hungarian_accuracy
+from tpu_ac.data.augment import (
+    SimCLRAugmentation,
+    StrongAugmentation,
+    WeakAugmentation,
+)
+from tpu_ac.data.classification import (
+    ArrayDataset,
+    load_cifar10,
+    load_cifar20,
+    load_stl10,
+    make_synthetic_classification,
+)
+from tpu_ac.models.resnet_cifar import RESNET18_CIFAR, RESNET18_STL
+from tpu_ac.train.scan import (
+    MemoryBank,
+    SCANModelConfig,
+    clustering_forward,
+    contrastive_forward,
+    init_clustering_model,
+    init_contrastive_model,
+    init_train_state,
+    make_scan_step,
+    make_selflabel_step,
+    make_simclr_step,
+    scan_evaluate_heads,
+)
+from tpu_ac.utils import latest_checkpoint, restore_checkpoint, save_checkpoint
+
+
+def _load_dataset(cfg, split: str) -> ArrayDataset:
+    name = cfg.get("train_db_name", "synthetic")
+    root = cfg.get("data_root", "./data")
+    if name == "cifar-10":
+        return load_cifar10(root, split)
+    if name == "cifar-20":
+        return load_cifar20(root, split)
+    if name == "stl-10":
+        return load_stl10(root, "train" if split == "train" else "test")
+    return make_synthetic_classification(
+        n_per_class=cfg.get("synthetic_per_class", 16),
+        n_classes=cfg.get("num_classes", 4),
+        size=cfg.get("image_size", 32),
+        seed=0)
+
+
+def _model_config(cfg) -> SCANModelConfig:
+    backbone = (RESNET18_STL if cfg.get("train_db_name") == "stl-10"
+                else RESNET18_CIFAR)
+    return SCANModelConfig(
+        backbone=backbone,
+        feature_dim=cfg.get("feature_dim", 128),
+        n_clusters=cfg.get("num_classes", 10),
+        n_heads=cfg.get("num_heads", 1))
+
+
+def _epoch_batches(n: int, batch_size: int, seed: int):
+    order = np.random.default_rng(seed).permutation(n)
+    end = n // batch_size * batch_size
+    for i in range(0, end, batch_size):
+        yield order[i:i + batch_size]
+
+
+def run_simclr(cfg) -> None:
+    """Pretext stage (simclr.py:30-149): train, fill memory bank, mine and
+    save top-k neighbors."""
+    ds = _load_dataset(cfg, "train")
+    size = cfg.get("image_size", 32)
+    mcfg = _model_config(cfg)
+    aug = SimCLRAugmentation(size=size, seed=0)
+    aug2 = SimCLRAugmentation(size=size, seed=1)
+
+    params, bn = init_contrastive_model(cfg.get("seed", 0), mcfg)
+    opt = optax.chain(optax.add_decayed_weights(cfg.get("weight_decay", 1e-4)),
+                      optax.sgd(cfg.get("lr", 0.4), momentum=0.9))
+    state = init_train_state(params, bn, opt)
+    ckpt = latest_checkpoint(cfg.pretext_dir, "checkpoint")
+    start_epoch = 0
+    if ckpt:
+        state, meta = restore_checkpoint(ckpt, state)
+        start_epoch = meta["extra"]["epoch"] + 1
+
+    step = jax.jit(make_simclr_step(mcfg, opt,
+                                    cfg.get("temperature", 0.1)))
+    bs = cfg.get("batch_size", 128)
+    for epoch in range(start_epoch, cfg.get("epochs", 10)):
+        losses = []
+        for idxs in _epoch_batches(len(ds), bs, epoch):
+            xi = np.stack([aug(ds.get_pil(int(i))) for i in idxs])
+            xj = np.stack([aug2(ds.get_pil(int(i))) for i in idxs])
+            state, loss = step(state, jnp.asarray(xi), jnp.asarray(xj))
+            losses.append(float(loss))
+        print(f"simclr epoch {epoch}: loss {np.mean(losses):.4f}")
+        save_checkpoint(cfg.pretext_dir, "checkpoint", state, step=epoch,
+                        extra={"epoch": epoch}, keep=1)
+
+    # final: fill memory bank with weak-transform features, mine neighbors
+    weak = WeakAugmentation(size=size, seed=0)
+    bank = MemoryBank(len(ds), mcfg.feature_dim,
+                      num_classes=cfg.get("num_classes", 10))
+    for idxs in _epoch_batches(len(ds), bs, seed=0):
+        imgs = np.stack([weak(ds.get_pil(int(i))) for i in idxs])
+        emb, _, _ = contrastive_forward(state.params, state.bn_state,
+                                        jnp.asarray(imgs), mcfg)
+        bank.update(np.asarray(emb), ds.labels[idxs])
+    topk = cfg.get("num_neighbors", 20)
+    idx, acc = bank.mine_nearest_neighbors(topk)
+    print(f"neighbor mining accuracy (top-{topk}): {acc:.4f}")
+    np.save(cfg.topk_neighbors_train_path, idx)
+    save_checkpoint(cfg.pretext_dir, "model", state, step=0)
+
+
+def run_scan(cfg) -> None:
+    """Clustering stage (scan.py:23-137)."""
+    ds = _load_dataset(cfg, "train")
+    size = cfg.get("image_size", 32)
+    mcfg = _model_config(cfg)
+    neighbors = np.load(cfg.topk_neighbors_train_path)
+    transform = SimCLRAugmentation(size=size, seed=0)
+
+    params, bn = init_clustering_model(cfg.get("seed", 0), mcfg)
+    # transfer pretext backbone weights (common_config.py:87-94)
+    pre_ckpt = latest_checkpoint(cfg.pretext_dir, "model")
+    if pre_ckpt:
+        pre_params, pre_bn = init_contrastive_model(cfg.get("seed", 0), mcfg)
+        pre_opt = optax.chain(
+            optax.add_decayed_weights(cfg.get("weight_decay", 1e-4)),
+            optax.sgd(cfg.get("lr", 0.4), momentum=0.9))
+        template = init_train_state(pre_params, pre_bn, pre_opt)
+        pre_state, _ = restore_checkpoint(pre_ckpt, template)
+        for k, v in pre_state.params.items():
+            if not k.startswith("contrastive_head") and k in params:
+                params[k] = v
+        bn = dict(pre_state.bn_state)
+
+    opt = optax.adam(cfg.get("scan_lr", 1e-4))
+    state = init_train_state(params, bn, opt)
+    step = jax.jit(make_scan_step(
+        mcfg, opt, cfg.get("entropy_weight", 2.0),
+        update_cluster_head_only=cfg.get("update_cluster_head_only", False)))
+
+    bs = cfg.get("batch_size", 128)
+    rng = np.random.default_rng(0)
+    head_losses = None
+    for epoch in range(cfg.get("epochs", 10)):
+        totals = []
+        for idxs in _epoch_batches(len(ds), bs, epoch):
+            nbr = neighbors[idxs, :][
+                np.arange(len(idxs)), rng.integers(0, neighbors.shape[1],
+                                                   len(idxs))]
+            anchors = np.stack([transform(ds.get_pil(int(i))) for i in idxs])
+            nbrs = np.stack([transform(ds.get_pil(int(i))) for i in nbr])
+            state, metrics = step(state, jnp.asarray(anchors),
+                                  jnp.asarray(nbrs))
+            totals.append(float(metrics["total"]))
+            head_losses = np.asarray(metrics["head_losses"])
+        print(f"scan epoch {epoch}: loss {np.mean(totals):.4f}")
+    best = scan_evaluate_heads(head_losses)
+    save_checkpoint(cfg.scan_dir, "model", state, step=0,
+                    extra={"best_head": best})
+    # hungarian eval on train labels (scan.py:118-120)
+    preds = _predict(state, ds, mcfg, size)
+    acc = hungarian_accuracy(ds.labels, preds[best])
+    print(f"scan best head {best}: hungarian ACC {acc:.4f}")
+
+
+def _predict(state, ds, mcfg, size, batch_size: int = 256) -> np.ndarray:
+    weak = WeakAugmentation(size=size, seed=0)
+    all_logits = []
+    for i in range(0, len(ds), batch_size):
+        imgs = np.stack([weak(ds.get_pil(j))
+                         for j in range(i, min(i + batch_size, len(ds)))])
+        logits, _, _ = clustering_forward(state.params, state.bn_state,
+                                          jnp.asarray(imgs), mcfg)
+        all_logits.append(np.asarray(logits))
+    logits = np.concatenate(all_logits, axis=1)  # [heads, N, C]
+    return logits.argmax(-1)
+
+
+def run_selflabel(cfg) -> None:
+    """Self-labeling stage (selflabel.py:28-110)."""
+    ds = _load_dataset(cfg, "train")
+    size = cfg.get("image_size", 32)
+    scan_cfg = _model_config(cfg)
+    mcfg = SCANModelConfig(backbone=scan_cfg.backbone,
+                           feature_dim=scan_cfg.feature_dim,
+                           n_clusters=scan_cfg.n_clusters, n_heads=1)
+
+    # load best SCAN head only (common_config.py:95-106)
+    params, bn = init_clustering_model(cfg.get("seed", 0), scan_cfg)
+    opt_t = optax.adam(1e-4)
+    template = init_train_state(params, bn, opt_t)
+    scan_ckpt = latest_checkpoint(cfg.scan_dir, "model")
+    state_scan, meta = restore_checkpoint(scan_ckpt, template)
+    best = meta["extra"].get("best_head", 0)
+    sl_params = {k: v for k, v in state_scan.params.items()
+                 if not k.startswith("cluster_head")}
+    sl_params["cluster_head.0.weight"] = state_scan.params[
+        f"cluster_head.{best}.weight"]
+    sl_params["cluster_head.0.bias"] = state_scan.params[
+        f"cluster_head.{best}.bias"]
+
+    opt = optax.sgd(cfg.get("selflabel_lr", 0.03), momentum=0.9)
+    state = init_train_state(sl_params, state_scan.bn_state, opt)
+    step = jax.jit(make_selflabel_step(
+        mcfg, opt, threshold=cfg.get("confidence_threshold", 0.99),
+        apply_class_balancing=cfg.get("apply_class_balancing", True)))
+
+    weak = WeakAugmentation(size=size, seed=0)
+    strong = StrongAugmentation(size=size, seed=0)
+    bs = cfg.get("batch_size", 128)
+    for epoch in range(cfg.get("epochs", 5)):
+        losses = []
+        for idxs in _epoch_batches(len(ds), bs, epoch):
+            w = np.stack([weak(ds.get_pil(int(i))) for i in idxs])
+            s = np.stack([strong(ds.get_pil(int(i))) for i in idxs])
+            state, loss = step(state, jnp.asarray(w), jnp.asarray(s))
+            losses.append(float(loss))
+        print(f"selflabel epoch {epoch}: loss {np.mean(losses):.4f}")
+    save_checkpoint(cfg.selflabel_dir, "model", state, step=0)
+    preds = _predict(state, ds, mcfg, size)
+    acc = hungarian_accuracy(ds.labels, preds[0])
+    print(f"selflabel hungarian ACC: {acc:.4f}")
+
+
+def run_eval(cfg) -> dict:
+    """Final eval (eval.py:30-95): hungarian ACC + NMI/ARI on val split."""
+    ds = _load_dataset(cfg, "val")
+    size = cfg.get("image_size", 32)
+    scan_cfg = _model_config(cfg)
+    mcfg = SCANModelConfig(backbone=scan_cfg.backbone,
+                           feature_dim=scan_cfg.feature_dim,
+                           n_clusters=scan_cfg.n_clusters, n_heads=1)
+    params, bn = init_clustering_model(0, mcfg)
+    template = init_train_state(params, bn, optax.sgd(0.03, momentum=0.9))
+    ckpt = latest_checkpoint(cfg.selflabel_dir, "model")
+    if ckpt is None:
+        raise FileNotFoundError("no selflabel model; run selflabel first")
+    state, _ = restore_checkpoint(ckpt, template)
+    preds = _predict(state, ds, mcfg, size)[0]
+    scores = clustering_scores(ds.labels, preds)
+    scores["ACC"] = hungarian_accuracy(ds.labels, preds)
+    print(f"eval: {scores}")
+    return scores
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser("SCAN pipeline (TPU-native)")
+    p.add_argument("stage", choices=["simclr", "scan", "selflabel", "eval"])
+    p.add_argument("--config_env", required=True)
+    p.add_argument("--config_exp", required=True)
+    args = p.parse_args(argv)
+    cfg = create_config(args.config_env, args.config_exp)
+    {"simclr": run_simclr, "scan": run_scan,
+     "selflabel": run_selflabel, "eval": run_eval}[args.stage](cfg)
+
+
+if __name__ == "__main__":
+    main()
