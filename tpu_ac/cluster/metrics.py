@@ -37,7 +37,14 @@ def best_map(labels: np.ndarray, preds: np.ndarray) -> np.ndarray:
     labels = np.asarray(labels)
     preds = np.asarray(preds)
     g = contingency(labels, preds)
-    rows, cols = linear_sum_assignment(-g.T)
+    try:  # native O(n^3) JV solver (tpu_ac/native.py); scipy fallback
+        from tpu_ac.native import hungarian
+
+        assignment, _ = hungarian(-g.T)
+        rows = np.arange(len(assignment))
+        cols = assignment
+    except Exception:  # noqa: BLE001
+        rows, cols = linear_sum_assignment(-g.T)
     l1 = np.unique(labels)
     l2 = np.unique(preds)
     # Pad label values in case there are more clusters than label classes
