@@ -1,0 +1,116 @@
+"""Golden parity: reproduce the reference's published CSV metrics from its
+checked-in (alpha, X) pickles through OUR clustering + metrics stack.
+
+The reference ships tau=2.0 artifacts per category
+(Anomaly-Clustering/outputs/mvtec_ad/dino_vitbase8/<mode>/
+blocks.10_blocks.11_2048_4096_2.0_1.0/matrix_alpha_X_<cat>_<mode>.pickle),
+per-image metadata (outputs/mvtec_ad/info/info_<cat>.pickle), and the
+tau-sweep CSV those pickles produced (SURVEY.md section 6.2).  Running our
+agglomerative clustering + Hungarian best-map + NMI/ARI/F1 on the golden X
+must reproduce the CSV rows exactly (they are deterministic given X)."""
+
+import csv
+import math
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import GOLDEN_ROOT
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(GOLDEN_ROOT), reason="reference goldens not mounted")
+
+_PARAMS = "blocks.10_blocks.11_2048_4096_2.0_1.0"
+# pill/screw pickles are LFS-missing (/root/reference/.MISSING_LARGE_BLOBS)
+_CATEGORIES = ["bottle", "cable", "capsule", "hazelnut", "metal_nut",
+               "toothbrush", "transistor", "zipper",
+               "carpet", "grid", "leather", "tile", "wood"]
+
+
+def _golden_csv_rows(mode: str) -> dict[str, tuple[float, float, float]]:
+    path = os.path.join(GOLDEN_ROOT, "dino_vitbase8", mode,
+                        "blocks.10_blocks.11_2048_4096_tau_result.csv")
+    rows: dict[str, tuple[float, float, float]] = {}
+    in_tau2 = False
+    with open(path, encoding="gbk", newline="") as f:
+        for row in csv.reader(f):
+            if not row:
+                continue
+            if row[0].startswith("TAU="):
+                in_tau2 = row[0] in ("TAU=2", "TAU=2.0")
+                continue
+            if in_tau2 and len(row) == 4 and row[0] != "---":
+                try:
+                    rows[row[0]] = tuple(float(v) for v in row[1:])
+                except ValueError:
+                    pass
+    return rows
+
+
+def _load_info_labels(category: str) -> list[str]:
+    import torch
+
+    info = torch.load(os.path.join(GOLDEN_ROOT, "info",
+                                   f"info_{category}.pickle"),
+                      map_location="cpu", weights_only=False)
+    return [item["anomaly"][0] for item in info]
+
+
+def _evaluate(category: str, mode: str) -> dict[str, float]:
+    from tpu_ac.cluster.metrics import (
+        agglomerative_cluster,
+        clustering_scores,
+        encode_labels,
+    )
+    from tpu_ac.pipeline import load_alpha_X
+
+    path = os.path.join(GOLDEN_ROOT, "dino_vitbase8", mode, _PARAMS,
+                        f"matrix_alpha_X_{category}_{mode}.pickle")
+    _alpha, X = load_alpha_X(path)
+    labels_str = _load_info_labels(category)
+    assert len(labels_str) == len(X)
+    keep = [i for i, a in enumerate(labels_str) if a != "combined"]
+    X = X[keep]
+    labels = encode_labels([labels_str[i] for i in keep])
+    preds = agglomerative_cluster(X, n_clusters=len(set(labels.tolist())))
+    return clustering_scores(labels, preds)
+
+
+@pytest.mark.parametrize("mode", ["unsupervised", "supervised"])
+@pytest.mark.parametrize("category", _CATEGORIES)
+def test_golden_csv_parity(mode, category):
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    want = _golden_csv_rows(mode).get(category)
+    if want is None:
+        pytest.skip(f"no golden row for {category}/{mode}")
+    got = _evaluate(category, mode)
+    assert got["NMI"] == pytest.approx(want[0], abs=1e-6), (category, mode)
+    assert got["ARI"] == pytest.approx(want[1], abs=1e-6), (category, mode)
+    assert got["F1"] == pytest.approx(want[2], abs=1e-6), (category, mode)
+
+
+def test_golden_alpha_rows_normalized():
+    from tpu_ac.pipeline import load_alpha_X
+
+    path = os.path.join(GOLDEN_ROOT, "dino_vitbase8", "unsupervised",
+                        _PARAMS, "matrix_alpha_X_bottle_unsupervised.pickle")
+    alpha, X = load_alpha_X(path)
+    assert alpha.shape[2] == 784 and X.shape[1] == 4096
+    np.testing.assert_allclose(alpha.sum(axis=-1), 1.0, rtol=1e-4)
+    g = int(math.isqrt(alpha.shape[2]))
+    assert g * g == alpha.shape[2]
+
+
+def test_golden_x_equals_alpha_weighted_reference():
+    """X in the pickle must equal bmm(alpha, Z) semantics: our
+    weighted_embedding applied to the golden alpha with any Z would match —
+    here we verify the documented [N,1,P] @ [N,P,D] relationship holds by
+    checking shapes and dtype conventions of the artifact."""
+    from tpu_ac.pipeline import load_alpha_X
+
+    path = os.path.join(GOLDEN_ROOT, "dino_vitbase8", "supervised",
+                        _PARAMS, "matrix_alpha_X_bottle_supervised.pickle")
+    alpha, X = load_alpha_X(path)
+    assert alpha.dtype == np.float32 and X.dtype == np.float32
+    assert alpha.shape[0] == X.shape[0]
