@@ -148,3 +148,42 @@ class TestPCAMap:
         # positives (db 0, 1) at ranks 0 and 2; trapezoid AP:
         # j=0: (1 + 1)/2 * 1/2 = 0.5; j=1: (1/2 + 2/3)/2 * 1/2 = 0.29167
         assert m == pytest.approx(0.5 + (0.5 + 2.0 / 3.0) / 4.0)
+
+
+class TestLARS:
+    def test_matches_torch_reference_step(self, rng):
+        """One LARS step vs the reference update math (utils.py:575-591)."""
+        import jax.numpy as jnp
+        import torch
+        from tpu_ac.train.optim import lars
+
+        w = rng.standard_normal((4, 3)).astype(np.float32)
+        g = rng.standard_normal((4, 3)).astype(np.float32)
+        b = rng.standard_normal((3,)).astype(np.float32)
+        gb = rng.standard_normal((3,)).astype(np.float32)
+        params = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+        grads = {"w": jnp.asarray(g), "b": jnp.asarray(gb)}
+        opt = lars(learning_rate=0.1, momentum=0.9, weight_decay=1e-4,
+                   eta=0.001)
+        state = opt.init(params)
+        updates, _ = opt.update(grads, state, params)
+
+        # torch-style reference for the 2D param
+        dp = torch.from_numpy(g) + 1e-4 * torch.from_numpy(w)
+        q = 0.001 * torch.norm(torch.from_numpy(w)) / torch.norm(dp)
+        dp = dp * q
+        mu = dp  # zero-init momentum buffer
+        want = -0.1 * mu
+        np.testing.assert_allclose(np.asarray(updates["w"]), want.numpy(),
+                                   rtol=1e-5, atol=1e-7)
+        # 1-D param: no wd, no adaptation
+        np.testing.assert_allclose(np.asarray(updates["b"]), -0.1 * gb,
+                                   rtol=1e-6)
+
+    def test_hub_factories(self):
+        from tpu_ac import hub
+
+        params, cfg, family = hub.dino_vits16()
+        assert family == "vit" and cfg.patch_size == 16
+        params, cfg, family = hub.wide_resnet50_2()
+        assert family == "resnet"
