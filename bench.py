@@ -56,9 +56,11 @@ def measure_tpu(images: np.ndarray) -> float:
                        pretrain_embed_dimension=2048,
                        target_embed_dimension=4096)
 
+    # params as a jit argument — captured weights would inline ~344 MB of
+    # constants into the HLO (breaks remote compile + cache reuse)
     @jax.jit
-    def embed(batch):
-        return embed_vit_features(params, batch, vit_cfg, ecfg,
+    def embed(p, batch):
+        return embed_vit_features(p, batch, vit_cfg, ecfg,
                                   precision=jax.lax.Precision.DEFAULT)
 
     @jax.jit
@@ -66,8 +68,10 @@ def measure_tpu(images: np.ndarray) -> float:
         alpha = alpha_from_weights(weight_distance_unsupervised(z), tau=1.0)
         return alpha, weighted_embedding(alpha, z)
 
+    device_params = jax.device_put(dict(params))
+
     def run_once():
-        chunks = [embed(jnp.asarray(images[i:i + BATCH]))
+        chunks = [embed(device_params, jnp.asarray(images[i:i + BATCH]))
                   for i in range(0, N_IMAGES, BATCH)]
         z = jnp.concatenate(chunks)
         alpha, x = alpha_x(z)

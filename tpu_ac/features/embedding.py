@@ -172,12 +172,18 @@ def embed_resnet_features(params: Mapping[str, jnp.ndarray],
 def build_embedder(params: Mapping[str, jnp.ndarray], vit_cfg: ViTConfig,
                    cfg: EmbedConfig, *, precision=jax.lax.Precision.HIGHEST,
                    attention_impl=None):
-    """Return a jitted ``images [B,3,H,W] -> [B,P,target_dim]`` closure."""
+    """Return a jitted ``images [B,3,H,W] -> [B,P,target_dim]`` closure.
+
+    Params are threaded as a jit argument (not a captured constant) so the
+    compiled HLO stays weight-free — captured ViT-B weights would inline
+    ~344 MB of literals into the program.
+    """
 
     @jax.jit
-    def embed(images: jnp.ndarray) -> jnp.ndarray:
-        return embed_vit_features(params, images, vit_cfg, cfg,
+    def embed(p, images: jnp.ndarray) -> jnp.ndarray:
+        return embed_vit_features(p, images, vit_cfg, cfg,
                                   precision=precision,
                                   attention_impl=attention_impl)
 
-    return embed
+    device_params = jax.device_put(dict(params))
+    return lambda images: embed(device_params, images)

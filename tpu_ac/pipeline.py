@@ -84,23 +84,27 @@ class CategoryEmbedder:
         self._cfg = cfg
         ecfg = cfg.embed_config
 
+        # Params are passed as a jit ARGUMENT, not a captured constant:
+        # captured weights are inlined into the HLO as literals, which
+        # bloats the program (ViT-B: ~344 MB) past what compilation
+        # services accept and defeats compile caching.
         if family == "vit":
             @jax.jit
-            def _embed(images: jnp.ndarray) -> jnp.ndarray:
-                return embed_vit_features(params, images, backbone_cfg, ecfg,
+            def _embed(p, images: jnp.ndarray) -> jnp.ndarray:
+                return embed_vit_features(p, images, backbone_cfg, ecfg,
                                           precision=precision,
                                           attention_impl=attention_impl)
         elif family == "resnet":
             from tpu_ac.features.embedding import embed_resnet_features
 
             @jax.jit
-            def _embed(images: jnp.ndarray) -> jnp.ndarray:
-                return embed_resnet_features(params, images, backbone_cfg,
-                                             ecfg)
+            def _embed(p, images: jnp.ndarray) -> jnp.ndarray:
+                return embed_resnet_features(p, images, backbone_cfg, ecfg)
         else:
             raise NotImplementedError(f"family {family}")
 
-        self._embed = _embed
+        self._device_params = jax.device_put(dict(params))
+        self._embed = lambda images: _embed(self._device_params, images)
 
     def __call__(self, images: np.ndarray) -> jnp.ndarray:
         """[N, 3, H, W] host images -> [N, P, D] device embeddings.
