@@ -75,8 +75,9 @@ def measure_tpu(images: np.ndarray) -> float:
                   for i in range(0, N_IMAGES, BATCH)]
         z = jnp.concatenate(chunks)
         alpha, x = alpha_x(z)
-        x.block_until_ready()
-        return alpha, x
+        # fetch to host — what the real pipeline does with (alpha, X), and
+        # the only reliable completion barrier over the remote tunnel
+        return np.asarray(alpha), np.asarray(x)
 
     run_once()  # warmup / compile
     t0 = time.perf_counter()

@@ -44,13 +44,13 @@ def _min_dists_kernel(zi_ref, bank_ref, a2_ref, b2_ref, out_ref, acc,
 
     @pl.when(k == n_k - 1)
     def _():
-        a2 = a2_ref[0]  # [P_pad]
-        b2 = b2_ref[0]  # [Q_pad]
+        a2 = a2_ref[0]     # [P_pad]
+        b2 = b2_ref[0, 0]  # [Q_pad]
         d2 = a2[:, None] - 2.0 * acc[:] + b2[None, :]
         if acc.shape[1] != q_valid:  # mask padded bank patches
             col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
             d2 = jnp.where(col < q_valid, d2, jnp.inf)
-        out_ref[0] = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
+        out_ref[0, 0] = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
 
 
 @functools.partial(jax.jit,
@@ -61,9 +61,12 @@ def _min_dists_padded(zi, bank, a2, b2, *, d_tile: int, q_valid: int,
     n, q_pad, _ = bank.shape
     n_k = d_pad // d_tile
     kernel = functools.partial(_min_dists_kernel, n_k=n_k, q_valid=q_valid)
-    return pl.pallas_call(
+    # N-indexed operands carry a singleton middle axis so every block's
+    # trailing two dims are full array dims (Mosaic requires the last two
+    # block dims divisible by (8, 128) or equal to the array dims).
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, p_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, 1, p_pad), jnp.float32),
         grid=(n, n_k),
         in_specs=[
             pl.BlockSpec((p_pad, d_tile), lambda j, k: (0, k),
@@ -72,14 +75,15 @@ def _min_dists_padded(zi, bank, a2, b2, *, d_tile: int, q_valid: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p_pad), lambda j, k: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q_pad), lambda j, k: (j, 0),
+            pl.BlockSpec((1, 1, q_pad), lambda j, k: (j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, p_pad), lambda j, k: (j, 0),
+        out_specs=pl.BlockSpec((1, 1, p_pad), lambda j, k: (j, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((p_pad, q_pad), jnp.float32)],
         interpret=interpret,
     )(zi, bank, a2, b2)
+    return out[:, 0]
 
 
 def min_dists_to_sets(zi: jnp.ndarray, bank: jnp.ndarray,
@@ -101,8 +105,8 @@ def min_dists_to_sets(zi: jnp.ndarray, bank: jnp.ndarray,
                    ((0, p_pad - p), (0, d_pad - d)))
     bank_p = jnp.pad(bank.astype(jnp.float32),
                      ((0, 0), (0, q_pad - q), (0, d_pad - d)))
-    a2 = jnp.sum(jnp.square(zi_p), axis=-1)[None]          # [1, P_pad]
-    b2 = jnp.sum(jnp.square(bank_p), axis=-1)              # [N, Q_pad]
+    a2 = jnp.sum(jnp.square(zi_p), axis=-1)[None]            # [1, P_pad]
+    b2 = jnp.sum(jnp.square(bank_p), axis=-1)[:, None, :]    # [N, 1, Q_pad]
 
     out = _min_dists_padded(zi_p, bank_p, a2, b2, d_tile=d_tile,
                             q_valid=q, interpret=interpret)
