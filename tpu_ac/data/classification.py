@@ -175,3 +175,25 @@ class NeighborsDataset:
             "neighbor": np.stack([it["neighbor"] for it in items]),
             "target": np.asarray([it["target"] for it in items]),
         }
+
+
+# ImageNet subsets (data/imagenet.py ImageNetSubset: a class-name list file
+# selects a subset of an ImageFolder tree)
+def load_imagenet_subset(root: str, subset_file: str, split: str = "train",
+                         size: int = 224):
+    """Returns (paths, labels, classes): the reference's ImageNetSubset
+    walks <root>/<split>/<wnid>/ for the wnids listed in subset_file."""
+    import os
+
+    with open(subset_file) as f:
+        wnids = [line.strip().split(" ", 1)[0] for line in f if line.strip()]
+    paths: list[str] = []
+    labels: list[int] = []
+    for ci, wnid in enumerate(wnids):
+        cdir = os.path.join(root, split, wnid)
+        if not os.path.isdir(cdir):
+            continue
+        for fname in sorted(os.listdir(cdir)):
+            paths.append(os.path.join(cdir, fname))
+            labels.append(ci)
+    return paths, np.asarray(labels, np.int64), wnids

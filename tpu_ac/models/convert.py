@@ -58,3 +58,26 @@ def params_to_torch_state_dict(params: Mapping[str, jnp.ndarray]):
     import torch
 
     return {k: torch.from_numpy(np.asarray(v)) for k, v in params.items()}
+
+
+def moco_to_contrastive_params(state_dict) -> dict[str, jnp.ndarray]:
+    """Remap an official MoCo-v2 checkpoint to ContrastiveModel param names.
+
+    The reference downloads moco_v2_800ep_pretrain.pth.tar and renames
+    ``module.encoder_q.*`` -> backbone / contrastive_head keys
+    (Unsupervised-Classification-master/moco.py:64-88).  Same mapping here;
+    fc.0/fc.2 of the query encoder become contrastive_head.0/.2.
+    """
+    import numpy as np
+
+    out: dict[str, jnp.ndarray] = {}
+    for k, v in state_dict.items():
+        if not k.startswith("module.encoder_q."):
+            continue
+        name = k[len("module.encoder_q."):]
+        if name.startswith("fc."):
+            name = "contrastive_head." + name[len("fc."):]
+        arr = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                         else v)
+        out[name] = jnp.asarray(arr)
+    return out
