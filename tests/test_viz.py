@@ -64,3 +64,20 @@ class TestViz:
         assert maps.shape == (2, 32, 32)
         assert os.path.exists(tmp_path / "attn-head0.png")
         np.testing.assert_allclose(maps.sum(), maps.sum())  # finite
+
+
+class TestVideo:
+    def test_attention_video_gif(self, rng, tmp_path):
+        from tpu_ac.models import ViTConfig, init_vit_params
+        from tpu_ac.viz.video import generate_attention_video
+
+        cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                        img_size=32)
+        params = init_vit_params(0, cfg)
+        frames = rng.standard_normal((3, 3, 32, 32)).astype(np.float32)
+        out = generate_attention_video(params, frames, cfg,
+                                       str(tmp_path / "attn.gif"), fps=5)
+        assert os.path.exists(out)
+        from PIL import Image
+        gif = Image.open(out)
+        assert gif.n_frames == 3
