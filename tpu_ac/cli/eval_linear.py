@@ -1,0 +1,99 @@
+"""Linear-probe evaluation CLI — dino-main/eval_linear.py rebuilt.
+
+Trains an SGD linear classifier on frozen backbone features (final-norm'd
+CLS of the last n blocks, optionally with avg-pooled patch tokens — the
+reference's ``avgpool_patchtokens`` for ViT-Base, eval_linear.py:56-63)
+and reports top-1 on the val split.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from tpu_ac.data.imagefolder import ImageFolder
+from tpu_ac.data.mvtec import load_image
+from tpu_ac.models.registry import load_backbone
+from tpu_ac.train.dino import cosine_scheduler
+from tpu_ac.train.evals import extract_features, make_linear_probe
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("Linear probe (TPU-native)")
+    p.add_argument("--arch", default="dino_deitsmall16")
+    p.add_argument("--n_last_blocks", type=int, default=4)
+    p.add_argument("--avgpool_patchtokens", action="store_true")
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--batch_size_per_gpu", type=int, default=256)
+    p.add_argument("--imagesize", type=int, default=224)
+    p.add_argument("--checkpoint_dir", default=None)
+    return p
+
+
+def main(argv=None) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    args = build_parser().parse_args(argv)
+    params, cfg, family = load_backbone(args.arch,
+                                        checkpoint_dir=args.checkpoint_dir)
+    assert family == "vit", "linear probe CLI currently drives ViT backbones"
+    from tpu_ac.models.vit import vit_intermediate_layers
+
+    n = args.n_last_blocks
+
+    @jax.jit
+    def embed(p, x):
+        outs = vit_intermediate_layers(p, x, cfg, n=n,
+                                       precision=jax.lax.Precision.DEFAULT)
+        feats = jnp.concatenate([o[:, 0] for o in outs], axis=-1)
+        if args.avgpool_patchtokens:
+            feats = jnp.concatenate(
+                [feats, jnp.mean(outs[-1][:, 1:], axis=1)], axis=-1)
+        return feats
+
+    device_params = jax.device_put(dict(params))
+
+    def load_split(split):
+        ds = ImageFolder(os.path.join(args.data_path, split))
+        imgs = np.stack([
+            load_image(path, resize=int(args.imagesize * 256 / 224),
+                       imagesize=args.imagesize)
+            for path, _ in ds.samples])
+        return (extract_features(lambda x: embed(device_params, x), imgs,
+                                 args.batch_size_per_gpu, normalize=False),
+                np.asarray([t for _, t in ds.samples]),
+                len(ds.class_to_idx))
+
+    train_f, train_y, n_cls = load_split("train")
+    val_f, val_y, _ = load_split("val")
+
+    state, step, predict = make_linear_probe(train_f.shape[1], n_cls,
+                                             lr=args.lr)
+    steps_per_epoch = max(1, len(train_f) // args.batch_size_per_gpu)
+    lr_table = cosine_scheduler(args.lr, 0.0,
+                                args.epochs * steps_per_epoch)
+    rng = np.random.default_rng(0)
+    it = 0
+    for epoch in range(args.epochs):
+        order = rng.permutation(len(train_f))
+        for i in range(0, steps_per_epoch * args.batch_size_per_gpu,
+                       args.batch_size_per_gpu):
+            idx = order[i:i + args.batch_size_per_gpu]
+            state, loss = step(state, jnp.asarray(train_f[idx]),
+                               jnp.asarray(train_y[idx]),
+                               jnp.float32(lr_table[min(it,
+                                                        len(lr_table) - 1)]))
+            it += 1
+        if epoch % 10 == 0 or epoch == args.epochs - 1:
+            preds = np.asarray(predict(state, jnp.asarray(val_f))).argmax(1)
+            acc = 100.0 * np.mean(preds == val_y)
+            print(f"epoch {epoch}: val top-1 {acc:.2f}% (loss {float(loss):.4f})")
+
+
+if __name__ == "__main__":
+    main()
