@@ -26,7 +26,7 @@ import time
 import numpy as np
 
 N_IMAGES = 32
-BATCH = 8
+BATCH = 32  # one fused program per category sweep; 32 amortizes dispatch
 IMG = 224
 BASELINE_CACHE = os.path.expanduser("~/.cache/tpu_ac/bench_baseline.json")
 

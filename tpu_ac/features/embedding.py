@@ -112,17 +112,79 @@ def aggregate_layer_patches(layer_patches: Sequence[jnp.ndarray],
                                use_matmul=True)
 
 
+def _fused_pool_conv_weight(d: int, k: int, out_dim: int) -> jnp.ndarray:
+    """The patchify+MeanMapper composition as conv weights [out, d, k, k].
+
+    unfold(k, pad=(k-1)/2) followed by adaptive_avg_pool1d over the
+    flattened (c, kh, kw) axis is a linear map per spatial site — i.e. a
+    k x k convolution whose weights are the banded pooling matrix reshaped
+    into (c, kh, kw) order.  This removes the 9x-duplicated [B, P, D*k*k]
+    unfold intermediate (~0.7 GB at ViT-B scale) from HBM entirely.
+    """
+    from tpu_ac.ops.pooling import _adaptive_pool_matrix_np
+
+    mat = _adaptive_pool_matrix_np(d * k * k, out_dim)  # [d*k*k, out]
+    w = mat.reshape(d, k, k, out_dim).transpose(3, 0, 1, 2)
+    return jnp.asarray(w)
+
+
+def _fused_pool(x: jnp.ndarray, k: int, out_dim: int,
+                precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """[B, D, H, W] grid -> [B, H*W, out_dim] pooled patch features."""
+    b, d, h, w = x.shape
+    weight = _fused_pool_conv_weight(d, k, out_dim)
+    y = jax.lax.conv_general_dilated(
+        x, weight, window_strides=(1, 1),
+        padding=(((k - 1) // 2,) * 2, ((k - 1) // 2,) * 2),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=precision)
+    return y.transpose(0, 2, 3, 1).reshape(b, h * w, out_dim)
+
+
 def embed_feature_maps(feature_maps: Sequence[jnp.ndarray],
-                       cfg: EmbedConfig) -> jnp.ndarray:
+                       cfg: EmbedConfig,
+                       precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """The _embed tail for already-extracted per-layer features.
 
     Each feature map is either [B, N+1, D] tokens (ViT — CLS dropped, grid
     reshaped) or [B, C, H, W] conv maps (ResNet — used as-is), matching the
     reference's ndim dispatch (patchcore.py:376-383).
     Returns [B, P, target_embed_dimension].
+
+    Fast path (patchstride == 1): patchify+MeanMapper evaluates as one
+    k x k conv per layer (see _fused_pool_conv_weight); the cross-layer
+    bilinear alignment commutes with the pool (both linear, acting on
+    disjoint axes) so it runs on the pooled channels.
     """
+    if cfg.patchstride == 1:
+        pooled = []
+        grids: list[tuple[int, int]] = []
+        for f in feature_maps:
+            x = _grid_features(f) if f.ndim == 3 else f
+            if cfg.apply_layernorm:
+                x = adhoc_layernorm(x)
+            pooled.append(_fused_pool(x, cfg.patchsize,
+                                      cfg.pretrain_embed_dimension,
+                                      precision))
+            grids.append((x.shape[2], x.shape[3]))
+        ref_grid = grids[0]
+        aligned = []
+        for p, g in zip(pooled, grids):
+            if g != ref_grid:
+                b = p.shape[0]
+                x = p.reshape(b, g[0], g[1], -1).transpose(0, 3, 1, 2)
+                x = interpolate_bilinear(x, size=ref_grid)
+                p = x.transpose(0, 2, 3, 1).reshape(
+                    b, ref_grid[0] * ref_grid[1], -1)
+            aligned.append(p)
+        stacked = jnp.stack(aligned, axis=2)  # [B, P, L, pretrain]
+        b, p_ = stacked.shape[:2]
+        flat = stacked.reshape(b, p_, -1)
+        return adaptive_avg_pool1d(flat, cfg.target_embed_dimension,
+                                   use_matmul=True)
+
     layer_patches = []
-    grids: list[tuple[int, int]] = []
+    grids = []
     for f in feature_maps:
         x = _grid_features(f) if f.ndim == 3 else f
         if cfg.apply_layernorm:
