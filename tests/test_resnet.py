@@ -120,3 +120,68 @@ class TestResNetEmbedding:
         params, cfg, family = load_backbone("wideresnet50")
         assert family == "resnet"
         assert params["layer1.0.conv1.weight"].shape == (128, 64, 1, 1)
+
+
+class TestBlockVariants:
+    def test_basic_block_resnet18(self, rng):
+        from tpu_ac.models.resnet import RESNET18, init_resnet_params, resnet_forward
+        import dataclasses
+        tiny = dataclasses.replace(RESNET18, block_counts=(1, 1, 1, 1))
+        p = init_resnet_params(0, tiny)
+        assert p["layer1.0.conv1.weight"].shape == (64, 64, 3, 3)
+        assert "layer1.0.conv3.weight" not in p
+        assert "layer1.0.downsample.0.weight" not in p  # no down at stage 1
+        assert "layer2.0.downsample.0.weight" in p
+        imgs = jnp.asarray(rng.standard_normal((1, 3, 64, 64)).astype(np.float32))
+        outs = resnet_forward(p, imgs, tiny, taps=("layer2", "layer4"))
+        assert outs["layer2"].shape == (1, 128, 8, 8)
+        assert outs["layer4"].shape == (1, 512, 2, 2)
+
+    def test_basic_block_matches_torch(self, rng):
+        import dataclasses
+        from tpu_ac.models.resnet import RESNET18, init_resnet_params, resnet_forward
+        import torch
+        import torch.nn.functional as F
+
+        tiny = dataclasses.replace(RESNET18, block_counts=(1, 1, 1, 1))
+        p = init_resnet_params(0, tiny)
+        imgs = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+        got = np.asarray(resnet_forward(p, jnp.asarray(imgs), tiny,
+                                        taps=("layer2",))["layer2"])
+
+        def conv(x, name, stride=1, padding=0):
+            return F.conv2d(x, torch.from_numpy(np.asarray(p[name + ".weight"])),
+                            stride=stride, padding=padding)
+
+        def bn(x, name):
+            return F.batch_norm(
+                x, torch.from_numpy(np.asarray(p[name + ".running_mean"])),
+                torch.from_numpy(np.asarray(p[name + ".running_var"])),
+                torch.from_numpy(np.asarray(p[name + ".weight"])),
+                torch.from_numpy(np.asarray(p[name + ".bias"])),
+                training=False, eps=1e-5)
+
+        x = F.relu(bn(conv(torch.from_numpy(imgs), "conv1", 2, 3), "bn1"))
+        x = F.max_pool2d(x, 3, 2, 1)
+        for li, stage in enumerate(("layer1", "layer2")):
+            pre = f"{stage}.0."
+            stride = 1 if li == 0 else 2
+            idn = x
+            out = F.relu(bn(conv(x, pre + "conv1", stride, 1), pre + "bn1"))
+            out = bn(conv(out, pre + "conv2", 1, 1), pre + "bn2")
+            if pre + "downsample.0.weight" in p:
+                idn = bn(conv(x, pre + "downsample.0", stride), pre + "downsample.1")
+            x = F.relu(out + idn)
+        np.testing.assert_allclose(got, x.numpy(), rtol=5e-4, atol=5e-5)
+
+    def test_resnext_grouped_conv(self, rng):
+        import dataclasses
+        from tpu_ac.models.resnet import RESNEXT101_32X8D, init_resnet_params, resnet_forward
+        tiny = dataclasses.replace(RESNEXT101_32X8D, block_counts=(1, 1, 1, 1))
+        p = init_resnet_params(0, tiny)
+        # width = 64 * 8/64 * 32 = 256; grouped conv2 has in/groups = 8
+        assert p["layer1.0.conv1.weight"].shape == (256, 64, 1, 1)
+        assert p["layer1.0.conv2.weight"].shape == (256, 8, 3, 3)
+        imgs = jnp.asarray(rng.standard_normal((1, 3, 64, 64)).astype(np.float32))
+        outs = resnet_forward(p, imgs, tiny, taps=("layer1",))
+        assert outs["layer1"].shape == (1, 256, 16, 16)

@@ -63,15 +63,31 @@ BACKBONE_CONFIGS: dict[str, BackboneSpec] = {
 
 
 def _register_resnets() -> None:
-    from tpu_ac.models.resnet import RESNET50, RESNET101, WIDE_RESNET50_2
+    from tpu_ac.models.resnet import (
+        RESNET18,
+        RESNET34,
+        RESNET50,
+        RESNET101,
+        RESNEXT101_32X8D,
+        WIDE_RESNET50_2,
+        WIDE_RESNET101_2,
+    )
 
     # torchvision names used by the reference registry (backbones.py:7-50)
+    BACKBONE_CONFIGS["resnet18"] = BackboneSpec(
+        "resnet", RESNET18, "resnet18-f37072fd.pth")
+    BACKBONE_CONFIGS["resnet34"] = BackboneSpec(
+        "resnet", RESNET34, "resnet34-b627a593.pth")
     BACKBONE_CONFIGS["resnet50"] = BackboneSpec(
         "resnet", RESNET50, "resnet50-0676ba61.pth")
     BACKBONE_CONFIGS["resnet101"] = BackboneSpec(
         "resnet", RESNET101, "resnet101-63fe2227.pth")
     BACKBONE_CONFIGS["wideresnet50"] = BackboneSpec(
         "resnet", WIDE_RESNET50_2, "wide_resnet50_2-95faca4d.pth")
+    BACKBONE_CONFIGS["wideresnet101"] = BackboneSpec(
+        "resnet", WIDE_RESNET101_2, "wide_resnet101_2-32ee1156.pth")
+    BACKBONE_CONFIGS["resnext101"] = BackboneSpec(
+        "resnet", RESNEXT101_32X8D, "resnext101_32x8d-8ba56ff5.pth")
     BACKBONE_CONFIGS["dino_resnet50"] = BackboneSpec(
         "resnet", RESNET50, "dino_resnet50_pretrain.pth")
 

@@ -31,7 +31,9 @@ Params = Mapping[str, jnp.ndarray]
 class ResNetConfig:
     block_counts: tuple[int, ...] = (3, 4, 6, 3)  # resnet50
     width_per_group: int = 64                     # 128 for wide_resnet50_2
-    expansion: int = 4
+    expansion: int = 4                            # 1 for BasicBlock nets
+    block: str = "bottleneck"                     # "bottleneck" | "basic"
+    groups: int = 1                               # 32 for ResNeXt
     bn_eps: float = 1e-5
     num_classes: int = 1000
 
@@ -50,6 +52,14 @@ class ResNetConfig:
 RESNET50 = ResNetConfig()
 WIDE_RESNET50_2 = ResNetConfig(width_per_group=128)
 RESNET101 = ResNetConfig(block_counts=(3, 4, 23, 3))
+WIDE_RESNET101_2 = ResNetConfig(block_counts=(3, 4, 23, 3),
+                                width_per_group=128)
+RESNET18 = ResNetConfig(block_counts=(2, 2, 2, 2), expansion=1,
+                        block="basic")
+RESNET34 = ResNetConfig(block_counts=(3, 4, 6, 3), expansion=1,
+                        block="basic")
+RESNEXT101_32X8D = ResNetConfig(block_counts=(3, 4, 23, 3), groups=32,
+                                width_per_group=8)
 
 
 def init_resnet_params(seed: int, cfg: ResNetConfig) -> dict[str, jnp.ndarray]:
@@ -74,17 +84,27 @@ def init_resnet_params(seed: int, cfg: ResNetConfig) -> dict[str, jnp.ndarray]:
     in_c = 64
     for li, (n_blocks, planes_base) in enumerate(
             zip(cfg.block_counts, (64, 128, 256, 512))):
-        width = planes_base * cfg.width_per_group // 64
         out_c = planes_base * cfg.expansion
         for b in range(n_blocks):
             pre = f"layer{li + 1}.{b}."
-            conv(pre + "conv1", width, in_c, 1)
-            bn(pre + "bn1", width)
-            conv(pre + "conv2", width, width, 3)
-            bn(pre + "bn2", width)
-            conv(pre + "conv3", out_c, width, 1)
-            bn(pre + "bn3", out_c)
-            if b == 0:
+            if cfg.block == "basic":
+                conv(pre + "conv1", out_c, in_c, 3)
+                bn(pre + "bn1", out_c)
+                conv(pre + "conv2", out_c, out_c, 3)
+                bn(pre + "bn2", out_c)
+                needs_down = b == 0 and (li > 0 or in_c != out_c)
+            else:
+                # torchvision: width = planes * (base_width/64) * groups
+                width = (planes_base * cfg.width_per_group // 64
+                         * cfg.groups)
+                conv(pre + "conv1", width, in_c, 1)
+                bn(pre + "bn1", width)
+                conv(pre + "conv2", width, width // cfg.groups, 3)
+                bn(pre + "bn2", width)
+                conv(pre + "conv3", out_c, width, 1)
+                bn(pre + "bn3", out_c)
+                needs_down = b == 0
+            if needs_down:
                 conv(pre + "downsample.0", out_c, in_c, 1)
                 bn(pre + "downsample.1", out_c)
             in_c = out_c
@@ -94,11 +114,12 @@ def init_resnet_params(seed: int, cfg: ResNetConfig) -> dict[str, jnp.ndarray]:
     return {k: jnp.asarray(v) for k, v in p.items()}
 
 
-def _conv(x, w, stride=1, padding=0):
+def _conv(x, w, stride=1, padding=0, groups=1):
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=groups)
 
 
 def _bn(params: Params, name: str, x: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -116,15 +137,31 @@ def _max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _bottleneck(params: Params, pre: str, x: jnp.ndarray, stride: int,
-                eps: float) -> jnp.ndarray:
+                eps: float, groups: int = 1) -> jnp.ndarray:
     identity = x
     out = jax.nn.relu(_bn(params, pre + "bn1",
                           _conv(x, params[pre + "conv1.weight"]), eps))
     out = jax.nn.relu(_bn(params, pre + "bn2",
                           _conv(out, params[pre + "conv2.weight"],
-                                stride=stride, padding=1), eps))
+                                stride=stride, padding=1, groups=groups),
+                          eps))
     out = _bn(params, pre + "bn3", _conv(out, params[pre + "conv3.weight"]),
               eps)
+    if pre + "downsample.0.weight" in params:
+        identity = _bn(params, pre + "downsample.1",
+                       _conv(x, params[pre + "downsample.0.weight"],
+                             stride=stride), eps)
+    return jax.nn.relu(out + identity)
+
+
+def _basic_block(params: Params, pre: str, x: jnp.ndarray, stride: int,
+                 eps: float) -> jnp.ndarray:
+    identity = x
+    out = jax.nn.relu(_bn(params, pre + "bn1",
+                          _conv(x, params[pre + "conv1.weight"],
+                                stride=stride, padding=1), eps))
+    out = _bn(params, pre + "bn2",
+              _conv(out, params[pre + "conv2.weight"], padding=1), eps)
     if pre + "downsample.0.weight" in params:
         identity = _bn(params, pre + "downsample.1",
                        _conv(x, params[pre + "downsample.0.weight"],
@@ -154,8 +191,12 @@ def resnet_forward(params: Params, images: jnp.ndarray, cfg: ResNetConfig,
         stage = _STAGES[li]
         stride = 1 if li == 0 else 2
         for b in range(cfg.block_counts[li]):
-            x = _bottleneck(params, f"{stage}.{b}.", x,
-                            stride if b == 0 else 1, cfg.bn_eps)
+            s = stride if b == 0 else 1
+            if cfg.block == "basic":
+                x = _basic_block(params, f"{stage}.{b}.", x, s, cfg.bn_eps)
+            else:
+                x = _bottleneck(params, f"{stage}.{b}.", x, s, cfg.bn_eps,
+                                cfg.groups)
         if stage in taps:
             out[stage] = x
     return out
