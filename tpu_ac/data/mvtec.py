@@ -74,6 +74,25 @@ def load_image(path: str, resize: int = 256, imagesize: int = 224,
     return arr.transpose(2, 0, 1)
 
 
+def load_image_uint8(path: str, resize: int = 256,
+                     imagesize: int = 224) -> np.ndarray:
+    """Decode to raw uint8 CHW (device-side normalization path: 4x less
+    host->device transfer; see tpu_ac.pipeline.CategoryEmbedder)."""
+    img = Image.open(path).convert("RGB")
+    img = _resize_shorter_edge(img, resize)
+    arr = _center_crop(np.asarray(img, dtype=np.uint8), imagesize)
+    return arr.transpose(2, 0, 1)
+
+
+def normalize_on_device(batch_u8, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """jit-safe (x/255 - mean)/std for uint8 CHW batches."""
+    import jax.numpy as jnp
+
+    m = jnp.asarray(mean, jnp.float32)[:, None, None]
+    s = jnp.asarray(std, jnp.float32)[:, None, None]
+    return (batch_u8.astype(jnp.float32) / 255.0 - m) / s
+
+
 def load_mask(path: str | None, resize: int = 256, imagesize: int = 224) -> np.ndarray:
     """Decode a ground-truth mask to [1, imagesize, imagesize] float32."""
     if path is None:
@@ -171,10 +190,14 @@ class MVTecDataset:
             out["mask"] = load_mask(item.mask_path, self.resize, self.imagesize)
         return out
 
-    def load_all_images(self) -> np.ndarray:
-        """Decode the whole split into one [N, 3, H, W] array (host)."""
+    def load_all_images(self, uint8: bool = False) -> np.ndarray:
+        """Decode the whole split into one [N, 3, H, W] array (host).
+
+        ``uint8=True`` skips host normalization (device-side path).
+        """
+        loader = load_image_uint8 if uint8 else load_image
         return np.stack([
-            load_image(it.image_path, self.resize, self.imagesize)
+            loader(it.image_path, self.resize, self.imagesize)
             for it in self.items
         ])
 
@@ -227,8 +250,9 @@ def make_synthetic_mvtec(root: str, classname: str = "bottle",
             img = base_texture()
             mask = np.zeros((s, s), dtype=np.uint8)
             if anomaly != "good":
-                # deterministic defect geometry per anomaly type
-                if hash(anomaly) % 2 == 0:
+                # deterministic defect geometry per anomaly type (builtin
+                # hash() is randomized per process — use a stable digest)
+                if sum(anomaly.encode()) % 2 == 0:
                     lo, hi = s // 4, s // 2
                     img[lo:hi, lo:hi] = [220, 40, 40]
                     mask[lo:hi, lo:hi] = 255

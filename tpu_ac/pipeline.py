@@ -87,18 +87,28 @@ class CategoryEmbedder:
         # captured weights are inlined into the HLO as literals, which
         # bloats the program (ViT-B: ~344 MB) past what compilation
         # services accept and defeats compile caching.
+        from tpu_ac.data.mvtec import normalize_on_device
+
+        def _prep(images: jnp.ndarray) -> jnp.ndarray:
+            # uint8 batches normalize on device (4x less host->device
+            # transfer); float batches are already normalized on host.
+            if images.dtype == jnp.uint8:
+                return normalize_on_device(images)
+            return images
+
         if family == "vit":
             @jax.jit
             def _embed(p, images: jnp.ndarray) -> jnp.ndarray:
-                return embed_vit_features(p, images, backbone_cfg, ecfg,
-                                          precision=precision,
+                return embed_vit_features(p, _prep(images), backbone_cfg,
+                                          ecfg, precision=precision,
                                           attention_impl=attention_impl)
         elif family == "resnet":
             from tpu_ac.features.embedding import embed_resnet_features
 
             @jax.jit
             def _embed(p, images: jnp.ndarray) -> jnp.ndarray:
-                return embed_resnet_features(p, images, backbone_cfg, ecfg)
+                return embed_resnet_features(p, _prep(images), backbone_cfg,
+                                             ecfg)
         else:
             raise NotImplementedError(f"family {family}")
 
@@ -187,7 +197,7 @@ def run_category(source: str, category: str, cfg: PipelineConfig,
     """
     test_ds = MVTecDataset(source, classname=category, resize=cfg.resize,
                            imagesize=cfg.imagesize, split=DatasetSplit.TEST)
-    images = test_ds.load_all_images()
+    images = test_ds.load_all_images(uint8=True)
     Z = embedder(images)
 
     Z_train = None
@@ -197,10 +207,13 @@ def run_category(source: str, category: str, cfg: PipelineConfig,
                                 split=DatasetSplit.TRAIN)
         # Reference quirk reproduced (examples/main.py:281): the train set is
         # truncated to train_ratio * len(test set), in (shuffled) order.
+        from tpu_ac.data.mvtec import load_image_uint8
+
         order = np.random.default_rng(seed).permutation(len(train_ds))
         keep = order[: int(cfg.train_ratio * len(test_ds))]
         train_imgs = np.stack([
-            train_ds[int(i)]["image"] for i in keep])
+            load_image_uint8(train_ds.items[int(i)].image_path,
+                             cfg.resize, cfg.imagesize) for i in keep])
         Z_train = embedder(train_imgs)
 
     alpha, X = compute_alpha_X(Z, cfg.supervised, cfg.tau, Z_train)
