@@ -166,3 +166,23 @@ class TestPipelineEndToEnd:
         assert os.path.exists(csv_path)
         content = open(csv_path).read()
         assert "bottle" in content and "MVTec(object)" in content
+
+
+class TestUint8Path:
+    def test_uint8_matches_f32(self, synth_root):
+        """Device-side normalization path is numerically equivalent."""
+        from tpu_ac.models import ViTConfig, init_vit_params
+        from tpu_ac.pipeline import CategoryEmbedder, PipelineConfig
+
+        cfg = PipelineConfig(layers=("blocks.1",),
+                             pretrain_embed_dimension=48,
+                             target_embed_dimension=48,
+                             resize=48, imagesize=32, batch_size=4)
+        vit = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                        img_size=32)
+        emb = CategoryEmbedder(init_vit_params(0, vit), vit, cfg)
+        ds = MVTecDataset(synth_root, classname="bottle",
+                          split=DatasetSplit.TEST, resize=48, imagesize=32)
+        z_f32 = np.asarray(emb(ds.load_all_images(uint8=False)))
+        z_u8 = np.asarray(emb(ds.load_all_images(uint8=True)))
+        np.testing.assert_allclose(z_u8, z_f32, rtol=1e-4, atol=1e-5)
