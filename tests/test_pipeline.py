@@ -186,3 +186,27 @@ class TestUint8Path:
         z_f32 = np.asarray(emb(ds.load_all_images(uint8=False)))
         z_u8 = np.asarray(emb(ds.load_all_images(uint8=True)))
         np.testing.assert_allclose(z_u8, z_f32, rtol=1e-4, atol=1e-5)
+
+    def test_bfloat16_mode_runs(self, synth_root):
+        import dataclasses
+        from tpu_ac.models import ViTConfig, init_vit_params
+        from tpu_ac.pipeline import CategoryEmbedder, PipelineConfig
+
+        cfg = PipelineConfig(layers=("blocks.1",),
+                             pretrain_embed_dimension=48,
+                             target_embed_dimension=48,
+                             resize=48, imagesize=32, batch_size=4,
+                             precision="bfloat16")
+        vit = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                        img_size=32)
+        params = init_vit_params(0, vit)
+        emb = CategoryEmbedder(params, vit, cfg)
+        ds = MVTecDataset(synth_root, classname="bottle",
+                          split=DatasetSplit.TEST, resize=48, imagesize=32)
+        z16 = np.asarray(emb(ds.load_all_images(uint8=True)))
+        assert z16.dtype == np.float32
+        f32cfg = dataclasses.replace(cfg, precision="default")
+        z32 = np.asarray(CategoryEmbedder(params, vit, f32cfg)(
+            ds.load_all_images(uint8=True)))
+        # bf16 keeps ~2 decimal digits; structure must agree
+        np.testing.assert_allclose(z16, z32, rtol=0.1, atol=0.05)

@@ -132,7 +132,7 @@ def _fused_pool(x: jnp.ndarray, k: int, out_dim: int,
                 precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """[B, D, H, W] grid -> [B, H*W, out_dim] pooled patch features."""
     b, d, h, w = x.shape
-    weight = _fused_pool_conv_weight(d, k, out_dim)
+    weight = _fused_pool_conv_weight(d, k, out_dim).astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, weight, window_strides=(1, 1),
         padding=(((k - 1) // 2,) * 2, ((k - 1) // 2,) * 2),
