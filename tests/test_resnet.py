@@ -185,3 +185,72 @@ class TestBlockVariants:
         imgs = jnp.asarray(rng.standard_normal((1, 3, 64, 64)).astype(np.float32))
         outs = resnet_forward(p, imgs, tiny, taps=("layer1",))
         assert outs["layer1"].shape == (1, 256, 16, 16)
+
+
+class TestDenseNet:
+    def test_densenet_tiny_matches_torch(self, rng):
+        import dataclasses
+        import torch
+        import torch.nn.functional as F
+        from tpu_ac.models.densenet import (DenseNetConfig,
+                                            init_densenet_params,
+                                            densenet_forward)
+
+        tiny = DenseNetConfig(block_config=(2, 2), growth_rate=8,
+                              num_init_features=16, bn_size=2)
+        p = init_densenet_params(0, tiny)
+        imgs = rng.standard_normal((1, 3, 32, 32)).astype(np.float32)
+        got = densenet_forward(p, jnp.asarray(imgs), tiny,
+                               taps=("denseblock1", "denseblock2"))
+
+        def conv(x, name, stride=1, padding=0):
+            return F.conv2d(x, torch.from_numpy(np.asarray(p[name + ".weight"])),
+                            stride=stride, padding=padding)
+
+        def bnr(x, name):
+            return F.relu(F.batch_norm(
+                x, torch.from_numpy(np.asarray(p[name + ".running_mean"])),
+                torch.from_numpy(np.asarray(p[name + ".running_var"])),
+                torch.from_numpy(np.asarray(p[name + ".weight"])),
+                torch.from_numpy(np.asarray(p[name + ".bias"])),
+                training=False, eps=1e-5))
+
+        x = conv(torch.from_numpy(imgs), "features.conv0", 2, 3)
+        x = bnr(x, "features.norm0")
+        x = F.max_pool2d(x, 3, 2, 1)
+        outs = {}
+        for bi, n_layers in enumerate(tiny.block_config, start=1):
+            for li in range(1, n_layers + 1):
+                pre = f"features.denseblock{bi}.denselayer{li}."
+                h = bnr(x, pre + "norm1")
+                h = conv(h, pre + "conv1")
+                h = bnr(h, pre + "norm2")
+                h = conv(h, pre + "conv2", padding=1)
+                x = torch.cat([x, h], 1)
+            outs[f"denseblock{bi}"] = x.numpy()
+            if bi != len(tiny.block_config):
+                pre = f"features.transition{bi}."
+                x = bnr(x, pre + "norm")
+                x = conv(x, pre + "conv")
+                x = F.avg_pool2d(x, 2, 2)
+        for k in ("denseblock1", "denseblock2"):
+            np.testing.assert_allclose(np.asarray(got[k]), outs[k],
+                                       rtol=5e-4, atol=5e-5)
+
+    def test_densenet201_registry_and_embed(self, rng):
+        from tpu_ac.models import load_backbone
+        from tpu_ac.features.embedding import EmbedConfig, embed_densenet_features
+        import dataclasses
+        params, cfg, family = load_backbone("densenet121")
+        assert family == "densenet"
+        # shrink for test speed
+        from tpu_ac.models.densenet import DenseNetConfig, init_densenet_params
+        tiny = DenseNetConfig(block_config=(2, 2, 2), growth_rate=8,
+                              num_init_features=16, bn_size=2)
+        p = init_densenet_params(0, tiny)
+        ecfg = EmbedConfig(layers=("denseblock2", "denseblock3"),
+                           pretrain_embed_dimension=32,
+                           target_embed_dimension=64, apply_layernorm=False)
+        imgs = jnp.asarray(rng.standard_normal((2, 3, 64, 64)).astype(np.float32))
+        z = embed_densenet_features(p, imgs, tiny, ecfg)
+        assert z.shape == (2, 8 * 8, 64)  # denseblock2 grid (64/8) reference

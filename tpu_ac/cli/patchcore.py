@@ -96,6 +96,12 @@ def _build_patchcore(backbone_name: str, layers, args) -> PatchCore:
         @jax.jit
         def embed(images):
             return embed_vit_features(params, images, cfg, ecfg)
+    elif family == "densenet":
+        from tpu_ac.features.embedding import embed_densenet_features
+
+        @jax.jit
+        def embed(images):
+            return embed_densenet_features(params, images, cfg, ecfg)
     else:
         from tpu_ac.features.embedding import embed_resnet_features
 

@@ -249,3 +249,14 @@ def build_embedder(params: Mapping[str, jnp.ndarray], vit_cfg: ViTConfig,
 
     device_params = jax.device_put(dict(params))
     return lambda images: embed(device_params, images)
+
+
+def embed_densenet_features(params: Mapping[str, jnp.ndarray],
+                            images: jnp.ndarray, densenet_cfg,
+                            cfg: EmbedConfig) -> jnp.ndarray:
+    """Full _embed pipeline for a DenseNet backbone (taps by block name,
+    e.g. layers=("denseblock2", "denseblock3"))."""
+    from tpu_ac.models.densenet import densenet_forward
+
+    outs = densenet_forward(params, images, densenet_cfg, taps=cfg.layers)
+    return embed_feature_maps([outs[name] for name in cfg.layers], cfg)

@@ -91,6 +91,15 @@ def _register_resnets() -> None:
     BACKBONE_CONFIGS["dino_resnet50"] = BackboneSpec(
         "resnet", RESNET50, "dino_resnet50_pretrain.pth")
 
+    from tpu_ac.models.densenet import DENSENET121, DENSENET169, DENSENET201
+
+    BACKBONE_CONFIGS["densenet121"] = BackboneSpec(
+        "densenet", DENSENET121, "densenet121-a639ec97.pth")
+    BACKBONE_CONFIGS["densenet169"] = BackboneSpec(
+        "densenet", DENSENET169, "densenet169-b2777c0a.pth")
+    BACKBONE_CONFIGS["densenet201"] = BackboneSpec(
+        "densenet", DENSENET201, "densenet201-c1103571.pth")
+
 
 _register_resnets()
 
@@ -139,6 +148,10 @@ def load_backbone(name: str, *, checkpoint_dir: str | None = None,
             from tpu_ac.models.resnet import init_resnet_params
 
             params = init_resnet_params(seed, spec.config)
+        elif spec.family == "densenet":
+            from tpu_ac.models.densenet import init_densenet_params
+
+            params = init_densenet_params(seed, spec.config)
         else:
             raise NotImplementedError(f"family {spec.family}")
     return params, spec.config, spec.family

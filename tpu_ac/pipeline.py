@@ -130,6 +130,14 @@ class CategoryEmbedder:
                 z = embed_resnet_features(p, _prep(images), backbone_cfg,
                                           ecfg)
                 return z.astype(jnp.float32)
+        elif family == "densenet":
+            from tpu_ac.features.embedding import embed_densenet_features
+
+            @jax.jit
+            def _embed(p, images: jnp.ndarray) -> jnp.ndarray:
+                z = embed_densenet_features(p, _prep(images), backbone_cfg,
+                                            ecfg)
+                return z.astype(jnp.float32)
         else:
             raise NotImplementedError(f"family {family}")
 
