@@ -187,3 +187,29 @@ class TestLARS:
         assert family == "vit" and cfg.patch_size == 16
         params, cfg, family = hub.wide_resnet50_2()
         assert family == "resnet"
+
+
+class TestRetrieval:
+    def test_retrieval_eval_perfect(self, rng):
+        from tpu_ac.train.evals import image_retrieval_eval
+
+        db = rng.standard_normal((20, 8)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        # queries identical to db items 3 and 7
+        q = db[[3, 7]]
+        gnd = [{"ok": [3]}, {"ok": [7]}]
+        out = image_retrieval_eval(q, db, gnd)
+        assert out["mAP"] == pytest.approx(1.0)
+
+
+class TestDenseNetRemap:
+    def test_legacy_keys(self):
+        from tpu_ac.models.convert import remap_densenet_keys
+
+        sd = {"features.denseblock1.denselayer1.norm.1.weight": 1,
+              "features.denseblock1.denselayer1.conv.2.weight": 2,
+              "features.conv0.weight": 3}
+        out = remap_densenet_keys(sd)
+        assert "features.denseblock1.denselayer1.norm1.weight" in out
+        assert "features.denseblock1.denselayer1.conv2.weight" in out
+        assert "features.conv0.weight" in out

@@ -81,3 +81,24 @@ def moco_to_contrastive_params(state_dict) -> dict[str, jnp.ndarray]:
                          else v)
         out[name] = jnp.asarray(arr)
     return out
+
+
+def remap_densenet_keys(state_dict) -> dict:
+    """torchvision DenseNet checkpoints use legacy dotted norm/conv names
+    (norm.1 -> norm1 etc.); apply the same regex remap torchvision's
+    load function does before using the params."""
+    import re
+
+    pattern = re.compile(
+        r"^(.*denselayer\d+\.(?:norm|relu|conv))\.((?:[12])\.(?:weight|bias|"
+        r"running_mean|running_var))$")
+    out = {}
+    for k, v in state_dict.items():
+        m = pattern.match(k)
+        if m:
+            k = m.group(1) + m.group(2).replace(".", "")
+            # norm.1.weight -> norm1.weight (digit folds into the module)
+            k = re.sub(r"(norm|conv)(\d)(weight|bias|running_mean|running_var)",
+                       r"\1\2.\3", k)
+        out[k] = v
+    return out

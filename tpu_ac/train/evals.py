@@ -216,3 +216,25 @@ def multi_scale(images: jnp.ndarray, embed_fn: Callable) -> jnp.ndarray:
         v = feats if v is None else v + feats
     v /= 3
     return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def retrieval_ranks(query_features: np.ndarray,
+                    db_features: np.ndarray) -> np.ndarray:
+    """Similarity ranking for image retrieval (eval_image_retrieval.py /
+    eval_copy_detection.py): returns ranks [db_size, n_queries] —
+    ranks[r, q] = db index at rank r for query q (cosine/IP on whatever
+    features are given; the reference L2-normalizes or PCA-whitens first).
+    """
+    sims = np.asarray(db_features) @ np.asarray(query_features).T
+    return np.argsort(-sims, axis=0)
+
+
+def image_retrieval_eval(query_features: np.ndarray,
+                         db_features: np.ndarray, gnd: list[dict],
+                         kappas=(1, 5, 10)) -> dict:
+    """End-to-end retrieval evaluation: rank + mAP + precision@k
+    (dino-main/eval_image_retrieval.py:150-200 revisited-Oxford protocol
+    for a single difficulty split)."""
+    ranks = retrieval_ranks(query_features, db_features)
+    m, aps, pr, _ = compute_map(ranks, gnd, kappas)
+    return {"mAP": float(m), "aps": aps, "pr@k": pr}
