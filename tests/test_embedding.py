@@ -144,3 +144,35 @@ class TestClusterMetrics:
         from tpu_ac.cluster import encode_labels
         out = encode_labels(["crack", "bent", "crack", "hole"])
         np.testing.assert_array_equal(out, [1, 0, 1, 2])
+
+
+class TestBucketedAlpha:
+    def test_padded_unsupervised_matches_exact(self, rng):
+        from tpu_ac.cluster.alpha import weight_distance_unsupervised
+        Z = rng.standard_normal((6, 10, 8)).astype(np.float32)
+        want = np.asarray(weight_distance_unsupervised(jnp.asarray(Z)))
+        zp = np.concatenate([Z, np.zeros((2, 10, 8), np.float32)])
+        got = np.asarray(weight_distance_unsupervised(
+            jnp.asarray(zp), n_valid=6))[:6]
+        # padded-shape matmuls reorder f32 reductions -> ~1e-4 rel noise
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-5)
+
+    def test_padded_supervised_matches_exact(self, rng):
+        from tpu_ac.cluster.alpha import weight_distance_supervised
+        Z = rng.standard_normal((5, 10, 8)).astype(np.float32)
+        Ztr = rng.standard_normal((3, 10, 8)).astype(np.float32)
+        want = np.asarray(weight_distance_supervised(jnp.asarray(Z),
+                                                     jnp.asarray(Ztr)))
+        ztp = np.concatenate([Ztr, np.zeros((5, 10, 8), np.float32)])
+        got = np.asarray(weight_distance_supervised(
+            jnp.asarray(Z), jnp.asarray(ztp), n_train_valid=3))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_compute_alpha_x_bucketed(self, rng):
+        from tpu_ac.pipeline import compute_alpha_X
+        Z = jnp.asarray(rng.standard_normal((7, 10, 8)).astype(np.float32))
+        a1, x1 = compute_alpha_X(Z, "unsupervised", 1.0, n_bucket=4)
+        a2, x2 = compute_alpha_X(Z, "unsupervised", 1.0, n_bucket=1)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=1e-5, atol=1e-7)
+        assert a1.shape == (7, 10) and x1.shape == (7, 8)

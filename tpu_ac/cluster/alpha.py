@@ -26,6 +26,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpu_ac.ops.distances import pairwise_sq_dists
 
@@ -45,27 +46,35 @@ def _use_pallas(impl: str) -> bool:
     return impl == "pallas"
 
 
-def weight_distance_unsupervised(Z: jnp.ndarray,
-                                 impl: str = "auto") -> jnp.ndarray:
+def weight_distance_unsupervised(Z: jnp.ndarray, impl: str = "auto",
+                                 n_valid: int | None = None) -> jnp.ndarray:
     """Vectorized Weight_Distance_Unsupervised (utils.py:222-227).
 
     Args:
-        Z: [N, P, D] patch embeddings of the test set.
+        Z: [N, P, D] patch embeddings of the test set (rows beyond
+            ``n_valid`` are padding and masked out of the bank sums;
+            their own output rows are garbage the caller slices off).
         impl: "auto" (pallas kernel on TPU, XLA elsewhere) | "xla" | "pallas".
+        n_valid: number of real images (defaults to N).  Padding N up to a
+            bucket size keeps one compiled program across category sweeps.
     Returns:
         W: [N, P]; W[i,p] = mean over j != i of min_q ||Z[i,p]-Z[j,q]||.
 
     The j == i term of the sum is exactly 0 (min over q includes q = p), so
-    the masked mean is sum_j / (N-1) without an explicit mask.
+    the masked mean is sum_j / (n_valid-1) without masking the diagonal.
     """
     n, p, d = Z.shape
+    nv = n if n_valid is None else n_valid
+    valid_col = None if nv == n else (np.arange(n) < nv)
 
     if _use_pallas(impl):
         from tpu_ac.kernels.distances import min_dists_to_sets
 
         def per_image_k(zi: jnp.ndarray) -> jnp.ndarray:
             mins = min_dists_to_sets(zi, Z)  # [N, P]
-            return jnp.sum(mins, axis=0) / (n - 1)
+            if valid_col is not None:
+                mins = jnp.where(valid_col[:, None], mins, 0.0)
+            return jnp.sum(mins, axis=0) / (nv - 1)
 
         return jax.lax.map(per_image_k, Z)
 
@@ -73,29 +82,39 @@ def weight_distance_unsupervised(Z: jnp.ndarray,
 
     def per_image(zi: jnp.ndarray) -> jnp.ndarray:
         mins = _min_dists_to_set(zi, z_flat, n)  # [P, N]
-        return jnp.sum(mins, axis=-1) / (n - 1)
+        if valid_col is not None:
+            mins = jnp.where(valid_col[None, :], mins, 0.0)
+        return jnp.sum(mins, axis=-1) / (nv - 1)
 
     return jax.lax.map(per_image, Z)
 
 
 def weight_distance_supervised(Z: jnp.ndarray, Z_train: jnp.ndarray,
-                               impl: str = "auto") -> jnp.ndarray:
+                               impl: str = "auto",
+                               n_train_valid: int | None = None
+                               ) -> jnp.ndarray:
     """Vectorized Weight_Distance_Supervised (utils.py:230-237).
 
     Args:
         Z: [N, P, D] test patch embeddings.
-        Z_train: [Nt, P, D] normal-image (train) patch embeddings.
+        Z_train: [Nt, P, D] normal-image (train) patch embeddings (rows
+            beyond ``n_train_valid`` are padding, masked out of the min).
         impl: "auto" | "xla" | "pallas" (see weight_distance_unsupervised).
     Returns:
         W: [N, P]; W[i,p] = min over all train patches of the L2 distance.
     """
     nt, pt, d = Z_train.shape
+    ntv = nt if n_train_valid is None else n_train_valid
+    valid_col = None if ntv == nt else (np.arange(nt) < ntv)
 
     if _use_pallas(impl):
         from tpu_ac.kernels.distances import min_dists_to_sets
 
         def per_image_k(zi: jnp.ndarray) -> jnp.ndarray:
-            return jnp.min(min_dists_to_sets(zi, Z_train), axis=0)
+            mins = min_dists_to_sets(zi, Z_train)
+            if valid_col is not None:
+                mins = jnp.where(valid_col[:, None], mins, jnp.inf)
+            return jnp.min(mins, axis=0)
 
         return jax.lax.map(per_image_k, Z)
 
@@ -103,6 +122,8 @@ def weight_distance_supervised(Z: jnp.ndarray, Z_train: jnp.ndarray,
 
     def per_image(zi: jnp.ndarray) -> jnp.ndarray:
         mins = _min_dists_to_set(zi, zt_flat, nt)  # [P, Nt]
+        if valid_col is not None:
+            mins = jnp.where(valid_col[None, :], mins, jnp.inf)
         return jnp.min(mins, axis=-1)
 
     return jax.lax.map(per_image, Z)

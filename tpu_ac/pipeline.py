@@ -163,17 +163,36 @@ class CategoryEmbedder:
         return jnp.concatenate(chunks)[:n]
 
 
+def _pad_bucket(Z: jnp.ndarray, bucket: int) -> jnp.ndarray:
+    pad = (-Z.shape[0]) % bucket
+    if pad == 0:
+        return Z
+    return jnp.concatenate(
+        [Z, jnp.zeros((pad, *Z.shape[1:]), Z.dtype)])
+
+
 def compute_alpha_X(Z: jnp.ndarray, supervised: str, tau: float,
-                    Z_train: jnp.ndarray | None = None
-                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(alpha [N, P], X [N, D]) per the selected mode (examples/main.py:270-296)."""
+                    Z_train: jnp.ndarray | None = None,
+                    n_bucket: int = 32) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(alpha [N, P], X [N, D]) per the selected mode (examples/main.py:270-296).
+
+    N is padded up to a multiple of ``n_bucket`` (masked inside the weight
+    computations) so one compiled alpha program serves every category in a
+    sweep instead of recompiling per category size.
+    """
+    n = Z.shape[0]
     if supervised == "supervised":
         if Z_train is None:
             raise ValueError("supervised mode requires Z_train")
-        w = weight_distance_supervised(Z, Z_train)
+        nt = Z_train.shape[0]
+        w = weight_distance_supervised(
+            _pad_bucket(Z, n_bucket), _pad_bucket(Z_train, n_bucket),
+            n_train_valid=nt)[:n]
         alpha = alpha_from_weights(w, tau)
     elif supervised == "unsupervised":
-        alpha = alpha_from_weights(weight_distance_unsupervised(Z), tau)
+        w = weight_distance_unsupervised(
+            _pad_bucket(Z, n_bucket), n_valid=n)[:n]
+        alpha = alpha_from_weights(w, tau)
     else:  # "average"
         alpha = matrix_alpha_average(Z)
     return alpha, weighted_embedding(alpha, Z)
