@@ -222,3 +222,29 @@ class TestTrainSteps:
         # EMA stays between old and new params
         k = "cluster_head.0.weight"
         assert not np.allclose(np.asarray(ema[k]), np.asarray(params[k]))
+
+
+class TestContrastiveEvaluate:
+    def test_knn_monitor_separable(self, rng):
+        from tpu_ac.train.scan import (contrastive_evaluate,
+                                       init_contrastive_model,
+                                       contrastive_forward, MemoryBank)
+        import jax.numpy as jnp
+
+        cfg = TINY
+        params, bn = init_contrastive_model(0, cfg)
+        imgs = rng.standard_normal((16, 3, 32, 32)).astype(np.float32) * 0.1
+        imgs[:8, 0] += 3.0
+        targets = np.array([0] * 8 + [1] * 8)
+        emb, _, _ = contrastive_forward(params, bn, jnp.asarray(imgs), cfg)
+        bank = MemoryBank(16, cfg.feature_dim, num_classes=2)
+        bank.update(np.asarray(emb), targets)
+        acc = contrastive_evaluate(params, bn, imgs, targets, bank, cfg)
+        assert acc == 1.0  # self-retrieval on a separable set
+
+
+class TestConfusionMatrix:
+    def test_counts(self):
+        from tpu_ac.cluster.metrics import confusion_matrix
+        m = confusion_matrix([0, 1, 1, 0], [0, 1, 0, 0])
+        np.testing.assert_array_equal(m, [[2, 1], [0, 1]])

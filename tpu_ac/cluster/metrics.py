@@ -91,3 +91,17 @@ def encode_labels(label_strings: list[str]) -> np.ndarray:
     classes = sorted(set(label_strings))
     lut = {c: i for i, c in enumerate(classes)}
     return np.asarray([lut[s] for s in label_strings], dtype=int)
+
+
+def confusion_matrix(preds, labels, n_classes: int | None = None
+                     ) -> np.ndarray:
+    """[n_classes, n_classes] counts, rows = true, cols = predicted
+    (Unsupervised-Classification-master/utils/utils.py:73-83)."""
+    preds = np.asarray(preds)
+    labels = np.asarray(labels)
+    if n_classes is None:
+        n_classes = int(max(preds.max(), labels.max())) + 1
+    m = np.zeros((n_classes, n_classes), dtype=np.int64)
+    for t, p in zip(labels, preds):
+        m[int(t), int(p)] += 1
+    return m

@@ -237,6 +237,7 @@ class MemoryBank:
     def weighted_knn(self, predictions_features: np.ndarray,
                      k: int = 200) -> np.ndarray:
         """Temperature-weighted kNN vote (memory.py:21-38)."""
+        k = min(k, len(self.features))
         sims, idx = knn_ip(jnp.asarray(predictions_features),
                            jnp.asarray(self.features), k)
         sims, idx = np.asarray(sims), np.asarray(idx)
@@ -370,3 +371,18 @@ def make_selflabel_step(cfg: SCANModelConfig, optimizer,
 def scan_evaluate_heads(head_losses: np.ndarray) -> int:
     """Lowest-loss head selection (evaluate_utils.py:87-119)."""
     return int(np.argmin(head_losses))
+
+
+def contrastive_evaluate(params, bn_state, images: np.ndarray,
+                         targets: np.ndarray, bank: "MemoryBank",
+                         cfg: SCANModelConfig, batch_size: int = 256
+                         ) -> float:
+    """Weighted-kNN accuracy monitor on memory-bank features
+    (utils/evaluate_utils.py:16-31 contrastive_evaluate)."""
+    correct = 0
+    for i in range(0, len(images), batch_size):
+        emb, _, _ = contrastive_forward(
+            params, bn_state, jnp.asarray(images[i:i + batch_size]), cfg)
+        pred = bank.weighted_knn(np.asarray(emb))
+        correct += int(np.sum(pred == targets[i:i + batch_size]))
+    return correct / len(images)
