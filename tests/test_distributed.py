@@ -59,3 +59,32 @@ class TestShardedAlpha:
         got = np.asarray(fn(imgs_sh))
         want = np.asarray(fn(jnp.asarray(imgs)))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestPipelineMeshPath:
+    def test_compute_alpha_x_mesh_matches_single(self, rng):
+        import jax.numpy as jnp
+        from tpu_ac.pipeline import compute_alpha_X
+
+        Z = jnp.asarray(rng.standard_normal((10, 16, 64)).astype(np.float32))
+        a_mesh, x_mesh = compute_alpha_X(Z, "unsupervised", 1.0,
+                                         use_mesh=True)
+        a_one, x_one = compute_alpha_X(Z, "unsupervised", 1.0,
+                                       use_mesh=False)
+        np.testing.assert_allclose(np.asarray(a_mesh), np.asarray(a_one),
+                                   rtol=5e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(x_mesh), np.asarray(x_one),
+                                   rtol=5e-4, atol=1e-5)
+
+    def test_supervised_mesh_matches_single(self, rng):
+        import jax.numpy as jnp
+        from tpu_ac.pipeline import compute_alpha_X
+
+        Z = jnp.asarray(rng.standard_normal((9, 16, 64)).astype(np.float32))
+        Zt = jnp.asarray(rng.standard_normal((5, 16, 64)).astype(np.float32))
+        a_mesh, _ = compute_alpha_X(Z, "supervised", 1.0, Z_train=Zt,
+                                    use_mesh=True)
+        a_one, _ = compute_alpha_X(Z, "supervised", 1.0, Z_train=Zt,
+                                   use_mesh=False)
+        np.testing.assert_allclose(np.asarray(a_mesh), np.asarray(a_one),
+                                   rtol=5e-4, atol=1e-6)

@@ -173,14 +173,44 @@ def _pad_bucket(Z: jnp.ndarray, bucket: int) -> jnp.ndarray:
 
 def compute_alpha_X(Z: jnp.ndarray, supervised: str, tau: float,
                     Z_train: jnp.ndarray | None = None,
-                    n_bucket: int = 32) -> tuple[jnp.ndarray, jnp.ndarray]:
+                    n_bucket: int = 32, use_mesh: bool | None = None
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(alpha [N, P], X [N, D]) per the selected mode (examples/main.py:270-296).
 
     N is padded up to a multiple of ``n_bucket`` (masked inside the weight
     computations) so one compiled alpha program serves every category in a
     sweep instead of recompiling per category size.
+
+    With multiple local devices (``use_mesh`` defaults to device_count > 1)
+    the O(N^2 P^2 D) weight computation shards the image set over a dp mesh
+    (tpu_ac.distributed): each device computes its rows against one tiled
+    all_gather of the bank over ICI.
     """
+    import jax
+
     n = Z.shape[0]
+    if use_mesh is None:
+        use_mesh = jax.device_count() > 1 and supervised != "average"
+    if use_mesh and supervised in ("supervised", "unsupervised"):
+        from tpu_ac.distributed import (
+            get_mesh,
+            shard_batch,
+            sharded_weight_distance_supervised,
+            sharded_weight_distance_unsupervised,
+        )
+
+        mesh = get_mesh()
+        z_sh, _ = shard_batch(mesh, np.asarray(Z))
+        if supervised == "supervised":
+            if Z_train is None:
+                raise ValueError("supervised mode requires Z_train")
+            w = sharded_weight_distance_supervised(mesh, z_sh, Z_train)[:n]
+        else:
+            w = sharded_weight_distance_unsupervised(mesh, z_sh,
+                                                     n_valid=n)[:n]
+        alpha = alpha_from_weights(w, tau)
+        return alpha, weighted_embedding(alpha, Z)
+
     if supervised == "supervised":
         if Z_train is None:
             raise ValueError("supervised mode requires Z_train")
