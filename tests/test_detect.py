@@ -197,3 +197,54 @@ class TestPatchCoreEndToEnd:
                        target_size=(32, 32), batch_size=4)
         pc.fit(train)
         assert pc.anomaly_scorer.detection_features.shape == (64, 3)
+
+
+class TestApproximateIndex:
+    def test_high_recall_vs_exact(self, rng):
+        from tpu_ac.detect import IVFFlatIndex
+
+        bank = rng.standard_normal((500, 16)).astype(np.float32)
+        query = rng.standard_normal((40, 16)).astype(np.float32)
+        idx = IVFFlatIndex(n_lists=16, n_probe=8)
+        idx.fit(bank)
+        d2, ids = idx.search(query, k=5)
+        full = ((query[:, None] - bank[None]) ** 2).sum(-1)
+        exact_ids = np.argsort(full, axis=1)[:, :5]
+        recall = np.mean([
+            len(set(ids[i]) & set(exact_ids[i])) / 5
+            for i in range(len(query))])
+        assert recall >= 0.8  # nprobe=8/16 probes half the cells
+
+    def test_full_probe_is_exact(self, rng):
+        from tpu_ac.detect import IVFFlatIndex
+
+        bank = rng.standard_normal((100, 8)).astype(np.float32)
+        query = rng.standard_normal((10, 8)).astype(np.float32)
+        idx = IVFFlatIndex(n_lists=4, n_probe=4)
+        idx.fit(bank)
+        _, ids = idx.search(query, k=3)
+        full = ((query[:, None] - bank[None]) ** 2).sum(-1)
+        exact = np.argsort(full, axis=1)[:, :3]
+        np.testing.assert_array_equal(np.sort(ids, 1), np.sort(exact, 1))
+
+    def test_scorer_in_patchcore(self, rng):
+        from tpu_ac.detect.approx import ApproximateNearestNeighbourScorer
+
+        bank = rng.standard_normal((200, 8)).astype(np.float32)
+        scorer = ApproximateNearestNeighbourScorer(
+            n_nearest_neighbours=2, n_lists=8, n_probe=8)
+        scorer.fit([bank])
+        scores, d2, idx = scorer.predict([bank[:10]])
+        # self-queries with full probing find themselves: min distance ~0
+        assert d2[:, 0].max() < 1e-6
+
+    def test_kmeans_converges(self, rng):
+        import jax.numpy as jnp
+        from tpu_ac.detect import kmeans
+
+        a = rng.standard_normal((50, 4)).astype(np.float32) + 10
+        b = rng.standard_normal((50, 4)).astype(np.float32) - 10
+        cents, assign = kmeans(jnp.asarray(np.concatenate([a, b])), 2)
+        assign = np.asarray(assign)
+        assert len(set(assign[:50])) == 1 and len(set(assign[50:])) == 1
+        assert assign[0] != assign[50]

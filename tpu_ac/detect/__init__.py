@@ -30,3 +30,11 @@ __all__ = [
     "compute_pixelwise_retrieval_metrics",
     "PatchCore",
 ]
+
+from tpu_ac.detect.approx import (  # noqa: E402
+    IVFFlatIndex,
+    ApproximateNearestNeighbourScorer,
+    kmeans,
+)
+
+__all__ += ["IVFFlatIndex", "ApproximateNearestNeighbourScorer", "kmeans"]
