@@ -17,7 +17,6 @@ import argparse
 import csv
 import os
 
-import numpy as np
 
 from tpu_ac.cluster.metrics import (
     agglomerative_cluster,

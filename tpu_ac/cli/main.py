@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import argparse
 import logging
-import os
 import time
 
 from tpu_ac.data.mvtec import CLASSNAMES

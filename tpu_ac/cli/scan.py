@@ -11,7 +11,6 @@ selflabel model.
 from __future__ import annotations
 
 import argparse
-import os
 
 import numpy as np
 

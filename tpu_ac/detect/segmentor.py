@@ -8,7 +8,6 @@ scipy.ndimage per image; here both stages are one jitted XLA program
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 

@@ -21,7 +21,6 @@ import os
 from tpu_ac.models.vit import (
     VIT_BASE,
     VIT_SMALL,
-    ViTConfig,
     init_vit_params,
 )
 from tpu_ac.models.convert import load_torch_checkpoint

@@ -37,7 +37,6 @@ from tpu_ac.cluster.metrics import (
 from tpu_ac.data.mvtec import DatasetSplit, MVTecDataset
 from tpu_ac.features.embedding import EmbedConfig, embed_vit_features
 from tpu_ac.models.registry import load_backbone
-from tpu_ac.models.vit import ViTConfig
 
 
 @dataclasses.dataclass(frozen=True)

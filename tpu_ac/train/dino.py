@@ -26,7 +26,6 @@ the same step runs single-chip or multi-pod unchanged.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Any, Mapping, NamedTuple
 
 import jax
