@@ -135,3 +135,18 @@ class TestSchedules:
         assert len(sch["lr"]) == TINY_CFG.total_steps
         assert len(sch["teacher_temp"]) == TINY_CFG.epochs
         assert sch["momentum"][-1] <= 1.0
+
+
+class TestMixedPrecision:
+    def test_bf16_step_close_to_f32(self, state, batch):
+        step32 = jax.jit(make_dino_train_step(TINY_VIT, TINY_CFG))
+        step16 = jax.jit(make_dino_train_step(TINY_VIT, TINY_CFG,
+                                              compute_dtype=jnp.bfloat16))
+        g, l = batch
+        _, m32 = step32(state, g, l, **_scalars())
+        s16, m16 = step16(state, g, l, **_scalars())
+        assert np.isfinite(float(m16["loss"]))
+        # same objective within bf16 tolerance
+        assert abs(float(m16["loss"]) - float(m32["loss"])) < 0.05
+        # master params stay f32
+        assert s16.student["backbone.cls_token"].dtype == jnp.float32

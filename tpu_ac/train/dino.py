@@ -175,7 +175,8 @@ def init_dino_state(seed: int, vit_cfg: ViTConfig,
 
 
 def make_dino_train_step(vit_cfg: ViTConfig, cfg: DINOConfig,
-                         precision=jax.lax.Precision.DEFAULT):
+                         precision=jax.lax.Precision.DEFAULT,
+                         compute_dtype=None):
     """Build the jittable train step.
 
     Step signature: (state, global_crops [2B, 3, Hg, Wg],
@@ -185,18 +186,34 @@ def make_dino_train_step(vit_cfg: ViTConfig, cfg: DINOConfig,
     Schedule values are passed as traced scalars so one compiled program
     serves the whole run (the reference indexes per-iteration numpy tables,
     main_dino.py:309-312 — do the same on the host and feed the scalars).
+
+    ``compute_dtype=jnp.bfloat16`` is the TPU mixed-precision mode (the
+    reference's fp16 autocast + GradScaler, main_dino.py:233-235,337-344):
+    forward/backward run in bf16 with f32 master params, optimizer state,
+    loss, and center.  bf16's f32-equal exponent range needs no loss
+    scaling, so there is no GradScaler equivalent.
     """
     adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
     use_local = cfg.local_crops_number > 0
     ncrops = cfg.ncrops if use_local else 2
 
+    def _cast(tree):
+        if compute_dtype is None:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
     def loss_fn(student_params, teacher_params, center, g_crops, l_crops,
                 teacher_temp):
-        t_out = student_forward(teacher_params, g_crops, None, vit_cfg,
-                                precision)
-        s_out = student_forward(student_params, g_crops,
+        sp, tp = _cast(student_params), _cast(teacher_params)
+        g_crops = _cast(g_crops)
+        l_crops = _cast(l_crops) if l_crops is not None else None
+        t_out = student_forward(tp, g_crops, None, vit_cfg,
+                                precision).astype(jnp.float32)
+        s_out = student_forward(sp, g_crops,
                                 l_crops if use_local else None, vit_cfg,
-                                precision)
+                                precision).astype(jnp.float32)
         loss = dino_loss(s_out, jax.lax.stop_gradient(t_out), center, ncrops,
                          teacher_temp, cfg.student_temp)
         return loss, t_out
