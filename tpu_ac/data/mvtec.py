@@ -190,16 +190,30 @@ class MVTecDataset:
             out["mask"] = load_mask(item.mask_path, self.resize, self.imagesize)
         return out
 
-    def load_all_images(self, uint8: bool = False) -> np.ndarray:
+    def load_all_images(self, uint8: bool = False,
+                        num_workers: int | None = None) -> np.ndarray:
         """Decode the whole split into one [N, 3, H, W] array (host).
 
         ``uint8=True`` skips host normalization (device-side path).
+        Decoding is threaded (PIL releases the GIL during decode/resize) —
+        the parallel replacement for the reference's num_workers=0
+        DataLoader (examples/main.py:211-217).
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         loader = load_image_uint8 if uint8 else load_image
-        return np.stack([
-            loader(it.image_path, self.resize, self.imagesize)
-            for it in self.items
-        ])
+        if num_workers is None:
+            num_workers = min(16, os.cpu_count() or 1)
+        if num_workers <= 1 or len(self.items) < 4:
+            return np.stack([
+                loader(it.image_path, self.resize, self.imagesize)
+                for it in self.items
+            ])
+        with ThreadPoolExecutor(num_workers) as pool:
+            arrays = list(pool.map(
+                lambda it: loader(it.image_path, self.resize, self.imagesize),
+                self.items))
+        return np.stack(arrays)
 
     def batches(self, batch_size: int,
                 pad_to_batch: bool = True) -> Iterator[tuple[np.ndarray, int]]:
