@@ -147,7 +147,9 @@ class CategoryEmbedder:
         """[N, 3, H, W] host images -> [N, P, D] device embeddings.
 
         Pads N up to a multiple of batch_size so only one program shape is
-        ever compiled, then trims the padding.
+        ever compiled, then trims the padding.  Batch i+1 is device_put
+        while batch i computes (double-buffered device-side prefetch —
+        dispatch is async, so the upload rides under the compute).
         """
         n = images.shape[0]
         bs = self._cfg.batch_size
@@ -155,10 +157,15 @@ class CategoryEmbedder:
         if pad:
             images = np.concatenate(
                 [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
-        chunks = [
-            self._embed(jnp.asarray(images[i:i + bs]))
-            for i in range(0, images.shape[0], bs)
-        ]
+        starts = list(range(0, images.shape[0], bs))
+        chunks = []
+        next_buf = jax.device_put(images[starts[0]:starts[0] + bs])
+        for i, s in enumerate(starts):
+            buf = next_buf
+            if i + 1 < len(starts):
+                s2 = starts[i + 1]
+                next_buf = jax.device_put(images[s2:s2 + bs])
+            chunks.append(self._embed(buf))
         return jnp.concatenate(chunks)[:n]
 
 
