@@ -53,7 +53,7 @@ class PipelineConfig:
     supervised: str = "unsupervised"  # unsupervised | supervised | average
     resize: int = 256
     imagesize: int = 224
-    batch_size: int = 8
+    batch_size: int = 32  # amortizes per-dispatch overhead on remote links
     # "default" (f32 storage, MXU-native matmuls) | "highest" (3-pass f32,
     # strictest parity) | "bfloat16" (bf16 storage+compute, ~25% faster
     # embed at matched clustering metrics on separable data)
