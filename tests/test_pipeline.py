@@ -210,3 +210,18 @@ class TestUint8Path:
             ds.load_all_images(uint8=True)))
         # bf16 keeps ~2 decimal digits; structure must agree
         np.testing.assert_allclose(z16, z32, rtol=0.1, atol=0.05)
+
+
+class TestPatchcoreCLISegImages:
+    def test_save_segmentation_images(self, synth_root, tmp_path):
+        from tpu_ac.cli.patchcore import main as pc_main
+        out = str(tmp_path / "res")
+        pc_main([out, "--data_path", synth_root, "--subdatasets", "bottle",
+                 "--backbone", "resnet18",
+                 "--layers_to_extract_from", "layer2",
+                 "--pretrain_embed_dimension", "64",
+                 "--target_embed_dimension", "64",
+                 "--resize", "72", "--imagesize", "64", "--batch_size", "4",
+                 "--percentage", "0.5", "--save_segmentation_images"])
+        seg_dir = os.path.join(out, "segmentation_images", "bottle")
+        assert os.path.isdir(seg_dir) and len(os.listdir(seg_dir)) == 12

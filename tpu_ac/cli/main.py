@@ -58,6 +58,20 @@ def main(argv=None) -> None:
              else [args.supervised])
     categories = args.categories or CLASSNAMES
 
+    # multi-backbone layer syntax "<idx>.<layer>" (examples/main.py:220-228):
+    # like the reference, only backbone_names[0]'s layers are used.
+    layers = args.layers_to_extract_from
+    if len(args.backbone_names) > 1:
+        coll = [[] for _ in args.backbone_names]
+        for layer in layers:
+            idx, rest = layer.split(".", 1)
+            coll[int(idx)].append(rest)
+        layers = coll[0]
+        LOGGER.warning(
+            "multiple backbones given; following the reference, only %s "
+            "with layers %s is used", args.backbone_names[0], layers)
+    args.layers_to_extract_from = layers
+
     for supervised in modes:
         cfg = PipelineConfig(
             backbone_name=args.backbone_names[0],

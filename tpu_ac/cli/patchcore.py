@@ -171,6 +171,15 @@ def run(args) -> list[dict]:
             pixel_auroc = pixel_metrics["auroc"]
         else:
             pixel_auroc = float("nan")
+        if args.save_segmentation_images:
+            from tpu_ac.viz import plot_segmentation_images
+
+            plot_segmentation_images(
+                os.path.join(args.results_path, "segmentation_images",
+                             category),
+                [it.image_path for it in test_ds.items], segs,
+                anomaly_scores=scores,
+                mask_paths=[it.mask_path for it in test_ds.items])
         row = {"dataset_name": f"mvtec_{category}",
                "instance_auroc": image_metrics["auroc"],
                "full_pixel_auroc": pixel_auroc}
