@@ -28,3 +28,18 @@ Layout (see SURVEY.md section 7 for the blueprint):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level access to the subpackages (keeps `import tpu_ac`
+    light; heavy deps load on first touch)."""
+    import importlib
+
+    _SUBMODULES = {
+        "ops", "kernels", "models", "features", "cluster", "detect",
+        "data", "train", "distributed", "utils", "viz", "cli", "hub",
+        "config", "native", "pipeline",
+    }
+    if name in _SUBMODULES:
+        return importlib.import_module(f"tpu_ac.{name}")
+    raise AttributeError(f"module 'tpu_ac' has no attribute '{name}'")
