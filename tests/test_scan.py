@@ -248,3 +248,21 @@ class TestConfusionMatrix:
         from tpu_ac.cluster.metrics import confusion_matrix
         m = confusion_matrix([0, 1, 1, 0], [0, 1, 0, 0])
         np.testing.assert_array_equal(m, [[2, 1], [0, 1]])
+
+
+class TestPrototypes:
+    def test_get_prototypes_confident_members(self, rng):
+        from tpu_ac.train.scan import get_prototypes, init_clustering_model
+        params, bn = init_clustering_model(0, TINY)
+        imgs = rng.standard_normal((12, 3, 32, 32)).astype(np.float32)
+        protos = get_prototypes(params, bn, imgs, TINY)
+        assert protos.shape == (TINY.n_clusters,)
+        assert all(-1 <= p < 12 for p in protos)
+
+    def test_visualize_indices(self, rng, tmp_path):
+        from tpu_ac.viz.plots import visualize_indices
+        import os
+        imgs = rng.integers(0, 255, (10, 32, 32, 3), dtype=np.uint8)
+        out = str(tmp_path / "protos.png")
+        visualize_indices(imgs, [0, 3, 5, -1], save_path=out)
+        assert os.path.exists(out)

@@ -386,3 +386,23 @@ def contrastive_evaluate(params, bn_state, images: np.ndarray,
         pred = bank.weighted_knn(np.asarray(emb))
         correct += int(np.sum(pred == targets[i:i + batch_size]))
     return correct / len(images)
+
+
+def get_prototypes(params, bn_state, images: np.ndarray,
+                   cfg: SCANModelConfig, head: int = 0,
+                   batch_size: int = 256) -> np.ndarray:
+    """Most-confident sample index per cluster
+    (Unsupervised-Classification-master/eval.py:96-128)."""
+    all_probs = []
+    for i in range(0, len(images), batch_size):
+        logits, _, _ = clustering_forward(
+            params, bn_state, jnp.asarray(images[i:i + batch_size]), cfg)
+        all_probs.append(np.asarray(jax.nn.softmax(logits[head], axis=1)))
+    probs = np.concatenate(all_probs)
+    preds = probs.argmax(1)
+    protos = np.full(cfg.n_clusters, -1, np.int64)
+    for c in range(cfg.n_clusters):
+        members = np.where(preds == c)[0]
+        if len(members):
+            protos[c] = members[np.argmax(probs[members, c])]
+    return protos

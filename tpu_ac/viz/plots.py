@@ -171,3 +171,28 @@ def attention_maps(params, image_chw: np.ndarray, vit_cfg,
             plt.imsave(os.path.join(save_dir, f"attn-head{h_i}.png"),
                        maps[h_i], cmap="inferno")
     return maps
+
+
+def visualize_indices(images_u8: "np.ndarray", indices,
+                      save_path: str | None = None, cols: int = 8):
+    """Image grid of selected dataset indices (cluster members or
+    prototypes — Unsupervised-Classification-master/eval.py:131-145)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    indices = [int(i) for i in indices if int(i) >= 0]
+    rows = max(1, (len(indices) + cols - 1) // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(1.6 * cols, 1.6 * rows))
+    axes = np.atleast_1d(axes).ravel()
+    for ax in axes:
+        ax.axis("off")
+    for ax, idx in zip(axes, indices):
+        ax.imshow(images_u8[idx])
+        ax.set_title(str(idx), fontsize=6)
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+    return fig
