@@ -1,0 +1,65 @@
+"""Checkpoint conversion/validation CLI.
+
+The migration tool for reference users: takes a released torch ``.pth``
+(DINO hub / torchvision / full DINO training checkpoint), converts it to
+tpu_ac params, validates key coverage and shapes against the target
+backbone, and installs it under the checkpoint cache so
+``load_backbone(name)`` picks it up.
+
+    python -m tpu_ac.cli.convert dino_vitbase8_pretrain.pth \
+        --backbone dino_vitbase8 [--checkpoint_key teacher] [--install]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+from tpu_ac.models.convert import (
+    load_torch_checkpoint,
+    validate_params_against_backbone,
+)
+from tpu_ac.models.registry import BACKBONE_CONFIGS
+
+
+def main(argv=None) -> dict:
+    p = argparse.ArgumentParser("tpu_ac checkpoint converter")
+    p.add_argument("checkpoint", help="path to the torch .pth file")
+    p.add_argument("--backbone", required=True,
+                   choices=sorted(BACKBONE_CONFIGS))
+    p.add_argument("--checkpoint_key", default=None,
+                   help="sub-dict key, e.g. 'teacher' for DINO training "
+                        "checkpoints")
+    p.add_argument("--install", action="store_true",
+                   help="copy into the checkpoint cache under the expected "
+                        "filename for load_backbone")
+    p.add_argument("--cache_dir",
+                   default=os.path.expanduser("~/.cache/tpu_ac/checkpoints"))
+    args = p.parse_args(argv)
+
+    params = load_torch_checkpoint(args.checkpoint, args.checkpoint_key)
+    report = validate_params_against_backbone(params, args.backbone)
+    n_ok = len(params) - len(report["unexpected"])
+    print(f"{args.checkpoint}: {len(params)} tensors, {n_ok} map onto "
+          f"'{args.backbone}'")
+    for kind in ("missing", "unexpected", "shape_mismatch"):
+        vals = report[kind]
+        if vals:
+            print(f"  {kind} ({len(vals)}): {vals[:8]}"
+                  f"{' ...' if len(vals) > 8 else ''}")
+    ok = not report["missing"] and not report["shape_mismatch"]
+    print("OK — checkpoint fully covers the backbone" if ok
+          else "WARNING — conversion incomplete (see above)")
+
+    if args.install:
+        spec = BACKBONE_CONFIGS[args.backbone]
+        os.makedirs(args.cache_dir, exist_ok=True)
+        dest = os.path.join(args.cache_dir, spec.checkpoint)
+        shutil.copyfile(args.checkpoint, dest)
+        print(f"installed -> {dest}")
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -50,7 +50,30 @@ def load_torch_checkpoint(path: str, checkpoint_key: str | None = None) -> dict[
         ckpt = ckpt[checkpoint_key]
     if "state_dict" in ckpt:
         ckpt = ckpt["state_dict"]
+    if any(".denselayer" in k for k in ckpt):
+        ckpt = remap_densenet_keys(ckpt)
     return torch_state_dict_to_params(ckpt)
+
+
+def validate_params_against_backbone(params: Mapping[str, Any],
+                                     name: str) -> dict:
+    """Key-coverage report of converted params vs a registry backbone's
+    expected structure — the conversion sanity check a reference user runs
+    when migrating released .pth files.
+
+    Returns {"missing": [...], "unexpected": [...], "shape_mismatch": [...]}.
+    """
+    from tpu_ac.models.registry import load_backbone
+
+    expected, _cfg, _family = load_backbone(name, checkpoint_path=None,
+                                            checkpoint_dir="/nonexistent")
+    missing = sorted(set(expected) - set(params))
+    unexpected = sorted(set(params) - set(expected))
+    mismatch = sorted(
+        k for k in set(expected) & set(params)
+        if tuple(np.shape(expected[k])) != tuple(np.shape(params[k])))
+    return {"missing": missing, "unexpected": unexpected,
+            "shape_mismatch": mismatch}
 
 
 def params_to_torch_state_dict(params: Mapping[str, jnp.ndarray]):
