@@ -150,3 +150,20 @@ class TestMixedPrecision:
         assert abs(float(m16["loss"]) - float(m32["loss"])) < 0.05
         # master params stay f32
         assert s16.student["backbone.cls_token"].dtype == jnp.float32
+
+
+class TestRemat:
+    def test_remat_step_matches_plain(self, state, batch):
+        import dataclasses
+        cfg_r = dataclasses.replace(TINY_CFG, remat=True)
+        step_r = jax.jit(make_dino_train_step(TINY_VIT, cfg_r))
+        step_p = jax.jit(make_dino_train_step(TINY_VIT, TINY_CFG))
+        g, l = batch
+        sr, mr = step_r(state, g, l, **_scalars())
+        sp, mp = step_p(state, g, l, **_scalars())
+        np.testing.assert_allclose(float(mr["loss"]), float(mp["loss"]),
+                                   rtol=1e-6)
+        k = "backbone.blocks.0.attn.qkv.weight"
+        np.testing.assert_allclose(np.asarray(sr.student[k]),
+                                   np.asarray(sp.student[k]),
+                                   rtol=1e-5, atol=1e-7)

@@ -234,6 +234,7 @@ def vit_forward(
     precision=jax.lax.Precision.HIGHEST,
     attention_impl: Callable | None = None,
     max_depth: int | None = None,
+    remat: bool = False,
 ) -> dict[int, jnp.ndarray]:
     """Run the ViT trunk, returning raw block outputs for each tapped index.
 
@@ -243,6 +244,10 @@ def vit_forward(
     the deepest tap (the reference aborts the forward by raising from the
     last hook, common.py:262-268).
 
+    ``remat=True`` checkpoints each block (jax.checkpoint): activations are
+    recomputed in the backward pass, trading ~1/3 more FLOPs for O(depth)
+    less live memory — the HBM lever for large-batch multi-crop training.
+
     Returns {tap_index: [B, N+1, D]}.
     """
     x = prepare_tokens(params, images, cfg, precision)
@@ -251,8 +256,14 @@ def vit_forward(
     if depth is None:
         depth = (max(taps) + 1) if taps else cfg.depth
     out: dict[int, jnp.ndarray] = {}
+
+    def run_block(i, x):
+        return block_forward(params, i, x, cfg, precision, attention_impl)
+
+    if remat:
+        run_block = jax.checkpoint(run_block, static_argnums=(0,))
     for i in range(depth):
-        x = block_forward(params, i, x, cfg, precision, attention_impl)
+        x = run_block(i, x)
         if i in taps:
             out[i] = x
     out[-1] = x  # last computed block output
@@ -261,10 +272,12 @@ def vit_forward(
 
 def vit_cls_forward(params: Params, images: jnp.ndarray, cfg: ViTConfig,
                     precision=jax.lax.Precision.HIGHEST,
-                    attention_impl: Callable | None = None) -> jnp.ndarray:
+                    attention_impl: Callable | None = None,
+                    remat: bool = False) -> jnp.ndarray:
     """Full forward -> final norm -> CLS token (vision_transformer.py:209-214)."""
     x = vit_forward(params, images, cfg, precision=precision,
-                    attention_impl=attention_impl, max_depth=cfg.depth)[-1]
+                    attention_impl=attention_impl, max_depth=cfg.depth,
+                    remat=remat)[-1]
     x = layernorm(x, params["norm.weight"], params["norm.bias"], cfg.ln_eps)
     return x[:, 0]
 

@@ -67,6 +67,7 @@ class DINOConfig:
     head_hidden_dim: int = 2048
     head_bottleneck_dim: int = 256
     head_nlayers: int = 3
+    remat: bool = False  # jax.checkpoint each block (memory vs FLOPs)
 
     @property
     def ncrops(self) -> int:
@@ -111,16 +112,17 @@ def _no_wd_mask(params: Params) -> dict[str, bool]:
 
 def student_forward(params: Params, global_crops: jnp.ndarray,
                     local_crops: jnp.ndarray | None, vit_cfg: ViTConfig,
-                    precision=jax.lax.Precision.DEFAULT) -> jnp.ndarray:
+                    precision=jax.lax.Precision.DEFAULT,
+                    remat: bool = False) -> jnp.ndarray:
     """MultiCropWrapper forward (utils.py:594-629): backbone per resolution
     bucket, head on the concatenation.  Returns [(2+L)*B, out_dim]."""
     backbone = _split_params(params, "backbone.")
     head = _split_params(params, "head.")
     feats = [vit_cls_forward(backbone, global_crops, vit_cfg,
-                             precision=precision)]
+                             precision=precision, remat=remat)]
     if local_crops is not None:
         feats.append(vit_cls_forward(backbone, local_crops, vit_cfg,
-                                     precision=precision))
+                                     precision=precision, remat=remat))
     return dino_head_forward(head, jnp.concatenate(feats), precision=precision)
 
 
@@ -213,7 +215,8 @@ def make_dino_train_step(vit_cfg: ViTConfig, cfg: DINOConfig,
                                 precision).astype(jnp.float32)
         s_out = student_forward(sp, g_crops,
                                 l_crops if use_local else None, vit_cfg,
-                                precision).astype(jnp.float32)
+                                precision, remat=cfg.remat
+                                ).astype(jnp.float32)
         loss = dino_loss(s_out, jax.lax.stop_gradient(t_out), center, ncrops,
                          teacher_temp, cfg.student_temp)
         return loss, t_out
