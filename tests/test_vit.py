@@ -118,3 +118,41 @@ class TestDinoHead:
         w = wg * wv / wv.norm(dim=1, keepdim=True)
         want = (h @ w.T).numpy()
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestScanBlocks:
+    def test_scan_matches_unrolled(self, tiny_params, rng):
+        imgs = jnp.asarray(rng.standard_normal((2, 3, 32, 32)).astype(np.float32))
+        plain = vit_forward(tiny_params, imgs, TINY, taps=(2, 3))
+        scanned = vit_forward(tiny_params, imgs, TINY, taps=(2, 3),
+                              scan_blocks=True)
+        for k in (2, 3, -1):
+            np.testing.assert_allclose(np.asarray(scanned[k]),
+                                       np.asarray(plain[k]),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_scan_no_taps(self, tiny_params, rng):
+        imgs = jnp.asarray(rng.standard_normal((1, 3, 32, 32)).astype(np.float32))
+        plain = vit_forward(tiny_params, imgs, TINY, max_depth=4)
+        scanned = vit_forward(tiny_params, imgs, TINY, max_depth=4,
+                              scan_blocks=True)
+        np.testing.assert_allclose(np.asarray(scanned[-1]),
+                                   np.asarray(plain[-1]),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_scan_with_remat_gradients(self, tiny_params, rng):
+        import jax
+        imgs = jnp.asarray(rng.standard_normal((1, 3, 32, 32)).astype(np.float32))
+
+        def loss(params, scan_blocks, remat):
+            out = vit_forward(params, imgs, TINY, taps=(3,),
+                              scan_blocks=scan_blocks, remat=remat)
+            return jnp.sum(out[3] ** 2)
+
+        g_plain = jax.grad(loss)(tiny_params, False, False)
+        g_scan = jax.grad(loss)(tiny_params, True, True)
+        for k in ("blocks.0.attn.qkv.weight", "blocks.2.mlp.fc1.weight",
+                  "patch_embed.proj.weight"):
+            np.testing.assert_allclose(np.asarray(g_scan[k]),
+                                       np.asarray(g_plain[k]),
+                                       rtol=5e-4, atol=1e-6)

@@ -235,6 +235,7 @@ def vit_forward(
     attention_impl: Callable | None = None,
     max_depth: int | None = None,
     remat: bool = False,
+    scan_blocks: bool = False,
 ) -> dict[int, jnp.ndarray]:
     """Run the ViT trunk, returning raw block outputs for each tapped index.
 
@@ -262,7 +263,29 @@ def vit_forward(
 
     if remat:
         run_block = jax.checkpoint(run_block, static_argnums=(0,))
-    for i in range(depth):
+
+    start = 0
+    if scan_blocks:
+        # lax.scan over the untapped prefix with stacked per-block params:
+        # the HLO contains ONE block body instead of `depth` copies, cutting
+        # compile time ~depth-fold.  Tapped blocks (typically the last two)
+        # stay unrolled so their outputs are plain values.
+        prefix_len = min(taps) if taps else depth
+        if prefix_len >= 2:
+            stacked = _stack_block_params(params, 0, prefix_len)
+
+            def scan_body(x, layer_params):
+                merged = {**params, **{
+                    f"blocks.0.{k}": v for k, v in layer_params.items()}}
+                y = block_forward(merged, 0, x, cfg, precision,
+                                  attention_impl)
+                return y, None
+
+            body = (jax.checkpoint(scan_body) if remat else scan_body)
+            x, _ = jax.lax.scan(body, x, stacked)
+            start = prefix_len
+
+    for i in range(start, depth):
         x = run_block(i, x)
         if i in taps:
             out[i] = x
@@ -270,14 +293,35 @@ def vit_forward(
     return out
 
 
+_BLOCK_PARAM_SUFFIXES = (
+    "norm1.weight", "norm1.bias", "attn.qkv.weight", "attn.qkv.bias",
+    "attn.proj.weight", "attn.proj.bias", "norm2.weight", "norm2.bias",
+    "mlp.fc1.weight", "mlp.fc1.bias", "mlp.fc2.weight", "mlp.fc2.bias",
+)
+
+
+def _stack_block_params(params: Params, start: int, end: int
+                        ) -> dict[str, jnp.ndarray]:
+    """Stack per-block params [end-start, ...] keyed by in-block suffix."""
+    out = {}
+    for suffix in _BLOCK_PARAM_SUFFIXES:
+        key0 = f"blocks.{start}.{suffix}"
+        if key0 not in params:
+            continue
+        out[suffix] = jnp.stack(
+            [params[f"blocks.{i}.{suffix}"] for i in range(start, end)])
+    return out
+
+
 def vit_cls_forward(params: Params, images: jnp.ndarray, cfg: ViTConfig,
                     precision=jax.lax.Precision.HIGHEST,
                     attention_impl: Callable | None = None,
-                    remat: bool = False) -> jnp.ndarray:
+                    remat: bool = False,
+                    scan_blocks: bool = False) -> jnp.ndarray:
     """Full forward -> final norm -> CLS token (vision_transformer.py:209-214)."""
     x = vit_forward(params, images, cfg, precision=precision,
                     attention_impl=attention_impl, max_depth=cfg.depth,
-                    remat=remat)[-1]
+                    remat=remat, scan_blocks=scan_blocks)[-1]
     x = layernorm(x, params["norm.weight"], params["norm.bias"], cfg.ln_eps)
     return x[:, 0]
 

@@ -68,6 +68,10 @@ class DINOConfig:
     head_bottleneck_dim: int = 256
     head_nlayers: int = 3
     remat: bool = False  # jax.checkpoint each block (memory vs FLOPs)
+    # lax.scan over the transformer blocks: one block body in the HLO
+    # instead of `depth` copies — cuts train-step compile time ~depth-fold
+    # at identical numerics (tested). Disable to let XLA unroll.
+    scan_blocks: bool = True
 
     @property
     def ncrops(self) -> int:
@@ -113,16 +117,19 @@ def _no_wd_mask(params: Params) -> dict[str, bool]:
 def student_forward(params: Params, global_crops: jnp.ndarray,
                     local_crops: jnp.ndarray | None, vit_cfg: ViTConfig,
                     precision=jax.lax.Precision.DEFAULT,
-                    remat: bool = False) -> jnp.ndarray:
+                    remat: bool = False,
+                    scan_blocks: bool = False) -> jnp.ndarray:
     """MultiCropWrapper forward (utils.py:594-629): backbone per resolution
     bucket, head on the concatenation.  Returns [(2+L)*B, out_dim]."""
     backbone = _split_params(params, "backbone.")
     head = _split_params(params, "head.")
     feats = [vit_cls_forward(backbone, global_crops, vit_cfg,
-                             precision=precision, remat=remat)]
+                             precision=precision, remat=remat,
+                             scan_blocks=scan_blocks)]
     if local_crops is not None:
         feats.append(vit_cls_forward(backbone, local_crops, vit_cfg,
-                                     precision=precision, remat=remat))
+                                     precision=precision, remat=remat,
+                                     scan_blocks=scan_blocks))
     return dino_head_forward(head, jnp.concatenate(feats), precision=precision)
 
 
@@ -212,10 +219,12 @@ def make_dino_train_step(vit_cfg: ViTConfig, cfg: DINOConfig,
         g_crops = _cast(g_crops)
         l_crops = _cast(l_crops) if l_crops is not None else None
         t_out = student_forward(tp, g_crops, None, vit_cfg,
-                                precision).astype(jnp.float32)
+                                precision, scan_blocks=cfg.scan_blocks
+                                ).astype(jnp.float32)
         s_out = student_forward(sp, g_crops,
                                 l_crops if use_local else None, vit_cfg,
-                                precision, remat=cfg.remat
+                                precision, remat=cfg.remat,
+                                scan_blocks=cfg.scan_blocks
                                 ).astype(jnp.float32)
         loss = dino_loss(s_out, jax.lax.stop_gradient(t_out), center, ncrops,
                          teacher_temp, cfg.student_temp)
