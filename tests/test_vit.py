@@ -156,3 +156,16 @@ class TestScanBlocks:
             np.testing.assert_allclose(np.asarray(g_scan[k]),
                                        np.asarray(g_plain[k]),
                                        rtol=5e-4, atol=1e-6)
+
+
+class TestSelfAttentionAccessors:
+    def test_index_attention_matches_last(self, tiny_params, rng):
+        from tpu_ac.models.vit import vit_selfattention, vit_last_selfattention
+        imgs = jnp.asarray(rng.standard_normal((1, 3, 32, 32)).astype(np.float32))
+        a_idx = vit_selfattention(tiny_params, imgs, TINY, TINY.depth - 1)
+        a_last = vit_last_selfattention(tiny_params, imgs, TINY)
+        np.testing.assert_allclose(np.asarray(a_idx), np.asarray(a_last),
+                                   rtol=1e-6)
+        a0 = vit_selfattention(tiny_params, imgs, TINY, 0)
+        assert a0.shape == (1, TINY.num_heads, 17, 17)
+        np.testing.assert_allclose(np.asarray(a0).sum(-1), 1.0, rtol=1e-5)

@@ -349,3 +349,15 @@ def vit_last_selfattention(params: Params, images: jnp.ndarray, cfg: ViTConfig,
         x = block_forward(params, i, x, cfg, precision)
     return block_forward(params, cfg.depth - 1, x, cfg, precision,
                          return_attention=True)
+
+
+def vit_selfattention(params: Params, images: jnp.ndarray, cfg: ViTConfig,
+                      block_idx: int,
+                      precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Attention map of an arbitrary block (get_index_selfattention,
+    dino-main/vision_transformer.py:225-228)."""
+    x = prepare_tokens(params, images, cfg, precision)
+    for i in range(block_idx):
+        x = block_forward(params, i, x, cfg, precision)
+    return block_forward(params, block_idx, x, cfg, precision,
+                         return_attention=True)
