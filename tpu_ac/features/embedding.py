@@ -203,7 +203,8 @@ def embed_feature_maps(feature_maps: Sequence[jnp.ndarray],
 def embed_vit_features(params: Mapping[str, jnp.ndarray], images: jnp.ndarray,
                        vit_cfg: ViTConfig, cfg: EmbedConfig,
                        *, precision=jax.lax.Precision.HIGHEST,
-                       attention_impl=None) -> jnp.ndarray:
+                       attention_impl=None,
+                       scan_blocks: bool = True) -> jnp.ndarray:
     """Full _embed pipeline for a ViT backbone.
 
     Args:
@@ -216,7 +217,8 @@ def embed_vit_features(params: Mapping[str, jnp.ndarray], images: jnp.ndarray,
     """
     taps = cfg.tap_indices
     outs = vit_forward(params, images, vit_cfg, taps=taps,
-                       precision=precision, attention_impl=attention_impl)
+                       precision=precision, attention_impl=attention_impl,
+                       scan_blocks=scan_blocks)
     return embed_feature_maps([outs[t] for t in taps], cfg)
 
 
