@@ -61,6 +61,30 @@ BACKBONE_CONFIGS: dict[str, BackboneSpec] = {
 }
 
 
+def _register_timm_vits() -> None:
+    """timm ViT names from the reference registry (backbones.py:35-40).
+    timm checkpoints share the blocks.* state_dict layout, so conversion
+    is the same array copy; non-ViT timm families (swin, efficientnet,
+    vgg, ...) are future work (see ROADMAP.md)."""
+    from tpu_ac.models.vit import VIT_LARGE
+
+    BACKBONE_CONFIGS["vit_small"] = BackboneSpec(
+        "vit", dataclasses.replace(VIT_SMALL, patch_size=8),
+        "vit_small_patch8_224.pth")
+    BACKBONE_CONFIGS["vit_base"] = BackboneSpec(
+        "vit", dataclasses.replace(VIT_BASE, patch_size=8),
+        "vit_base_patch8_224.pth")
+    BACKBONE_CONFIGS["vit_large"] = BackboneSpec(
+        "vit", dataclasses.replace(VIT_LARGE, patch_size=8),
+        "vit_large_patch8_224.pth")
+    BACKBONE_CONFIGS["vit_deit_base"] = BackboneSpec(
+        "vit", dataclasses.replace(VIT_BASE, patch_size=8),
+        "deit_base_patch8_224.pth")
+
+
+_register_timm_vits()
+
+
 def _register_resnets() -> None:
     from tpu_ac.models.resnet import (
         RESNET18,

@@ -70,6 +70,7 @@ class ViTConfig:
 VIT_TINY = ViTConfig(embed_dim=192, num_heads=3)
 VIT_SMALL = ViTConfig(embed_dim=384, num_heads=6)
 VIT_BASE = ViTConfig(embed_dim=768, num_heads=12)
+VIT_LARGE = ViTConfig(embed_dim=1024, depth=24, num_heads=16)
 
 
 def _trunc_normal_np(rng: np.random.Generator, shape, std=0.02, a=-2.0, b=2.0):
