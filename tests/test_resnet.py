@@ -254,3 +254,50 @@ class TestDenseNet:
         imgs = jnp.asarray(rng.standard_normal((2, 3, 64, 64)).astype(np.float32))
         z = embed_densenet_features(p, imgs, tiny, ecfg)
         assert z.shape == (2, 8 * 8, 64)  # denseblock2 grid (64/8) reference
+
+
+class TestVGG:
+    def test_vgg_matches_torch(self, rng):
+        import torch
+        import torch.nn.functional as F
+        from tpu_ac.models.vgg import VGG11, init_vgg_params, vgg_forward
+
+        p = init_vgg_params(0, VGG11)
+        imgs = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+        got = vgg_forward(p, jnp.asarray(imgs), VGG11,
+                          taps=("stage2", "stage3"))
+
+        x = torch.from_numpy(imgs)
+        stage = 1
+        outs = {}
+        from tpu_ac.models.vgg import _sequential_indices
+        for idx, kind, _ in _sequential_indices(VGG11):
+            if kind == "conv":
+                x = F.conv2d(x, torch.from_numpy(np.asarray(p[f"features.{idx}.weight"])),
+                             torch.from_numpy(np.asarray(p[f"features.{idx}.bias"])),
+                             padding=1)
+            elif kind == "relu":
+                x = F.relu(x)
+            elif kind == "pool":
+                outs[f"stage{stage}"] = x.numpy()
+                x = F.max_pool2d(x, 2, 2)
+                stage += 1
+        for k in ("stage2", "stage3"):
+            np.testing.assert_allclose(np.asarray(got[k]), outs[k],
+                                       rtol=5e-4, atol=5e-5)
+
+    def test_vgg_bn_registry_and_embed(self, rng):
+        from tpu_ac.models import load_backbone
+        from tpu_ac.features.embedding import EmbedConfig, embed_vgg_features
+        from tpu_ac.models.vgg import VGG19_BN, init_vgg_params
+
+        _p, cfg, family = load_backbone("vgg19_bn")
+        assert family == "vgg" and cfg.batch_norm
+        p = init_vgg_params(0, VGG19_BN)
+        ecfg = EmbedConfig(layers=("stage3", "stage4"),
+                           pretrain_embed_dimension=64,
+                           target_embed_dimension=128,
+                           apply_layernorm=False)
+        imgs = jnp.asarray(rng.standard_normal((1, 3, 64, 64)).astype(np.float32))
+        z = embed_vgg_features(p, imgs, VGG19_BN, ecfg)
+        assert z.shape == (1, 16 * 16, 128)  # stage3 grid = 64/4

@@ -253,6 +253,17 @@ def build_embedder(params: Mapping[str, jnp.ndarray], vit_cfg: ViTConfig,
     return lambda images: embed(device_params, images)
 
 
+def embed_vgg_features(params: Mapping[str, jnp.ndarray],
+                       images: jnp.ndarray, vgg_cfg,
+                       cfg: EmbedConfig) -> jnp.ndarray:
+    """Full _embed pipeline for a VGG backbone (taps by stage name,
+    e.g. layers=("stage3", "stage4"))."""
+    from tpu_ac.models.vgg import vgg_forward
+
+    outs = vgg_forward(params, images, vgg_cfg, taps=cfg.layers)
+    return embed_feature_maps([outs[name] for name in cfg.layers], cfg)
+
+
 def embed_densenet_features(params: Mapping[str, jnp.ndarray],
                             images: jnp.ndarray, densenet_cfg,
                             cfg: EmbedConfig) -> jnp.ndarray:

@@ -64,8 +64,8 @@ BACKBONE_CONFIGS: dict[str, BackboneSpec] = {
 def _register_timm_vits() -> None:
     """timm ViT names from the reference registry (backbones.py:35-40).
     timm checkpoints share the blocks.* state_dict layout, so conversion
-    is the same array copy; non-ViT timm families (swin, efficientnet,
-    vgg, ...) are future work (see ROADMAP.md)."""
+    is the same array copy; remaining timm families (swin, efficientnet,
+    inception, mnasnet, resnetv2/BiT) are future work (see ROADMAP.md)."""
     from tpu_ac.models.vit import VIT_LARGE
 
     BACKBONE_CONFIGS["vit_small"] = BackboneSpec(
@@ -83,6 +83,20 @@ def _register_timm_vits() -> None:
 
 
 _register_timm_vits()
+
+
+def _register_vggs() -> None:
+    from tpu_ac.models.vgg import VGG11, VGG19, VGG19_BN
+
+    BACKBONE_CONFIGS["vgg11"] = BackboneSpec(
+        "vgg", VGG11, "vgg11-8a719046.pth")
+    BACKBONE_CONFIGS["vgg19"] = BackboneSpec(
+        "vgg", VGG19, "vgg19-dcbb9e9d.pth")
+    BACKBONE_CONFIGS["vgg19_bn"] = BackboneSpec(
+        "vgg", VGG19_BN, "vgg19_bn-c79401a0.pth")
+
+
+_register_vggs()
 
 
 def _register_resnets() -> None:
@@ -175,6 +189,10 @@ def load_backbone(name: str, *, checkpoint_dir: str | None = None,
             from tpu_ac.models.densenet import init_densenet_params
 
             params = init_densenet_params(seed, spec.config)
+        elif spec.family == "vgg":
+            from tpu_ac.models.vgg import init_vgg_params
+
+            params = init_vgg_params(seed, spec.config)
         else:
             raise NotImplementedError(f"family {spec.family}")
     return params, spec.config, spec.family

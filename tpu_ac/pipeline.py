@@ -137,6 +137,13 @@ class CategoryEmbedder:
                 z = embed_densenet_features(p, _prep(images), backbone_cfg,
                                             ecfg)
                 return z.astype(jnp.float32)
+        elif family == "vgg":
+            from tpu_ac.features.embedding import embed_vgg_features
+
+            @jax.jit
+            def _embed(p, images: jnp.ndarray) -> jnp.ndarray:
+                z = embed_vgg_features(p, _prep(images), backbone_cfg, ecfg)
+                return z.astype(jnp.float32)
         else:
             raise NotImplementedError(f"family {family}")
 
