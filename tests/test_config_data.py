@@ -82,3 +82,23 @@ class TestClassificationData:
         test = load_cifar10(str(tmp_path), "test")
         assert len(train) == 50 and len(test) == 10
         assert train.images.shape == (50, 32, 32, 3)
+
+
+class TestImageFolderSharding:
+    def test_shards_disjoint_and_cover(self, tmp_path):
+        import numpy as np
+        from PIL import Image
+        from tpu_ac.data.imagefolder import ImageFolder
+
+        d = tmp_path / "c0"
+        d.mkdir()
+        for i in range(16):
+            Image.new("RGB", (8, 8)).save(d / f"{i}.png")
+        ds = ImageFolder(str(tmp_path))
+        a = np.concatenate(list(ds.epoch_batches(4, seed=0, num_shards=2,
+                                                 shard_index=0)))
+        b = np.concatenate(list(ds.epoch_batches(4, seed=0, num_shards=2,
+                                                 shard_index=1)))
+        assert len(a) == len(b) == 8
+        assert set(a.tolist()).isdisjoint(b.tolist())
+        assert set(a.tolist()) | set(b.tolist()) == set(range(16))

@@ -86,7 +86,8 @@ def train_dino(args) -> dict:
     vit_cfg = ViTConfig(
         **{**_ARCHS[args.arch].__dict__, "patch_size": args.patch_size,
            "img_size": args.global_size})
-    steps_per_epoch = max(1, len(dataset) // args.batch_size_per_gpu)
+    steps_per_epoch = max(1, len(dataset) // jax.process_count()
+                          // args.batch_size_per_gpu)
     if args.max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
     cfg = DINOConfig(
@@ -128,8 +129,10 @@ def train_dino(args) -> dict:
         logger = MetricLogger()
         t_temp = schedules["teacher_temp"][min(
             epoch, len(schedules["teacher_temp"]) - 1)]
-        batches = dataset.epoch_batches(args.batch_size_per_gpu,
-                                        seed=args.seed + epoch)
+        batches = dataset.epoch_batches(
+            args.batch_size_per_gpu, seed=args.seed + epoch,
+            num_shards=jax.process_count(),
+            shard_index=jax.process_index())
         for i, idxs in enumerate(logger.log_every(batches, 10,
                                                   f"Epoch: [{epoch}]")):
             if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:

@@ -39,10 +39,17 @@ class ImageFolder:
             img = self.transform(img)
         return img, target
 
-    def epoch_batches(self, batch_size: int, *, seed: int, drop_last=True):
-        """Shuffled index batches for one epoch (DistributedSampler
-        equivalent: shard these across hosts by slicing per process)."""
+    def epoch_batches(self, batch_size: int, *, seed: int, drop_last=True,
+                      num_shards: int = 1, shard_index: int = 0):
+        """Shuffled index batches for one epoch.
+
+        The DistributedSampler equivalent (dino-main/main_dino.py:146):
+        every shard permutes with the same seed and takes a strided slice,
+        so multi-host runs see disjoint same-sized shards per epoch.
+        """
         order = np.random.default_rng(seed).permutation(len(self.samples))
+        if num_shards > 1:
+            order = order[shard_index::num_shards]
         end = (len(order) // batch_size * batch_size if drop_last
                else len(order))
         for i in range(0, end, batch_size):
