@@ -301,3 +301,36 @@ class TestVGG:
         imgs = jnp.asarray(rng.standard_normal((1, 3, 64, 64)).astype(np.float32))
         z = embed_vgg_features(p, imgs, VGG19_BN, ecfg)
         assert z.shape == (1, 16 * 16, 128)  # stage3 grid = 64/4
+
+
+class TestAlexNet:
+    def test_matches_torch(self, rng):
+        import torch
+        import torch.nn.functional as F
+        from tpu_ac.models.vgg import (ALEXNET, _ALEXNET_CONVS,
+                                       _ALEXNET_POOL_AFTER,
+                                       alexnet_forward, init_alexnet_params)
+
+        p = init_alexnet_params(0)
+        imgs = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+        got = alexnet_forward(p, jnp.asarray(imgs), ALEXNET,
+                              taps=("conv3", "conv5"))
+        x = torch.from_numpy(imgs)
+        outs = {}
+        for n, (idx, _o, _i, _k, stride, pad) in enumerate(_ALEXNET_CONVS, 1):
+            x = F.conv2d(x, torch.from_numpy(np.asarray(p[f"features.{idx}.weight"])),
+                         torch.from_numpy(np.asarray(p[f"features.{idx}.bias"])),
+                         stride=stride, padding=pad)
+            x = F.relu(x)
+            outs[f"conv{n}"] = x.numpy()
+            if idx in _ALEXNET_POOL_AFTER and n < 5:
+                x = F.max_pool2d(x, 3, 2)
+        for k in ("conv3", "conv5"):
+            np.testing.assert_allclose(np.asarray(got[k]), outs[k],
+                                       rtol=5e-4, atol=5e-5)
+
+    def test_registry(self):
+        from tpu_ac.models import load_backbone
+        p, cfg, family = load_backbone("alexnet")
+        assert family == "alexnet"
+        assert p["features.0.weight"].shape == (64, 3, 11, 11)

@@ -86,7 +86,10 @@ _register_timm_vits()
 
 
 def _register_vggs() -> None:
-    from tpu_ac.models.vgg import VGG11, VGG19, VGG19_BN
+    from tpu_ac.models.vgg import ALEXNET, VGG11, VGG19, VGG19_BN
+
+    BACKBONE_CONFIGS["alexnet"] = BackboneSpec(
+        "alexnet", ALEXNET, "alexnet-owt-7be5be79.pth")
 
     BACKBONE_CONFIGS["vgg11"] = BackboneSpec(
         "vgg", VGG11, "vgg11-8a719046.pth")
@@ -193,6 +196,10 @@ def load_backbone(name: str, *, checkpoint_dir: str | None = None,
             from tpu_ac.models.vgg import init_vgg_params
 
             params = init_vgg_params(seed, spec.config)
+        elif spec.family == "alexnet":
+            from tpu_ac.models.vgg import init_alexnet_params
+
+            params = init_alexnet_params(seed)
         else:
             raise NotImplementedError(f"family {spec.family}")
     return params, spec.config, spec.family

@@ -116,3 +116,66 @@ def vgg_forward(params: Params, images: jnp.ndarray, cfg: VGGConfig,
                 ((0, 0), (0, 0), (0, 0), (0, 0)))
             stage += 1
     return out
+
+
+# --------------------------------------------------------------------------
+# AlexNet (torchvision layout) — backbones.py:8 registry entry
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class AlexNetConfig:
+    pass
+
+
+ALEXNET = AlexNetConfig()
+
+# (features_idx, out_c, in_c, kernel, stride, padding)
+_ALEXNET_CONVS = (
+    (0, 64, 3, 11, 4, 2),
+    (3, 192, 64, 5, 1, 2),
+    (6, 384, 192, 3, 1, 1),
+    (8, 256, 384, 3, 1, 1),
+    (10, 256, 256, 3, 1, 1),
+)
+# max-pool positions after these feature indices (3x3, stride 2)
+_ALEXNET_POOL_AFTER = {0, 3, 10}
+
+
+def init_alexnet_params(seed: int, cfg: AlexNetConfig = ALEXNET
+                        ) -> dict[str, jnp.ndarray]:
+    rng = np.random.default_rng(seed)
+    p: dict[str, np.ndarray] = {}
+    for idx, out_c, in_c, k, _s, _pad in _ALEXNET_CONVS:
+        fan = in_c * k * k
+        p[f"features.{idx}.weight"] = (
+            rng.standard_normal((out_c, in_c, k, k)) * math.sqrt(2.0 / fan)
+        ).astype(np.float32)
+        p[f"features.{idx}.bias"] = np.zeros((out_c,), np.float32)
+    return {k: jnp.asarray(v) for k, v in p.items()}
+
+
+def alexnet_forward(params: Params, images: jnp.ndarray,
+                    cfg: AlexNetConfig = ALEXNET,
+                    *, taps: Sequence[str] = ("conv4", "conv5")
+                    ) -> dict[str, jnp.ndarray]:
+    """Tap names conv1..conv5 (post-ReLU, pre-pool)."""
+    taps = tuple(taps)
+    deepest = max(int(t[-1]) for t in taps)
+    x = images
+    out: dict[str, jnp.ndarray] = {}
+    for n, (idx, _o, _i, _k, stride, pad) in enumerate(_ALEXNET_CONVS,
+                                                       start=1):
+        x = jax.lax.conv_general_dilated(
+            x, params[f"features.{idx}.weight"], (stride, stride),
+            ((pad, pad), (pad, pad)),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        x = jax.nn.relu(x + params[f"features.{idx}.bias"][None, :, None, None])
+        if f"conv{n}" in taps:
+            out[f"conv{n}"] = x
+        if n >= deepest:
+            return out
+        if idx in _ALEXNET_POOL_AFTER:
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
+                ((0, 0), (0, 0), (0, 0), (0, 0)))
+    return out
