@@ -334,3 +334,67 @@ class TestAlexNet:
         p, cfg, family = load_backbone("alexnet")
         assert family == "alexnet"
         assert p["features.0.weight"].shape == (64, 3, 11, 11)
+
+
+class TestEfficientNet:
+    def test_b0_matches_torch(self, rng):
+        """MBConv block semantics vs a torch re-evaluation of the same
+        params (depthwise conv, SE, skip)."""
+        import torch
+        import torch.nn.functional as F
+        from tpu_ac.models.efficientnet import (
+            EfficientNetConfig, efficientnet_forward, init_efficientnet_params)
+
+        cfg = EfficientNetConfig()
+        p = init_efficientnet_params(0, cfg)
+        imgs = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+        got = efficientnet_forward(p, jnp.asarray(imgs), cfg,
+                                   taps=("stage2",))["stage2"]
+
+        def t(k):
+            return torch.from_numpy(np.asarray(p[k]))
+
+        def bn(x, name):
+            return F.batch_norm(x, t(name + ".running_mean"),
+                                t(name + ".running_var"), t(name + ".weight"),
+                                t(name + ".bias"), training=False, eps=1e-3)
+
+        x = F.silu(bn(F.conv2d(torch.from_numpy(imgs), t("conv_stem.weight"),
+                               stride=2, padding=1), "bn1"))
+        for si, (expand, _oc, repeats, stride, k) in enumerate(cfg.stages[:2]):
+            for bi in range(repeats):
+                pre = f"blocks.{si}.{bi}."
+                s = stride if bi == 0 else 1
+                idn = x
+                h = x
+                if expand != 1:
+                    h = F.silu(bn(F.conv2d(h, t(pre + "conv_pw.weight")),
+                                  pre + "bn1"))
+                mid = h.shape[1]
+                h = F.silu(bn(F.conv2d(h, t(pre + "conv_dw.weight"), stride=s,
+                                       padding=k // 2, groups=mid),
+                              pre + "bn2"))
+                se = h.mean((2, 3), keepdim=True)
+                se = F.silu(F.conv2d(se, t(pre + "se.conv_reduce.weight"),
+                                     t(pre + "se.conv_reduce.bias")))
+                se = torch.sigmoid(F.conv2d(se, t(pre + "se.conv_expand.weight"),
+                                            t(pre + "se.conv_expand.bias")))
+                h = h * se
+                h = bn(F.conv2d(h, t(pre + "conv_pwl.weight")), pre + "bn3")
+                if s == 1 and idn.shape[1] == h.shape[1]:
+                    h = h + idn
+                x = h
+        np.testing.assert_allclose(np.asarray(got), x.numpy(),
+                                   rtol=5e-4, atol=5e-5)
+
+    def test_variant_scaling(self):
+        from tpu_ac.models.efficientnet import EFFICIENTNET_B7
+        st = EFFICIENTNET_B7.stages
+        assert EFFICIENTNET_B7.stem_channels == 64
+        assert st[1][1] == 48 and st[1][2] == 7  # 24*2.0, ceil(2*3.1)
+
+    def test_registry(self):
+        from tpu_ac.models import load_backbone
+        p, cfg, family = load_backbone("efficientnet_b1")
+        assert family == "efficientnet"
+        assert "blocks.6.1.conv_dw.weight" in p  # depth_mult 1.1 -> 2 blocks

@@ -1,0 +1,176 @@
+"""EfficientNet B0-B7 (inference mode), timm-checkpoint-compatible.
+
+The reference registry resolves tf_efficientnet_b1/b3/b5/b7 via timm
+(backbones.py:43-49).  Parameters keep timm's state_dict names
+(``conv_stem.weight``, ``blocks.<stage>.<block>.conv_pw/.conv_dw/
+.se.conv_reduce/.se.conv_expand/.conv_pwl`` with bn1/bn2/bn3) so released
+checkpoints convert by array copy.
+
+MBConv = expand 1x1 -> depthwise kxk (grouped conv, feature_group_count =
+channels) -> squeeze-excite -> project 1x1, SiLU activations, identity
+skip at stride 1 / equal channels.  Taps: ``stage1`` ... ``stage7``
+(per-stage block outputs) for multi-scale feature use.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Mapping[str, jnp.ndarray]
+
+# base B0 stage layout: (expand_ratio, channels, repeats, stride, kernel)
+_B0_STAGES = (
+    (1, 16, 1, 1, 3),
+    (6, 24, 2, 2, 3),
+    (6, 40, 2, 2, 5),
+    (6, 80, 3, 2, 3),
+    (6, 112, 3, 1, 5),
+    (6, 192, 4, 2, 5),
+    (6, 320, 1, 1, 3),
+)
+
+
+def _round_channels(c: float, divisor: int = 8) -> int:
+    """timm/tf channel rounding."""
+    new_c = max(divisor, int(c + divisor / 2) // divisor * divisor)
+    if new_c < 0.9 * c:
+        new_c += divisor
+    return new_c
+
+
+@dataclasses.dataclass(frozen=True)
+class EfficientNetConfig:
+    width_mult: float = 1.0
+    depth_mult: float = 1.0
+    bn_eps: float = 1e-3  # tf variants use eps=1e-3
+    se_ratio: float = 0.25
+
+    @property
+    def stem_channels(self) -> int:
+        return _round_channels(32 * self.width_mult)
+
+    @property
+    def stages(self):
+        out = []
+        for expand, c, repeats, stride, k in _B0_STAGES:
+            out.append((expand, _round_channels(c * self.width_mult),
+                        int(math.ceil(repeats * self.depth_mult)), stride, k))
+        return tuple(out)
+
+
+EFFICIENTNET_B0 = EfficientNetConfig()
+EFFICIENTNET_B1 = EfficientNetConfig(1.0, 1.1)
+EFFICIENTNET_B3 = EfficientNetConfig(1.2, 1.4)
+EFFICIENTNET_B5 = EfficientNetConfig(1.6, 2.2)
+EFFICIENTNET_B7 = EfficientNetConfig(2.0, 3.1)
+
+
+def init_efficientnet_params(seed: int, cfg: EfficientNetConfig
+                             ) -> dict[str, jnp.ndarray]:
+    rng = np.random.default_rng(seed)
+    p: dict[str, np.ndarray] = {}
+
+    def conv(name, out_c, in_c, k, groups=1):
+        fan = (in_c // groups) * k * k
+        p[name + ".weight"] = (
+            rng.standard_normal((out_c, in_c // groups, k, k))
+            * math.sqrt(2.0 / fan)).astype(np.float32)
+
+    def conv_b(name, out_c, in_c, k):
+        conv(name, out_c, in_c, k)
+        p[name + ".bias"] = np.zeros((out_c,), np.float32)
+
+    def bn(name, c):
+        p[name + ".weight"] = np.ones((c,), np.float32)
+        p[name + ".bias"] = np.zeros((c,), np.float32)
+        p[name + ".running_mean"] = np.zeros((c,), np.float32)
+        p[name + ".running_var"] = np.ones((c,), np.float32)
+
+    conv("conv_stem", cfg.stem_channels, 3, 3)
+    bn("bn1", cfg.stem_channels)
+    in_c = cfg.stem_channels
+    for si, (expand, out_c, repeats, _stride, k) in enumerate(cfg.stages):
+        for bi in range(repeats):
+            pre = f"blocks.{si}.{bi}."
+            mid = in_c * expand
+            if expand != 1:
+                conv(pre + "conv_pw", mid, in_c, 1)
+                bn(pre + "bn1", mid)
+            conv(pre + "conv_dw", mid, mid, k, groups=mid)
+            bn(pre + "bn2", mid)
+            se_c = max(1, int(in_c * cfg.se_ratio))
+            conv_b(pre + "se.conv_reduce", se_c, mid, 1)
+            conv_b(pre + "se.conv_expand", mid, se_c, 1)
+            conv(pre + "conv_pwl", out_c, mid, 1)
+            bn(pre + "bn3", out_c)
+            in_c = out_c
+    return {k2: jnp.asarray(v) for k2, v in p.items()}
+
+
+def _conv(x, w, stride=1, padding=0, groups=1):
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), ((padding, padding), (padding, padding)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=groups)
+
+
+def _bn(params: Params, name: str, x, eps):
+    w = params[name + ".weight"][None, :, None, None]
+    b = params[name + ".bias"][None, :, None, None]
+    rm = params[name + ".running_mean"][None, :, None, None]
+    rv = params[name + ".running_var"][None, :, None, None]
+    return (x - rm) * jax.lax.rsqrt(rv + eps) * w + b
+
+
+def efficientnet_forward(params: Params, images: jnp.ndarray,
+                         cfg: EfficientNetConfig,
+                         *, taps: Sequence[str] = ("stage4", "stage6")
+                         ) -> dict[str, jnp.ndarray]:
+    """Run the trunk, returning tapped stage outputs [B, C, H, W]."""
+    taps = tuple(taps)
+    deepest = max(int(t[-1]) for t in taps)
+    x = jax.nn.silu(_bn(params, "bn1",
+                        _conv(images, params["conv_stem.weight"], stride=2,
+                              padding=1), cfg.bn_eps))
+    out: dict[str, jnp.ndarray] = {}
+    for si, (expand, _out_c, repeats, stride, k) in enumerate(cfg.stages):
+        if si + 1 > deepest:
+            break
+        for bi in range(repeats):
+            pre = f"blocks.{si}.{bi}."
+            s = stride if bi == 0 else 1
+            identity = x
+            h = x
+            if expand != 1:
+                h = jax.nn.silu(_bn(params, pre + "bn1",
+                                    _conv(h, params[pre + "conv_pw.weight"]),
+                                    cfg.bn_eps))
+            mid = h.shape[1]
+            h = jax.nn.silu(_bn(params, pre + "bn2",
+                                _conv(h, params[pre + "conv_dw.weight"],
+                                      stride=s, padding=k // 2, groups=mid),
+                                cfg.bn_eps))
+            # squeeze-excite
+            se = jnp.mean(h, axis=(2, 3), keepdims=True)
+            se = jax.nn.silu(_conv(se, params[pre + "se.conv_reduce.weight"])
+                             + params[pre + "se.conv_reduce.bias"][
+                                 None, :, None, None])
+            se = jax.nn.sigmoid(_conv(se, params[pre + "se.conv_expand.weight"])
+                                + params[pre + "se.conv_expand.bias"][
+                                    None, :, None, None])
+            h = h * se
+            h = _bn(params, pre + "bn3",
+                    _conv(h, params[pre + "conv_pwl.weight"]), cfg.bn_eps)
+            if s == 1 and identity.shape[1] == h.shape[1]:
+                h = h + identity
+            x = h
+        name = f"stage{si + 1}"
+        if name in taps:
+            out[name] = x
+    return out

@@ -85,6 +85,21 @@ def _register_timm_vits() -> None:
 _register_timm_vits()
 
 
+def _register_efficientnets() -> None:
+    from tpu_ac.models.efficientnet import (
+        EFFICIENTNET_B1, EFFICIENTNET_B3, EFFICIENTNET_B5, EFFICIENTNET_B7)
+
+    for name, cfg, ckpt in (
+            ("efficientnet_b1", EFFICIENTNET_B1, "tf_efficientnet_b1.pth"),
+            ("efficientnet_b3", EFFICIENTNET_B3, "tf_efficientnet_b3.pth"),
+            ("efficientnet_b5", EFFICIENTNET_B5, "tf_efficientnet_b5.pth"),
+            ("efficientnet_b7", EFFICIENTNET_B7, "tf_efficientnet_b7.pth")):
+        BACKBONE_CONFIGS[name] = BackboneSpec("efficientnet", cfg, ckpt)
+
+
+_register_efficientnets()
+
+
 def _register_vggs() -> None:
     from tpu_ac.models.vgg import ALEXNET, VGG11, VGG19, VGG19_BN
 
@@ -200,6 +215,10 @@ def load_backbone(name: str, *, checkpoint_dir: str | None = None,
             from tpu_ac.models.vgg import init_alexnet_params
 
             params = init_alexnet_params(seed)
+        elif spec.family == "efficientnet":
+            from tpu_ac.models.efficientnet import init_efficientnet_params
+
+            params = init_efficientnet_params(seed, spec.config)
         else:
             raise NotImplementedError(f"family {spec.family}")
     return params, spec.config, spec.family
