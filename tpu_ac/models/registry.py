@@ -123,6 +123,7 @@ def _register_resnets() -> None:
         RESNET34,
         RESNET50,
         RESNET101,
+        RESNET200,
         RESNEXT101_32X8D,
         WIDE_RESNET50_2,
         WIDE_RESNET101_2,
@@ -141,6 +142,8 @@ def _register_resnets() -> None:
         "resnet", WIDE_RESNET50_2, "wide_resnet50_2-95faca4d.pth")
     BACKBONE_CONFIGS["wideresnet101"] = BackboneSpec(
         "resnet", WIDE_RESNET101_2, "wide_resnet101_2-32ee1156.pth")
+    BACKBONE_CONFIGS["resnet200"] = BackboneSpec(
+        "resnet", RESNET200, "resnet200.pth")
     BACKBONE_CONFIGS["resnext101"] = BackboneSpec(
         "resnet", RESNEXT101_32X8D, "resnext101_32x8d-8ba56ff5.pth")
     BACKBONE_CONFIGS["dino_resnet50"] = BackboneSpec(

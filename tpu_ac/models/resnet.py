@@ -60,6 +60,7 @@ RESNET34 = ResNetConfig(block_counts=(3, 4, 6, 3), expansion=1,
                         block="basic")
 RESNEXT101_32X8D = ResNetConfig(block_counts=(3, 4, 23, 3), groups=32,
                                 width_per_group=8)
+RESNET200 = ResNetConfig(block_counts=(3, 24, 36, 3))
 
 
 def init_resnet_params(seed: int, cfg: ResNetConfig) -> dict[str, jnp.ndarray]:
