@@ -273,3 +273,24 @@ def embed_densenet_features(params: Mapping[str, jnp.ndarray],
 
     outs = densenet_forward(params, images, densenet_cfg, taps=cfg.layers)
     return embed_feature_maps([outs[name] for name in cfg.layers], cfg)
+
+
+def embed_efficientnet_features(params: Mapping[str, jnp.ndarray],
+                                images: jnp.ndarray, eff_cfg,
+                                cfg: EmbedConfig) -> jnp.ndarray:
+    """Full _embed pipeline for an EfficientNet backbone (taps by stage
+    name, e.g. layers=("stage4", "stage6"))."""
+    from tpu_ac.models.efficientnet import efficientnet_forward
+
+    outs = efficientnet_forward(params, images, eff_cfg, taps=cfg.layers)
+    return embed_feature_maps([outs[name] for name in cfg.layers], cfg)
+
+
+def embed_alexnet_features(params: Mapping[str, jnp.ndarray],
+                           images: jnp.ndarray, alex_cfg,
+                           cfg: EmbedConfig) -> jnp.ndarray:
+    """Full _embed pipeline for AlexNet (taps conv1..conv5)."""
+    from tpu_ac.models.vgg import alexnet_forward
+
+    outs = alexnet_forward(params, images, alex_cfg, taps=cfg.layers)
+    return embed_feature_maps([outs[name] for name in cfg.layers], cfg)

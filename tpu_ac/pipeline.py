@@ -144,6 +144,22 @@ class CategoryEmbedder:
             def _embed(p, images: jnp.ndarray) -> jnp.ndarray:
                 z = embed_vgg_features(p, _prep(images), backbone_cfg, ecfg)
                 return z.astype(jnp.float32)
+        elif family == "efficientnet":
+            from tpu_ac.features.embedding import embed_efficientnet_features
+
+            @jax.jit
+            def _embed(p, images: jnp.ndarray) -> jnp.ndarray:
+                z = embed_efficientnet_features(p, _prep(images),
+                                                backbone_cfg, ecfg)
+                return z.astype(jnp.float32)
+        elif family == "alexnet":
+            from tpu_ac.features.embedding import embed_alexnet_features
+
+            @jax.jit
+            def _embed(p, images: jnp.ndarray) -> jnp.ndarray:
+                z = embed_alexnet_features(p, _prep(images), backbone_cfg,
+                                           ecfg)
+                return z.astype(jnp.float32)
         else:
             raise NotImplementedError(f"family {family}")
 
