@@ -398,3 +398,60 @@ class TestEfficientNet:
         p, cfg, family = load_backbone("efficientnet_b1")
         assert family == "efficientnet"
         assert "blocks.6.1.conv_dw.weight" in p  # depth_mult 1.1 -> 2 blocks
+
+
+class TestResNetV2:
+    def test_bit_block_matches_torch(self, rng):
+        """Weight-standardized conv + GroupNorm preact bottleneck vs torch."""
+        import dataclasses
+        import torch
+        import torch.nn.functional as F
+        from tpu_ac.models.resnetv2 import (ResNetV2Config,
+                                            init_resnetv2_params,
+                                            resnetv2_forward)
+
+        tiny = ResNetV2Config(block_counts=(1, 1), width_factor=1,
+                              gn_groups=8)
+        p = init_resnetv2_params(0, tiny)
+        imgs = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+        got = resnetv2_forward(p, jnp.asarray(imgs), tiny,
+                               taps=("stage1", "stage2"))
+
+        def t(k):
+            return torch.from_numpy(np.asarray(p[k]))
+
+        def std_conv(x, name, stride=1, padding=0):
+            w = t(name + ".weight")
+            m = w.mean((1, 2, 3), keepdim=True)
+            v = w.var((1, 2, 3), unbiased=False, keepdim=True)
+            w = (w - m) / torch.sqrt(v + 1e-8)
+            return F.conv2d(x, w, stride=stride, padding=padding)
+
+        def gn_relu(x, name):
+            return F.relu(F.group_norm(x, 8, t(name + ".weight"),
+                                       t(name + ".bias"), eps=1e-5))
+
+        x = std_conv(torch.from_numpy(imgs), "stem.conv", 2, 3)
+        x = F.max_pool2d(x, 3, 2, 1)
+        outs = {}
+        for si in range(2):
+            stride = 1 if si == 0 else 2
+            pre = f"stages.{si}.blocks.0."
+            pa = gn_relu(x, pre + "norm1")
+            sc = std_conv(pa, pre + "downsample.conv", stride)
+            h = std_conv(pa, pre + "conv1")
+            h = gn_relu(h, pre + "norm2")
+            h = std_conv(h, pre + "conv2", stride, 1)
+            h = gn_relu(h, pre + "norm3")
+            h = std_conv(h, pre + "conv3")
+            x = h + sc
+            outs[f"stage{si + 1}"] = x.numpy()
+        for k in ("stage1", "stage2"):
+            np.testing.assert_allclose(np.asarray(got[k]), outs[k],
+                                       rtol=5e-3, atol=1e-4)
+
+    def test_registry_bit(self):
+        from tpu_ac.models import load_backbone
+        p, cfg, family = load_backbone("resnetv2_50_bit")
+        assert family == "resnetv2" and cfg.width_factor == 3
+        assert p["stem.conv.weight"].shape == (192, 3, 7, 7)

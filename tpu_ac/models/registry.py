@@ -85,6 +85,29 @@ def _register_timm_vits() -> None:
 _register_timm_vits()
 
 
+def _register_resnetv2s() -> None:
+    from tpu_ac.models.resnetv2 import (
+        RESNETV2_101, RESNETV2_50X3, RESNETV2_101X3, RESNETV2_152X2,
+        RESNETV2_152X4)
+
+    for name, cfg, ckpt in (
+            ("resnetv2_50_bit", RESNETV2_50X3, "resnetv2_50x3_bitm.pth"),
+            ("resnetv2_50_21k", RESNETV2_50X3, "resnetv2_50x3_bitm_in21k.pth"),
+            ("resnetv2_101_bit", RESNETV2_101X3, "resnetv2_101x3_bitm.pth"),
+            ("resnetv2_101_21k", RESNETV2_101X3,
+             "resnetv2_101x3_bitm_in21k.pth"),
+            ("resnetv2_152_bit", RESNETV2_152X4, "resnetv2_152x4_bitm.pth"),
+            ("resnetv2_152_21k", RESNETV2_152X4,
+             "resnetv2_152x4_bitm_in21k.pth"),
+            ("resnetv2_152_384", RESNETV2_152X2,
+             "resnetv2_152x2_bit_teacher_384.pth"),
+            ("resnetv2_101", RESNETV2_101, "resnetv2_101.pth")):
+        BACKBONE_CONFIGS[name] = BackboneSpec("resnetv2", cfg, ckpt)
+
+
+_register_resnetv2s()
+
+
 def _register_efficientnets() -> None:
     from tpu_ac.models.efficientnet import (
         EFFICIENTNET_B1, EFFICIENTNET_B3, EFFICIENTNET_B5, EFFICIENTNET_B7)
@@ -222,6 +245,10 @@ def load_backbone(name: str, *, checkpoint_dir: str | None = None,
             from tpu_ac.models.efficientnet import init_efficientnet_params
 
             params = init_efficientnet_params(seed, spec.config)
+        elif spec.family == "resnetv2":
+            from tpu_ac.models.resnetv2 import init_resnetv2_params
+
+            params = init_resnetv2_params(seed, spec.config)
         else:
             raise NotImplementedError(f"family {spec.family}")
     return params, spec.config, spec.family

@@ -1,0 +1,145 @@
+"""ResNetV2 / BiT (Big Transfer) family, timm-checkpoint-compatible.
+
+The reference registry resolves seven resnetv2_* names via timm
+(backbones.py:16-23): BiT variants (width x2/x3/x4, optionally IN-21k
+pretrained) plus plain resnetv2_101.  Architecture: pre-activation
+bottlenecks with GroupNorm (32 groups) and weight-standardized convs
+(Qiao et al.), stem conv + pool, no BatchNorm anywhere.
+
+Parameters keep timm's state_dict names (``stem.conv.weight``,
+``stages.<s>.blocks.<b>.conv1/2/3.weight``, ``norm1/2/3.weight/bias``,
+``downsample.conv.weight``, final ``norm.weight/bias``) so released
+checkpoints convert by array copy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Mapping[str, jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNetV2Config:
+    block_counts: tuple[int, ...] = (3, 4, 23, 3)  # resnetv2_101
+    width_factor: int = 1                          # 3 for bitm x3 variants
+    gn_groups: int = 32
+    gn_eps: float = 1e-5
+
+    @property
+    def stem_channels(self) -> int:
+        return 64 * self.width_factor
+
+
+RESNETV2_101 = ResNetV2Config()
+RESNETV2_50X3 = ResNetV2Config(block_counts=(3, 4, 6, 3), width_factor=3)
+RESNETV2_101X3 = ResNetV2Config(width_factor=3)
+RESNETV2_152X4 = ResNetV2Config(block_counts=(3, 8, 36, 3), width_factor=4)
+RESNETV2_152X2 = ResNetV2Config(block_counts=(3, 8, 36, 3), width_factor=2)
+
+
+def init_resnetv2_params(seed: int, cfg: ResNetV2Config
+                         ) -> dict[str, jnp.ndarray]:
+    rng = np.random.default_rng(seed)
+    p: dict[str, np.ndarray] = {}
+
+    def conv(name, out_c, in_c, k):
+        fan = in_c * k * k
+        p[name + ".weight"] = (
+            rng.standard_normal((out_c, in_c, k, k)) * math.sqrt(2.0 / fan)
+        ).astype(np.float32)
+
+    def gn(name, c):
+        p[name + ".weight"] = np.ones((c,), np.float32)
+        p[name + ".bias"] = np.zeros((c,), np.float32)
+
+    wf = cfg.width_factor
+    conv("stem.conv", 64 * wf, 3, 7)
+    in_c = 64 * wf
+    for si, n_blocks in enumerate(cfg.block_counts):
+        out_c = 256 * (2 ** si) * wf
+        mid = 64 * (2 ** si) * wf
+        for bi in range(n_blocks):
+            pre = f"stages.{si}.blocks.{bi}."
+            gn(pre + "norm1", in_c)
+            conv(pre + "conv1", mid, in_c, 1)
+            gn(pre + "norm2", mid)
+            conv(pre + "conv2", mid, mid, 3)
+            gn(pre + "norm3", mid)
+            conv(pre + "conv3", out_c, mid, 1)
+            if bi == 0:
+                conv(pre + "downsample.conv", out_c, in_c, 1)
+            in_c = out_c
+    gn("norm", in_c)
+    return {k: jnp.asarray(v) for k, v in p.items()}
+
+
+def _std_conv(x, w, stride=1, padding=0, eps=1e-8):
+    """Weight-standardized conv (BiT): W normalized per output channel."""
+    mean = jnp.mean(w, axis=(1, 2, 3), keepdims=True)
+    var = jnp.var(w, axis=(1, 2, 3), keepdims=True)
+    w = (w - mean) * jax.lax.rsqrt(var + eps)
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), ((padding, padding), (padding, padding)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+
+def _gn_relu(params: Params, name: str, x: jnp.ndarray,
+             groups: int, eps: float) -> jnp.ndarray:
+    b, c, h, w = x.shape
+    g = min(groups, c)
+    xg = x.reshape(b, g, c // g, h, w)
+    mean = jnp.mean(xg, axis=(2, 3, 4), keepdims=True)
+    var = jnp.var(xg, axis=(2, 3, 4), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    x = xg.reshape(b, c, h, w)
+    x = x * params[name + ".weight"][None, :, None, None] + \
+        params[name + ".bias"][None, :, None, None]
+    return jax.nn.relu(x)
+
+
+def resnetv2_forward(params: Params, images: jnp.ndarray,
+                     cfg: ResNetV2Config,
+                     *, taps: Sequence[str] = ("stage2", "stage3")
+                     ) -> dict[str, jnp.ndarray]:
+    """Run the trunk, returning tapped stage outputs (pre-activation
+    residual stream, matching a hook on timm's stages.<i>)."""
+    taps = tuple(taps)
+    deepest = max(int(t[-1]) for t in taps)
+    x = _std_conv(images, params["stem.conv.weight"], stride=2, padding=3)
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
+        ((0, 0), (0, 0), (1, 1), (1, 1)))
+    out: dict[str, jnp.ndarray] = {}
+    for si, n_blocks in enumerate(cfg.block_counts):
+        if si + 1 > deepest:
+            break
+        stride = 1 if si == 0 else 2
+        for bi in range(n_blocks):
+            pre = f"stages.{si}.blocks.{bi}."
+            s = stride if bi == 0 else 1
+            pre_act = _gn_relu(params, pre + "norm1", x, cfg.gn_groups,
+                               cfg.gn_eps)
+            if pre + "downsample.conv.weight" in params:
+                shortcut = _std_conv(pre_act,
+                                     params[pre + "downsample.conv.weight"],
+                                     stride=s)
+            else:
+                shortcut = x
+            h = _std_conv(pre_act, params[pre + "conv1.weight"])
+            h = _gn_relu(params, pre + "norm2", h, cfg.gn_groups, cfg.gn_eps)
+            h = _std_conv(h, params[pre + "conv2.weight"], stride=s,
+                          padding=1)
+            h = _gn_relu(params, pre + "norm3", h, cfg.gn_groups, cfg.gn_eps)
+            h = _std_conv(h, params[pre + "conv3.weight"])
+            x = h + shortcut
+        name = f"stage{si + 1}"
+        if name in taps:
+            out[name] = x
+    return out
