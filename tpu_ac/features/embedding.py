@@ -294,3 +294,13 @@ def embed_alexnet_features(params: Mapping[str, jnp.ndarray],
 
     outs = alexnet_forward(params, images, alex_cfg, taps=cfg.layers)
     return embed_feature_maps([outs[name] for name in cfg.layers], cfg)
+
+
+def embed_resnetv2_features(params: Mapping[str, jnp.ndarray],
+                            images: jnp.ndarray, rv2_cfg,
+                            cfg: EmbedConfig) -> jnp.ndarray:
+    """Full _embed pipeline for a ResNetV2/BiT backbone (taps stage1..4)."""
+    from tpu_ac.models.resnetv2 import resnetv2_forward
+
+    outs = resnetv2_forward(params, images, rv2_cfg, taps=cfg.layers)
+    return embed_feature_maps([outs[name] for name in cfg.layers], cfg)

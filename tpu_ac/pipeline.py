@@ -160,6 +160,14 @@ class CategoryEmbedder:
                 z = embed_alexnet_features(p, _prep(images), backbone_cfg,
                                            ecfg)
                 return z.astype(jnp.float32)
+        elif family == "resnetv2":
+            from tpu_ac.features.embedding import embed_resnetv2_features
+
+            @jax.jit
+            def _embed(p, images: jnp.ndarray) -> jnp.ndarray:
+                z = embed_resnetv2_features(p, _prep(images), backbone_cfg,
+                                            ecfg)
+                return z.astype(jnp.float32)
         else:
             raise NotImplementedError(f"family {family}")
 
