@@ -458,3 +458,25 @@ class TestResNetV2:
         p, cfg, family = load_backbone("resnetv2_50_bit")
         assert family == "resnetv2" and cfg.width_factor == 3
         assert p["stem.conv.weight"].shape == (192, 3, 7, 7)
+
+
+class TestMnasNet:
+    def test_forward_and_registry(self):
+        import jax.numpy as jnp
+        from tpu_ac.models import load_backbone
+        from tpu_ac.models.efficientnet import mnasnet_forward
+
+        for name in ("mnasnet_b1", "mnasnet_a1", "mnasnet_100"):
+            p, cfg, family = load_backbone(name)
+            assert family == "mnasnet"
+            out = mnasnet_forward(p, jnp.zeros((1, 3, 64, 64)), cfg,
+                                  taps=("stage2", "stage4"))
+            assert out["stage2"].shape[1] == 24
+            assert out["stage4"].shape[1] == 80
+
+    def test_a1_has_se_b1_does_not(self):
+        from tpu_ac.models import load_backbone
+        p_a1, _, _ = load_backbone("mnasnet_a1")
+        p_b1, _, _ = load_backbone("mnasnet_b1")
+        assert any("se.conv_reduce" in k for k in p_a1)
+        assert not any("se.conv_reduce" in k for k in p_b1)

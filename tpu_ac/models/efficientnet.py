@@ -174,3 +174,146 @@ def efficientnet_forward(params: Params, images: jnp.ndarray,
         if name in taps:
             out[name] = x
     return out
+
+
+# --------------------------------------------------------------------------
+# MnasNet (timm layout) — backbones.py:29-31 registry entries.
+# Same MBConv machinery with per-stage SE on/off and a depthwise-separable
+# first stage (conv_dw + conv_pw, no expansion).
+# --------------------------------------------------------------------------
+
+# stage spec: (kind, expand, channels, repeats, stride, kernel, se)
+_MNASNET_B1_STAGES = (
+    ("ds", 1, 16, 1, 1, 3, False),
+    ("ir", 3, 24, 3, 2, 3, False),
+    ("ir", 3, 40, 3, 2, 5, False),
+    ("ir", 6, 80, 3, 2, 5, False),
+    ("ir", 6, 96, 2, 1, 3, False),
+    ("ir", 6, 192, 4, 2, 5, False),
+    ("ir", 6, 320, 1, 1, 3, False),
+)
+_MNASNET_A1_STAGES = (
+    ("ds", 1, 16, 1, 1, 3, False),
+    ("ir", 6, 24, 2, 2, 3, False),
+    ("ir", 3, 40, 3, 2, 5, True),
+    ("ir", 6, 80, 4, 2, 3, False),
+    ("ir", 6, 112, 2, 1, 3, True),
+    ("ir", 6, 160, 3, 2, 5, True),
+    ("ir", 6, 320, 1, 1, 3, False),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MnasNetConfig:
+    stages: tuple = _MNASNET_B1_STAGES
+    stem_channels: int = 32
+    bn_eps: float = 1e-5
+    se_ratio: float = 0.25  # vs expanded channels? mnasnet uses in_c basis
+
+
+MNASNET_B1 = MnasNetConfig()
+MNASNET_A1 = MnasNetConfig(stages=_MNASNET_A1_STAGES)
+
+
+def init_mnasnet_params(seed: int, cfg: MnasNetConfig
+                        ) -> dict[str, jnp.ndarray]:
+    rng = np.random.default_rng(seed)
+    p: dict[str, np.ndarray] = {}
+
+    def conv(name, out_c, in_c, k, groups=1):
+        fan = (in_c // groups) * k * k
+        p[name + ".weight"] = (
+            rng.standard_normal((out_c, in_c // groups, k, k))
+            * math.sqrt(2.0 / fan)).astype(np.float32)
+
+    def conv_b(name, out_c, in_c, k):
+        conv(name, out_c, in_c, k)
+        p[name + ".bias"] = np.zeros((out_c,), np.float32)
+
+    def bn(name, c):
+        p[name + ".weight"] = np.ones((c,), np.float32)
+        p[name + ".bias"] = np.zeros((c,), np.float32)
+        p[name + ".running_mean"] = np.zeros((c,), np.float32)
+        p[name + ".running_var"] = np.ones((c,), np.float32)
+
+    conv("conv_stem", cfg.stem_channels, 3, 3)
+    bn("bn1", cfg.stem_channels)
+    in_c = cfg.stem_channels
+    for si, (kind, expand, out_c, repeats, _s, k, se) in enumerate(cfg.stages):
+        for bi in range(repeats):
+            pre = f"blocks.{si}.{bi}."
+            if kind == "ds":
+                conv(pre + "conv_dw", in_c, in_c, k, groups=in_c)
+                bn(pre + "bn1", in_c)
+                conv(pre + "conv_pw", out_c, in_c, 1)
+                bn(pre + "bn2", out_c)
+            else:
+                mid = in_c * expand
+                conv(pre + "conv_pw", mid, in_c, 1)
+                bn(pre + "bn1", mid)
+                conv(pre + "conv_dw", mid, mid, k, groups=mid)
+                bn(pre + "bn2", mid)
+                if se:
+                    se_c = max(1, int(in_c * cfg.se_ratio))
+                    conv_b(pre + "se.conv_reduce", se_c, mid, 1)
+                    conv_b(pre + "se.conv_expand", mid, se_c, 1)
+                conv(pre + "conv_pwl", out_c, mid, 1)
+                bn(pre + "bn3", out_c)
+            in_c = out_c
+    return {k2: jnp.asarray(v) for k2, v in p.items()}
+
+
+def mnasnet_forward(params: Params, images: jnp.ndarray, cfg: MnasNetConfig,
+                    *, taps: Sequence[str] = ("stage4", "stage6")
+                    ) -> dict[str, jnp.ndarray]:
+    """Run the trunk (ReLU activations per the MnasNet paper/timm),
+    returning tapped stage outputs."""
+    taps = tuple(taps)
+    deepest = max(int(t[-1]) for t in taps)
+    x = jax.nn.relu(_bn(params, "bn1",
+                        _conv(images, params["conv_stem.weight"], stride=2,
+                              padding=1), cfg.bn_eps))
+    out: dict[str, jnp.ndarray] = {}
+    for si, (kind, _e, _oc, repeats, stride, k, se) in enumerate(cfg.stages):
+        if si + 1 > deepest:
+            break
+        for bi in range(repeats):
+            pre = f"blocks.{si}.{bi}."
+            s = stride if bi == 0 else 1
+            identity = x
+            if kind == "ds":
+                h = jax.nn.relu(_bn(params, pre + "bn1",
+                                    _conv(x, params[pre + "conv_dw.weight"],
+                                          stride=s, padding=k // 2,
+                                          groups=x.shape[1]), cfg.bn_eps))
+                h = _bn(params, pre + "bn2",
+                        _conv(h, params[pre + "conv_pw.weight"]), cfg.bn_eps)
+            else:
+                h = jax.nn.relu(_bn(params, pre + "bn1",
+                                    _conv(x, params[pre + "conv_pw.weight"]),
+                                    cfg.bn_eps))
+                mid = h.shape[1]
+                h = jax.nn.relu(_bn(params, pre + "bn2",
+                                    _conv(h, params[pre + "conv_dw.weight"],
+                                          stride=s, padding=k // 2,
+                                          groups=mid), cfg.bn_eps))
+                if se:
+                    sq = jnp.mean(h, axis=(2, 3), keepdims=True)
+                    sq = jax.nn.relu(
+                        _conv(sq, params[pre + "se.conv_reduce.weight"])
+                        + params[pre + "se.conv_reduce.bias"][
+                            None, :, None, None])
+                    sq = jax.nn.sigmoid(
+                        _conv(sq, params[pre + "se.conv_expand.weight"])
+                        + params[pre + "se.conv_expand.bias"][
+                            None, :, None, None])
+                    h = h * sq
+                h = _bn(params, pre + "bn3",
+                        _conv(h, params[pre + "conv_pwl.weight"]), cfg.bn_eps)
+            if s == 1 and identity.shape[1] == h.shape[1]:
+                h = h + identity
+            x = h
+        name = f"stage{si + 1}"
+        if name in taps:
+            out[name] = x
+    return out

@@ -119,6 +119,15 @@ def _register_efficientnets() -> None:
             ("efficientnet_b7", EFFICIENTNET_B7, "tf_efficientnet_b7.pth")):
         BACKBONE_CONFIGS[name] = BackboneSpec("efficientnet", cfg, ckpt)
 
+    from tpu_ac.models.efficientnet import MNASNET_A1, MNASNET_B1
+
+    BACKBONE_CONFIGS["mnasnet_100"] = BackboneSpec(
+        "mnasnet", MNASNET_B1, "mnasnet_100.pth")
+    BACKBONE_CONFIGS["mnasnet_b1"] = BackboneSpec(
+        "mnasnet", MNASNET_B1, "mnasnet_b1.pth")
+    BACKBONE_CONFIGS["mnasnet_a1"] = BackboneSpec(
+        "mnasnet", MNASNET_A1, "mnasnet_a1.pth")
+
 
 _register_efficientnets()
 
@@ -249,6 +258,10 @@ def load_backbone(name: str, *, checkpoint_dir: str | None = None,
             from tpu_ac.models.resnetv2 import init_resnetv2_params
 
             params = init_resnetv2_params(seed, spec.config)
+        elif spec.family == "mnasnet":
+            from tpu_ac.models.efficientnet import init_mnasnet_params
+
+            params = init_mnasnet_params(seed, spec.config)
         else:
             raise NotImplementedError(f"family {spec.family}")
     return params, spec.config, spec.family
