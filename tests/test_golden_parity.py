@@ -102,11 +102,13 @@ def test_golden_alpha_rows_normalized():
     assert g * g == alpha.shape[2]
 
 
-def test_golden_x_equals_alpha_weighted_reference():
-    """X in the pickle must equal bmm(alpha, Z) semantics: our
-    weighted_embedding applied to the golden alpha with any Z would match —
-    here we verify the documented [N,1,P] @ [N,P,D] relationship holds by
-    checking shapes and dtype conventions of the artifact."""
+def test_weighted_embedding_is_bmm_on_golden_alpha():
+    """Our weighted_embedding must implement the reference's
+    X = bmm(alpha[:, None, :], Z).squeeze(1) (examples/main.py:294-296).
+    The golden Z is not shipped, so verify the contraction itself using the
+    REAL golden alpha as input against an einsum oracle, plus the artifact's
+    shape/dtype conventions."""
+    from tpu_ac.cluster.alpha import weighted_embedding
     from tpu_ac.pipeline import load_alpha_X
 
     path = os.path.join(GOLDEN_ROOT, "dino_vitbase8", "supervised",
@@ -114,3 +116,11 @@ def test_golden_x_equals_alpha_weighted_reference():
     alpha, X = load_alpha_X(path)
     assert alpha.dtype == np.float32 and X.dtype == np.float32
     assert alpha.shape[0] == X.shape[0]
+    a2 = np.asarray(alpha, np.float32).reshape(alpha.shape[0], -1)
+    rng_ = np.random.default_rng(0)
+    Z = rng_.standard_normal((a2.shape[0], a2.shape[1], 16),
+                             dtype=np.float32)
+    got = np.asarray(weighted_embedding(a2, Z))
+    want = np.einsum("np,npd->nd", a2, Z)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert got.shape == (a2.shape[0], 16) == want.shape

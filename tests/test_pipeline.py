@@ -167,6 +167,28 @@ class TestPipelineEndToEnd:
         content = open(csv_path).read()
         assert "bottle" in content and "MVTec(object)" in content
 
+    def test_cli_main_profile_writes_trace(self, synth_root, tmp_path):
+        """--profile must produce a jax.profiler trace (VERDICT r1 #9)."""
+        from tpu_ac.cli.main import main as cli_main
+        from tpu_ac.models.registry import register_backbone, BackboneSpec
+        from tpu_ac.models.vit import ViTConfig
+
+        register_backbone("tiny_test_prof", BackboneSpec(
+            "vit", ViTConfig(patch_size=8, embed_dim=64, depth=4,
+                             num_heads=4, img_size=32), None))
+        trace_dir = str(tmp_path / "trace")
+        cli_main(["--path", synth_root, "--backbone_names", "tiny_test_prof",
+                  "--layers_to_extract_from", "blocks.2", "blocks.3",
+                  "--pretrain_embed_dimension", "96",
+                  "--target_embed_dimension", "192",
+                  "--output_dir", str(tmp_path / "outputs2"),
+                  "--categories", "bottle",
+                  "--supervised", "unsupervised", "--batch_size", "4",
+                  "--profile", trace_dir])
+        traces = [os.path.join(r, f) for r, _, fs in os.walk(trace_dir)
+                  for f in fs]
+        assert traces, "no trace files written"
+
 
 class TestUint8Path:
     def test_uint8_matches_f32(self, synth_root):

@@ -22,6 +22,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from tpu_ac.data.augment import DINOAugmentation
+from tpu_ac.utils.profiling import maybe_profile, step_annotation
 from tpu_ac.data.imagefolder import ImageFolder
 from tpu_ac.models.vit import VIT_BASE, VIT_SMALL, VIT_TINY, ViTConfig
 from tpu_ac.train.dino import (
@@ -73,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--local_size", default=96, type=int)
     p.add_argument("--max_steps_per_epoch", default=None, type=int,
                    help="cap steps per epoch (smoke tests)")
+    p.add_argument("--profile", default=None, metavar="TRACE_DIR",
+                   help="Capture a jax.profiler trace (with per-step "
+                        "StepTraceAnnotations) into TRACE_DIR.")
     return p
 
 
@@ -125,50 +129,54 @@ def train_dino(args) -> dict:
 
     os.makedirs(args.output_dir, exist_ok=True)
     stats = {}
-    for epoch in range(start_epoch, args.epochs):
-        logger = MetricLogger()
-        t_temp = schedules["teacher_temp"][min(
-            epoch, len(schedules["teacher_temp"]) - 1)]
-        batches = dataset.epoch_batches(
-            args.batch_size_per_gpu, seed=args.seed + epoch,
-            num_shards=jax.process_count(),
-            shard_index=jax.process_index())
-        for i, idxs in enumerate(logger.log_every(batches, 10,
-                                                  f"Epoch: [{epoch}]")):
-            if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
-                break
-            it = min(epoch * steps_per_epoch + i, cfg.total_steps - 1)
-            crops = [aug(dataset[int(j)][0]) for j in idxs]
-            g = np.concatenate([np.stack([c[0] for c in crops]),
-                                np.stack([c[1] for c in crops])])
-            l = (np.concatenate([np.stack([c[k] for c in crops])
-                                 for k in range(2, 2 + cfg.local_crops_number)])
-                 if cfg.local_crops_number else None)
-            state, metrics = step_fn(
-                state, jnp.asarray(g),
-                jnp.asarray(l) if l is not None else None,
-                lr=jnp.float32(schedules["lr"][it]),
-                wd=jnp.float32(schedules["wd"][it]),
-                teacher_momentum=jnp.float32(schedules["momentum"][it]),
-                teacher_temp=jnp.float32(t_temp),
-                freeze_last=jnp.asarray(epoch < cfg.freeze_last_layer))
-            loss = float(metrics["loss"])
-            if not math.isfinite(loss):
-                print(f"Loss is {loss}, stopping training", flush=True)
-                sys.exit(1)
-            logger.update(loss=loss, lr=float(metrics["lr"]),
-                          wd=float(metrics["wd"]))
-        logger.synchronize_between_processes()
-        stats = {k: m.global_avg for k, m in logger.meters.items()}
-        if jax.process_index() == 0:
-            save_checkpoint(args.output_dir, "checkpoint", state,
-                            step=epoch, extra={"epoch": epoch}, keep=2)
-            if args.saveckp_freq and epoch % args.saveckp_freq == 0:
-                save_checkpoint(args.output_dir, f"checkpoint{epoch:04d}",
-                                state, step=epoch, extra={"epoch": epoch})
-            with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
-                f.write(json.dumps({"epoch": epoch, **{
-                    f"train_{k}": v for k, v in stats.items()}}) + "\n")
+    with maybe_profile(args.profile):
+        for epoch in range(start_epoch, args.epochs):
+            logger = MetricLogger()
+            t_temp = schedules["teacher_temp"][min(
+                epoch, len(schedules["teacher_temp"]) - 1)]
+            batches = dataset.epoch_batches(
+                args.batch_size_per_gpu, seed=args.seed + epoch,
+                num_shards=jax.process_count(),
+                shard_index=jax.process_index())
+            for i, idxs in enumerate(logger.log_every(batches, 10,
+                                                      f"Epoch: [{epoch}]")):
+                if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
+                    break
+                it = min(epoch * steps_per_epoch + i, cfg.total_steps - 1)
+                crops = [aug(dataset[int(j)][0]) for j in idxs]
+                g = np.concatenate([np.stack([c[0] for c in crops]),
+                                    np.stack([c[1] for c in crops])])
+                l = (np.concatenate([np.stack([c[k] for c in crops])
+                                     for k in range(2, 2 + cfg.local_crops_number)])
+                     if cfg.local_crops_number else None)
+                with step_annotation("dino_step", step=it):
+                    state, metrics = step_fn(
+                        state, jnp.asarray(g),
+                        jnp.asarray(l) if l is not None else None,
+                        lr=jnp.float32(schedules["lr"][it]),
+                        wd=jnp.float32(schedules["wd"][it]),
+                        teacher_momentum=jnp.float32(
+                            schedules["momentum"][it]),
+                        teacher_temp=jnp.float32(t_temp),
+                        freeze_last=jnp.asarray(
+                            epoch < cfg.freeze_last_layer))
+                loss = float(metrics["loss"])
+                if not math.isfinite(loss):
+                    print(f"Loss is {loss}, stopping training", flush=True)
+                    sys.exit(1)
+                logger.update(loss=loss, lr=float(metrics["lr"]),
+                              wd=float(metrics["wd"]))
+            logger.synchronize_between_processes()
+            stats = {k: m.global_avg for k, m in logger.meters.items()}
+            if jax.process_index() == 0:
+                save_checkpoint(args.output_dir, "checkpoint", state,
+                                step=epoch, extra={"epoch": epoch}, keep=2)
+                if args.saveckp_freq and epoch % args.saveckp_freq == 0:
+                    save_checkpoint(args.output_dir, f"checkpoint{epoch:04d}",
+                                    state, step=epoch, extra={"epoch": epoch})
+                with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
+                    f.write(json.dumps({"epoch": epoch, **{
+                        f"train_{k}": v for k, v in stats.items()}}) + "\n")
     return stats
 
 

@@ -12,6 +12,7 @@ import logging
 import time
 
 from tpu_ac.data.mvtec import CLASSNAMES
+from tpu_ac.utils.profiling import maybe_profile, step_annotation
 from tpu_ac.pipeline import (
     PipelineConfig,
     build_embedder_for_config,
@@ -45,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--checkpoint_dir", default=None,
                    help="Directory holding converted backbone checkpoints.")
+    p.add_argument("--profile", default=None, metavar="TRACE_DIR",
+                   help="Capture a jax.profiler trace of the device work "
+                        "into TRACE_DIR (exceeds the reference's "
+                        "MetricLogger-only observability, "
+                        "dino-main/utils.py:348-400).")
     return p
 
 
@@ -86,14 +92,18 @@ def main(argv=None) -> None:
         )
         embedder = build_embedder_for_config(
             cfg, checkpoint_dir=args.checkpoint_dir)
-        for category in categories:
-            t0 = time.time()
-            result = run_category(
-                args.path, category, cfg, embedder,
-                output_dir=args.output_dir, dataset_name=args.dataset)
-            LOGGER.info("%s [%s]: %d images -> %s (%.1fs)",
-                        category, supervised, len(result["anomaly_labels"]),
-                        result.get("artifact_path"), time.time() - t0)
+        with maybe_profile(args.profile):
+            for category in categories:
+                t0 = time.time()
+                with step_annotation(f"category:{category}:{supervised}"):
+                    result = run_category(
+                        args.path, category, cfg, embedder,
+                        output_dir=args.output_dir,
+                        dataset_name=args.dataset)
+                LOGGER.info("%s [%s]: %d images -> %s (%.1fs)",
+                            category, supervised,
+                            len(result["anomaly_labels"]),
+                            result.get("artifact_path"), time.time() - t0)
 
 
 if __name__ == "__main__":
