@@ -248,3 +248,88 @@ class TestApproximateIndex:
         assign = np.asarray(assign)
         assert len(set(assign[:50])) == 1 and len(set(assign[50:])) == 1
         assert assign[0] != assign[50]
+
+
+class TestIVFPQ:
+    """ApproximateFaissNN = IndexIVFPQ semantics (common.py:100-126)."""
+
+    @staticmethod
+    def _clustered_bank(rng, n=600, d=32, n_modes=12):
+        modes = rng.standard_normal((n_modes, d)).astype(np.float32) * 8
+        pick = rng.integers(0, n_modes, n)
+        return (modes[pick]
+                + rng.standard_normal((n, d)).astype(np.float32) * 0.3)
+
+    def test_recall_at_1_vs_exact(self, rng):
+        from tpu_ac.detect.approx import IVFPQIndex
+
+        bank = self._clustered_bank(rng)
+        query = bank[:64] + 0.01  # near-duplicates of stored vectors
+        idx = IVFPQIndex(n_lists=16, n_probe=8, code_size=8, n_bits=6)
+        idx.fit(bank)
+        _, ids = idx.search(query, k=1)
+        exact = np.argmin(((query[:, None] - bank[None]) ** 2).sum(-1),
+                          axis=1)
+        recall = float(np.mean(ids[:, 0] == exact))
+        assert recall >= 0.9, f"recall@1 {recall}"
+
+    def test_memory_compression(self, rng):
+        from tpu_ac.detect.approx import IVFPQIndex
+
+        bank = self._clustered_bank(rng, n=400, d=64)
+        idx = IVFPQIndex(n_lists=8, n_probe=8, code_size=8, n_bits=8)
+        idx.fit(bank)
+        # stored codes: 8 bytes/vector vs 256 bytes/vector raw f32
+        # (padding inflates by the cell-imbalance factor, still << raw)
+        assert idx.code_bytes < bank.nbytes / 8
+
+    def test_adc_distances_close_to_exact(self, rng):
+        from tpu_ac.detect.approx import IVFPQIndex
+
+        bank = self._clustered_bank(rng)
+        query = self._clustered_bank(rng, n=32)
+        idx = IVFPQIndex(n_lists=8, n_probe=8, code_size=16, n_bits=8)
+        idx.fit(bank)
+        d2, ids = idx.search(query, k=1)
+        true_d2 = ((query - bank[ids[:, 0]]) ** 2).sum(-1)
+        # ADC distance = distance to the quantized vector: close, not exact
+        np.testing.assert_allclose(d2[:, 0], true_d2, rtol=0.25, atol=1.0)
+
+    def test_dim_padding(self, rng):
+        from tpu_ac.detect.approx import IVFPQIndex
+
+        bank = self._clustered_bank(rng, n=200, d=30)  # 30 % 8 != 0
+        idx = IVFPQIndex(n_lists=4, n_probe=4, code_size=8, n_bits=6)
+        idx.fit(bank)
+        d2, ids = idx.search(bank[:10] + 0.01, k=1)
+        assert (ids[:, 0] == np.arange(10)).mean() >= 0.9
+
+    def test_scorer_save_load_roundtrip(self, rng, tmp_path):
+        from tpu_ac.detect.approx import ApproximateNearestNeighbourScorer
+
+        bank = self._clustered_bank(rng, n=300)
+        q = self._clustered_bank(rng, n=20)
+        for method in ("ivfpq", "ivfflat"):
+            scorer = ApproximateNearestNeighbourScorer(
+                n_nearest_neighbours=2, n_lists=8, n_probe=4, method=method,
+                code_size=8)
+            scorer.fit([bank])
+            s1, d1, i1 = scorer.predict([q])
+            scorer.save(str(tmp_path), prepend=method)
+            fresh = ApproximateNearestNeighbourScorer(method=method)
+            fresh.load(str(tmp_path), prepend=method)
+            s2, d2, i2 = fresh.predict([q])
+            np.testing.assert_allclose(s1, s2, rtol=1e-6)
+            np.testing.assert_array_equal(i1, i2)
+
+    def test_patchcore_with_ivfpq(self, rng):
+        train = rng.standard_normal((8, 3, 32, 32)).astype(np.float32) * 0.1
+        test = rng.standard_normal((4, 3, 32, 32)).astype(np.float32) * 0.1
+        test[2:] += 5.0
+        pc = PatchCore(TestPatchCoreEndToEnd._mean_pool_embedder,
+                       target_size=(32, 32), batch_size=4,
+                       nn_method="ivfpq")
+        pc.fit(train)
+        scores, masks = pc.predict(test)
+        assert scores.shape == (4,) and masks.shape == (4, 32, 32)
+        assert scores[2:].min() > scores[:2].max()

@@ -480,3 +480,99 @@ class TestMnasNet:
         p_b1, _, _ = load_backbone("mnasnet_b1")
         assert any("se.conv_reduce" in k for k in p_a1)
         assert not any("se.conv_reduce" in k for k in p_b1)
+
+
+class TestBottleneckTrainableResNet:
+    """RESNET50_IMAGENET (trainable-BN bottleneck, models/resnet_cifar.py)
+    must agree in eval mode with the independent inference ResNet-50
+    (models/resnet.py) on shared torchvision-layout weights."""
+
+    def test_eval_matches_inference_resnet50(self, rng):
+        from tpu_ac.models.resnet import RESNET50, resnet_forward
+        from tpu_ac.models.resnet_cifar import (
+            RESNET50_IMAGENET,
+            cifar_resnet_forward,
+            init_cifar_resnet,
+        )
+
+        import dataclasses
+        # one block per stage, real resnet50 widths (the inference config
+        # hard-wires the 64/128/256/512 ladder)
+        tcfg = dataclasses.replace(RESNET50_IMAGENET,
+                                   block_counts=(1, 1, 1, 1))
+        params, bn_state = init_cifar_resnet(0, tcfg)
+        # randomize BN stats so eval mode actually uses them
+        bn_state = {k: jnp.asarray(
+            rng.standard_normal(v.shape).astype(np.float32) * 0.1
+            + (1.0 if "var" in k else 0.0))
+            for k, v in bn_state.items()}
+        x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+        feats, new_state = cifar_resnet_forward(params, bn_state, x, tcfg,
+                                                train=False)
+        # inference model takes one merged dict and the same key names
+        icfg = dataclasses.replace(RESNET50, block_counts=(1, 1, 1, 1))
+        merged = {**params, **bn_state}
+        out = resnet_forward(merged, x, icfg, taps=("layer4",))
+        want = jnp.mean(out["layer4"], axis=(2, 3))
+        np.testing.assert_allclose(np.asarray(feats), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+        # eval mode must not touch running stats
+        for k in bn_state:
+            np.testing.assert_array_equal(np.asarray(new_state[k]),
+                                          np.asarray(bn_state[k]))
+
+    def test_train_mode_updates_stats_and_shapes(self, rng):
+        from tpu_ac.models.resnet_cifar import (
+            RESNET50_IMAGENET,
+            cifar_resnet_forward,
+            init_cifar_resnet,
+        )
+        import dataclasses
+
+        tcfg = dataclasses.replace(RESNET50_IMAGENET,
+                                   block_counts=(1, 1, 1, 1),
+                                   widths=(4, 8, 8, 8))
+        params, bn_state = init_cifar_resnet(0, tcfg)
+        x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+        feats, new_state = cifar_resnet_forward(params, bn_state, x, tcfg,
+                                                train=True)
+        assert feats.shape == (2, tcfg.feature_dim)
+        assert tcfg.feature_dim == 8 * 4
+        changed = [k for k in bn_state
+                   if not np.allclose(np.asarray(new_state[k]),
+                                      np.asarray(bn_state[k]))]
+        assert changed, "train mode must update running stats"
+        assert any(k.endswith("downsample.1.running_mean")
+                   for k in bn_state), "torchvision downsample names"
+
+    def test_moco_remap_loads(self, rng):
+        """A moco-style checkpoint remaps onto RESNET50_IMAGENET keys
+        (moco.py:64-88 -> convert.moco_to_contrastive_params)."""
+        import dataclasses
+        import torch
+
+        from tpu_ac.models.convert import moco_to_contrastive_params
+        from tpu_ac.models.resnet_cifar import (
+            RESNET50_IMAGENET,
+            init_cifar_resnet,
+        )
+
+        tcfg = dataclasses.replace(RESNET50_IMAGENET,
+                                   block_counts=(1, 1, 1, 1),
+                                   widths=(4, 4, 4, 4))
+        params, bn_state = init_cifar_resnet(0, tcfg)
+        fake = {}
+        for k, v in {**params, **bn_state}.items():
+            fake["module.encoder_q." + k] = torch.from_numpy(
+                np.asarray(v))
+        d = tcfg.feature_dim
+        fake["module.encoder_q.fc.0.weight"] = torch.zeros((d, d))
+        fake["module.encoder_q.fc.0.bias"] = torch.zeros((d,))
+        fake["module.encoder_q.fc.2.weight"] = torch.zeros((128, d))
+        fake["module.encoder_q.fc.2.bias"] = torch.zeros((128,))
+        remapped = moco_to_contrastive_params(fake)
+        got_backbone = {k: v for k, v in remapped.items()
+                        if not k.startswith("contrastive_head.")}
+        assert set(got_backbone) == set({**params, **bn_state})
+        assert "contrastive_head.0.weight" in remapped
+        assert "contrastive_head.2.weight" in remapped

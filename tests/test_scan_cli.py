@@ -37,3 +37,73 @@ class TestScanCLIStages:
         assert os.path.exists(os.path.join(out, "top3-train-neighbors.npy"))
         assert os.path.isdir(os.path.join(out, "scan", "model-00000000"))
         assert os.path.isdir(os.path.join(out, "selflabel", "model-00000000"))
+
+
+@pytest.fixture(scope="module")
+def synthetic_imagenet(tmp_path_factory):
+    """Tiny ImageFolder tree: <root>/{train,val}/<wnid>/*.png + subset
+    file, matching the layout data/imagenet.py:1-102 walks."""
+    import numpy as np
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("imagenet")
+    rng = np.random.default_rng(0)
+    wnids = ["n01000001", "n01000002"]
+    for split, n in (("train", 6), ("val", 3)):
+        for ci, wnid in enumerate(wnids):
+            d = root / split / wnid
+            d.mkdir(parents=True)
+            for i in range(n):
+                arr = np.zeros((72, 80, 3), np.uint8)
+                arr[..., ci] = 200
+                arr += rng.integers(0, 40, arr.shape).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"img_{i}.png")
+    subset = root / "subset.txt"
+    subset.write_text("".join(f"{w} class_{i}\n"
+                              for i, w in enumerate(wnids)))
+    return str(root), str(subset)
+
+
+class TestMocoStage:
+    """moco.py:64-110 equivalent: weight transfer + neighbor mining with
+    the ImageNet ResNet-50 on a synthetic ImageFolder."""
+
+    def test_moco_stage_end_to_end(self, synthetic_imagenet,
+                                   tmp_path_factory):
+        from tpu_ac.cli.scan import main
+
+        data_root, subset = synthetic_imagenet
+        out = tmp_path_factory.mktemp("moco_out")
+        env = out / "env.yml"
+        env.write_text(f"root_dir: {out}/artifacts\n"
+                       f"data_root: {data_root}\n")
+        exp = out / "exp.yml"
+        exp.write_text(
+            "setup: moco\n"
+            "train_db_name: imagenet_50\n"
+            "backbone: resnet50\n"
+            "num_classes: 2\n"
+            "image_size: 64\n"  # keep the resnet50 forward cheap on CPU
+            "feature_dim: 16\n"
+            "batch_size: 4\n"
+            "num_neighbors: 2\n"
+            f"subset_file: {subset}\n")
+        main(["moco", "--config_env", str(env), "--config_exp", str(exp)])
+        base = os.path.join(str(out), "artifacts", "imagenet_50")
+        import numpy as np
+
+        idx = np.load(os.path.join(base, "top2-train-neighbors.npy"))
+        assert idx.shape == (12, 3)  # 12 train images, self + top-2
+        assert os.path.exists(os.path.join(base, "top5-val-neighbors.npy"))
+        assert os.path.isdir(os.path.join(base, "pretext",
+                                          "model-00000000"))
+
+    def test_load_imagenet_subset_dataset(self, synthetic_imagenet):
+        from tpu_ac.data.classification import load_imagenet
+
+        data_root, subset = synthetic_imagenet
+        ds = load_imagenet(data_root, "train", subset_file=subset, size=64)
+        assert len(ds) == 12 and ds.images.shape[1:] == (64, 64, 3)
+        assert sorted(set(ds.labels.tolist())) == [0, 1]
+        ds_all = load_imagenet(data_root, "val", size=64)
+        assert len(ds_all) == 6

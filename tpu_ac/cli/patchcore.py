@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target_embed_dimension", type=int, default=1024)
     p.add_argument("--patchsize", type=int, default=3)
     p.add_argument("--anomaly_scorer_num_nn", type=int, default=5)
+    p.add_argument("--nn_method", default="exact",
+                   choices=["exact", "ivfflat", "ivfpq"],
+                   help="exact = FaissNN flat L2; ivfpq = the "
+                        "ApproximateFaissNN IndexIVFPQ equivalent "
+                        "(common.py:100-126).")
     # sampler options (run_patchcore.py:318-330)
     p.add_argument("--sampler_name", default="approx_greedy_coreset",
                    choices=["identity", "greedy_coreset",
@@ -113,6 +118,7 @@ def _build_patchcore(backbone_name: str, layers, args) -> PatchCore:
         embed, featuresampler=_make_sampler(args.sampler_name,
                                             args.percentage, args.seed),
         anomaly_score_num_nn=args.anomaly_scorer_num_nn,
+        nn_method=args.nn_method,
         target_size=(args.imagesize, args.imagesize),
         batch_size=args.batch_size,
         config={"backbone": backbone_name, "layers": list(layers),

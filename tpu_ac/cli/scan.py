@@ -29,10 +29,15 @@ from tpu_ac.data.classification import (
     ArrayDataset,
     load_cifar10,
     load_cifar20,
+    load_imagenet,
     load_stl10,
     make_synthetic_classification,
 )
-from tpu_ac.models.resnet_cifar import RESNET18_CIFAR, RESNET18_STL
+from tpu_ac.models.resnet_cifar import (
+    RESNET18_CIFAR,
+    RESNET18_STL,
+    RESNET50_IMAGENET,
+)
 from tpu_ac.train.scan import (
     MemoryBank,
     SCANModelConfig,
@@ -58,6 +63,15 @@ def _load_dataset(cfg, split: str) -> ArrayDataset:
         return load_cifar20(root, split)
     if name == "stl-10":
         return load_stl10(root, "train" if split == "train" else "test")
+    if name.startswith("imagenet"):
+        # imagenet_50/100/200 (data/imagenet.py ImageNetSubset) need a
+        # subset wnid list; full "imagenet" walks every class dir.
+        subset = cfg.get("subset_file")
+        if subset is None and "_" in name:
+            subset = f"{root}/imagenet_subsets/{name}.txt"
+        return load_imagenet(root, "train" if split == "train" else "val",
+                             subset_file=subset,
+                             size=cfg.get("image_size", 224))
     return make_synthetic_classification(
         n_per_class=cfg.get("synthetic_per_class", 16),
         n_classes=cfg.get("num_classes", 4),
@@ -66,8 +80,14 @@ def _load_dataset(cfg, split: str) -> ArrayDataset:
 
 
 def _model_config(cfg) -> SCANModelConfig:
-    backbone = (RESNET18_STL if cfg.get("train_db_name") == "stl-10"
-                else RESNET18_CIFAR)
+    name = cfg.get("backbone", "")
+    db = cfg.get("train_db_name", "")
+    if name == "resnet50" or (not name and db.startswith("imagenet")):
+        backbone = RESNET50_IMAGENET
+    elif db == "stl-10":
+        backbone = RESNET18_STL
+    else:
+        backbone = RESNET18_CIFAR
     return SCANModelConfig(
         backbone=backbone,
         feature_dim=cfg.get("feature_dim", 128),
@@ -129,6 +149,75 @@ def run_simclr(cfg) -> None:
     print(f"neighbor mining accuracy (top-{topk}): {acc:.4f}")
     np.save(cfg.topk_neighbors_train_path, idx)
     save_checkpoint(cfg.pretext_dir, "model", state, step=0)
+
+
+def run_moco(cfg) -> None:
+    """MoCo weight-transfer stage (moco.py:64-110): load an official
+    MoCo-v2 checkpoint, remap ``module.encoder_q.*`` onto
+    backbone/contrastive_head names, save the pretext model, then mine
+    top-k neighbors on L2-normalized BACKBONE features — i.e. before the
+    MLP head (moco.py:95: contrastive_head = Identity for mining)."""
+    import os
+
+    from tpu_ac.data.augment import to_normalized_array
+    from tpu_ac.models.convert import moco_to_contrastive_params
+
+    mcfg = _model_config(cfg)
+    params, bn = init_contrastive_model(cfg.get("seed", 0), mcfg)
+
+    ckpt_path = cfg.get("moco_checkpoint")
+    if ckpt_path and os.path.exists(ckpt_path):
+        import torch
+
+        raw = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+        remapped = moco_to_contrastive_params(raw.get("state_dict", raw))
+        loaded_p, loaded_bn = {}, {}
+        for k, v in remapped.items():
+            if k.endswith("num_batches_tracked"):
+                continue
+            dst = (loaded_bn if k.endswith((".running_mean", ".running_var"))
+                   else loaded_p)
+            dst[k] = v
+        params = {**params, **{k: v for k, v in loaded_p.items()
+                               if k in params}}
+        bn = {**bn, **{k: v for k, v in loaded_bn.items() if k in bn}}
+        print(f"Transferred MoCo weights from {ckpt_path} "
+              f"({len(loaded_p)} tensors)")
+    else:
+        print("No moco_checkpoint configured — using random init. "
+              "(zero-egress: place moco_v2_800ep_pretrain.pth.tar locally "
+              "and set moco_checkpoint:; the reference downloads it, "
+              "moco.py:64-66)")
+
+    opt = optax.sgd(cfg.get("lr", 0.03))
+    state = init_train_state(params, bn, opt)
+    save_checkpoint(cfg.pretext_dir, "model", state, step=0)
+
+    @jax.jit
+    def backbone_feats(p, b, imgs):
+        _, feats, _ = contrastive_forward(p, b, imgs, mcfg)
+        return feats / jnp.linalg.norm(feats, axis=1, keepdims=True)
+
+    bs = cfg.get("batch_size", 64)
+    for split, topk, path in (
+            ("train", cfg.get("num_neighbors", 50),
+             cfg.topk_neighbors_train_path),
+            ("val", cfg.get("num_neighbors_val", 5),
+             cfg.topk_neighbors_val_path)):
+        ds = _load_dataset(cfg, split)
+        bank = MemoryBank(len(ds), mcfg.backbone.feature_dim,
+                          num_classes=cfg.get("num_classes", 10))
+        for i in range(0, len(ds), bs):
+            idxs = np.arange(i, min(i + bs, len(ds)))
+            imgs = np.stack([to_normalized_array(ds.get_pil(int(j)))
+                             for j in idxs])
+            emb = backbone_feats(state.params, state.bn_state,
+                                 jnp.asarray(imgs))
+            bank.update(np.asarray(emb), ds.labels[idxs])
+        idx, acc = bank.mine_nearest_neighbors(topk)
+        np.save(path, idx)
+        print(f"moco {split}: top-{topk} neighbors, accuracy {acc:.4f} "
+              f"-> {path}")
 
 
 def run_scan(cfg) -> None:
@@ -267,12 +356,13 @@ def run_eval(cfg) -> dict:
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser("SCAN pipeline (TPU-native)")
-    p.add_argument("stage", choices=["simclr", "scan", "selflabel", "eval"])
+    p.add_argument("stage",
+                   choices=["simclr", "moco", "scan", "selflabel", "eval"])
     p.add_argument("--config_env", required=True)
     p.add_argument("--config_exp", required=True)
     args = p.parse_args(argv)
     cfg = create_config(args.config_env, args.config_exp)
-    {"simclr": run_simclr, "scan": run_scan,
+    {"simclr": run_simclr, "moco": run_moco, "scan": run_scan,
      "selflabel": run_selflabel, "eval": run_eval}[args.stage](cfg)
 
 

@@ -71,8 +71,9 @@ def create_config(env_file: str, exp_file: str,
     cfg["pretext_model"] = os.path.join(pretext_dir, "model.pth.tar")
     cfg["topk_neighbors_train_path"] = os.path.join(
         base, f"top{cfg.get('num_neighbors', 20)}-train-neighbors.npy")
+    # val mining always uses top-5 (moco.py:103-110, simclr.py final eval)
     cfg["topk_neighbors_val_path"] = os.path.join(
-        base, f"top{cfg.get('num_neighbors', 5)}-val-neighbors.npy")
+        base, f"top{cfg.get('num_neighbors_val', 5)}-val-neighbors.npy")
     for stage in ("scan", "selflabel"):
         sdir = os.path.join(base, stage)
         cfg[f"{stage}_dir"] = sdir

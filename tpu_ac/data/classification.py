@@ -93,6 +93,45 @@ def load_stl10(root: str, split: str = "train") -> ArrayDataset:
     return ArrayDataset(np.ascontiguousarray(imgs), labels)
 
 
+def load_imagenet(root: str, split: str = "train",
+                  subset_file: str | None = None,
+                  size: int = 224) -> ArrayDataset:
+    """ImageNet / ImageNetSubset as an in-memory ArrayDataset.
+
+    Mirrors data/imagenet.py:1-102: walks <root>/<split>/<wnid>/ for the
+    wnids in ``subset_file`` (one per line, "wnid name"), or every class
+    directory when no subset is given.  Images are resize(shorter side
+    -> size*8/7) + center-crop(size), the reference's val transform; the
+    SCAN augmentations re-crop from the stored PIL image.
+    """
+    split_dir = os.path.join(root, split)
+    if subset_file:
+        with open(subset_file) as f:
+            wnids = [ln.strip().split(" ", 1)[0] for ln in f if ln.strip()]
+    else:
+        wnids = sorted(d for d in os.listdir(split_dir)
+                       if os.path.isdir(os.path.join(split_dir, d)))
+    resize = int(size * 8 / 7)  # 256 for 224
+    imgs, labels = [], []
+    for ci, wnid in enumerate(wnids):
+        cdir = os.path.join(split_dir, wnid)
+        if not os.path.isdir(cdir):
+            continue
+        for fname in sorted(os.listdir(cdir)):
+            with Image.open(os.path.join(cdir, fname)) as im:
+                im = im.convert("RGB")
+                w, h = im.size
+                s = resize / min(w, h)
+                im = im.resize((round(w * s), round(h * s)),
+                               Image.BILINEAR)
+                left = (im.width - size) // 2
+                top = (im.height - size) // 2
+                im = im.crop((left, top, left + size, top + size))
+                imgs.append(np.asarray(im, np.uint8))
+            labels.append(ci)
+    return ArrayDataset(np.stack(imgs), np.asarray(labels), classes=wnids)
+
+
 def make_synthetic_classification(n_per_class: int = 20, n_classes: int = 4,
                                   size: int = 32, seed: int = 0
                                   ) -> ArrayDataset:

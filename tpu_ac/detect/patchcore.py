@@ -27,10 +27,20 @@ class PatchCore:
     def __init__(self, embed_fn, featuresampler=None,
                  anomaly_score_num_nn: int = 1,
                  target_size=(224, 224), batch_size: int = 8,
-                 config: dict | None = None):
+                 config: dict | None = None,
+                 nn_method: str = "exact"):
+        """``nn_method``: "exact" = FaissNN-equivalent flat L2;
+        "ivfpq" / "ivfflat" = ApproximateFaissNN-equivalent inverted-file
+        search (common.py:100-126)."""
         self.embed_fn = embed_fn
         self.featuresampler = featuresampler or IdentitySampler()
-        self.anomaly_scorer = NearestNeighbourScorer(anomaly_score_num_nn)
+        if nn_method == "exact":
+            self.anomaly_scorer = NearestNeighbourScorer(anomaly_score_num_nn)
+        else:
+            from tpu_ac.detect.approx import ApproximateNearestNeighbourScorer
+
+            self.anomaly_scorer = ApproximateNearestNeighbourScorer(
+                anomaly_score_num_nn, method=nn_method)
         self.anomaly_segmentor = RescaleSegmentor(target_size)
         self.batch_size = batch_size
         self.config = config or {}
