@@ -95,24 +95,11 @@ def _build_patchcore(backbone_name: str, layers, args) -> PatchCore:
         patchsize=args.patchsize,
         apply_layernorm=False)  # upstream PatchCore patchifies raw features
 
-    if family == "vit":
-        from tpu_ac.features.embedding import embed_vit_features
+    from tpu_ac.features.embedding import embed_features
 
-        @jax.jit
-        def embed(images):
-            return embed_vit_features(params, images, cfg, ecfg)
-    elif family == "densenet":
-        from tpu_ac.features.embedding import embed_densenet_features
-
-        @jax.jit
-        def embed(images):
-            return embed_densenet_features(params, images, cfg, ecfg)
-    else:
-        from tpu_ac.features.embedding import embed_resnet_features
-
-        @jax.jit
-        def embed(images):
-            return embed_resnet_features(params, images, cfg, ecfg)
+    @jax.jit
+    def embed(images):
+        return embed_features(family, params, images, cfg, ecfg)
 
     return PatchCore(
         embed, featuresampler=_make_sampler(args.sampler_name,

@@ -37,6 +37,26 @@ def dino_resnet50(**kw):
     return load_backbone("dino_resnet50", **kw)
 
 
+def dino_xcit_small_12_p16(**kw):
+    """XCiT-S12/16 DINO backbone (hubconf.py:98-109)."""
+    return load_backbone("dino_xcit_small_12_p16", **kw)
+
+
+def dino_xcit_small_12_p8(**kw):
+    """XCiT-S12/8 DINO backbone (hubconf.py:112-123)."""
+    return load_backbone("dino_xcit_small_12_p8", **kw)
+
+
+def dino_xcit_medium_24_p16(**kw):
+    """XCiT-M24/16 DINO backbone (hubconf.py:126-137)."""
+    return load_backbone("dino_xcit_medium_24_p16", **kw)
+
+
+def dino_xcit_medium_24_p8(**kw):
+    """XCiT-M24/8 DINO backbone (hubconf.py:140-151)."""
+    return load_backbone("dino_xcit_medium_24_p8", **kw)
+
+
 def wide_resnet50_2(**kw):
     """torchvision WRN50-2 (PatchCore default backbone)."""
     return load_backbone("wideresnet50", **kw)

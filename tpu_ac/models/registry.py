@@ -61,6 +61,27 @@ BACKBONE_CONFIGS: dict[str, BackboneSpec] = {
 }
 
 
+def _register_xcits() -> None:
+    """dino_xcit_* hub models (dino-main/hubconf.py:98-151)."""
+    from tpu_ac.models.xcit import (
+        XCIT_MEDIUM_24_P8,
+        XCIT_MEDIUM_24_P16,
+        XCIT_SMALL_12_P8,
+        XCIT_SMALL_12_P16,
+    )
+
+    for name, cfg in (
+            ("dino_xcit_small_12_p16", XCIT_SMALL_12_P16),
+            ("dino_xcit_small_12_p8", XCIT_SMALL_12_P8),
+            ("dino_xcit_medium_24_p16", XCIT_MEDIUM_24_P16),
+            ("dino_xcit_medium_24_p8", XCIT_MEDIUM_24_P8)):
+        BACKBONE_CONFIGS[name] = BackboneSpec(
+            "xcit", cfg, f"{name}_pretrain.pth")
+
+
+_register_xcits()
+
+
 def _register_timm_vits() -> None:
     """timm ViT names from the reference registry (backbones.py:35-40).
     timm checkpoints share the blocks.* state_dict layout, so conversion
@@ -232,36 +253,27 @@ def load_backbone(name: str, *, checkpoint_dir: str | None = None,
             "No checkpoint found for %s — using random init (seed=%d). "
             "Place the released weights in %s for metric parity.",
             name, seed, _DEFAULT_CKPT_DIRS[0])
-        if spec.family == "vit":
-            params = init_vit_params(seed, spec.config)
-        elif spec.family == "resnet":
-            from tpu_ac.models.resnet import init_resnet_params
-
-            params = init_resnet_params(seed, spec.config)
-        elif spec.family == "densenet":
-            from tpu_ac.models.densenet import init_densenet_params
-
-            params = init_densenet_params(seed, spec.config)
-        elif spec.family == "vgg":
-            from tpu_ac.models.vgg import init_vgg_params
-
-            params = init_vgg_params(seed, spec.config)
-        elif spec.family == "alexnet":
-            from tpu_ac.models.vgg import init_alexnet_params
-
-            params = init_alexnet_params(seed)
-        elif spec.family == "efficientnet":
-            from tpu_ac.models.efficientnet import init_efficientnet_params
-
-            params = init_efficientnet_params(seed, spec.config)
-        elif spec.family == "resnetv2":
-            from tpu_ac.models.resnetv2 import init_resnetv2_params
-
-            params = init_resnetv2_params(seed, spec.config)
-        elif spec.family == "mnasnet":
-            from tpu_ac.models.efficientnet import init_mnasnet_params
-
-            params = init_mnasnet_params(seed, spec.config)
-        else:
+        if spec.family not in FAMILY_INITS:
             raise NotImplementedError(f"family {spec.family}")
+        import importlib
+
+        mod_name, attr = FAMILY_INITS[spec.family].split(":")
+        init = getattr(importlib.import_module(mod_name), attr)
+        params = (init(seed) if spec.family == "alexnet"
+                  else init(seed, spec.config))
     return params, spec.config, spec.family
+
+
+# family -> "module:init_fn" (lazy import).  Adding a backbone family =
+# one row here + one in features.embedding.FAMILY_EMBEDDERS.
+FAMILY_INITS: dict[str, str] = {
+    "vit": "tpu_ac.models.vit:init_vit_params",
+    "resnet": "tpu_ac.models.resnet:init_resnet_params",
+    "densenet": "tpu_ac.models.densenet:init_densenet_params",
+    "vgg": "tpu_ac.models.vgg:init_vgg_params",
+    "alexnet": "tpu_ac.models.vgg:init_alexnet_params",
+    "efficientnet": "tpu_ac.models.efficientnet:init_efficientnet_params",
+    "mnasnet": "tpu_ac.models.efficientnet:init_mnasnet_params",
+    "resnetv2": "tpu_ac.models.resnetv2:init_resnetv2_params",
+    "xcit": "tpu_ac.models.xcit:init_xcit_params",
+}

@@ -114,62 +114,17 @@ class CategoryEmbedder:
                 images = images.astype(cast_dtype)
             return images
 
-        if family == "vit":
-            @jax.jit
-            def _embed(p, images: jnp.ndarray) -> jnp.ndarray:
-                z = embed_vit_features(p, _prep(images), backbone_cfg,
-                                       ecfg, precision=precision,
-                                       attention_impl=attention_impl)
-                return z.astype(jnp.float32)
-        elif family == "resnet":
-            from tpu_ac.features.embedding import embed_resnet_features
+        from tpu_ac.features.embedding import embed_features
 
-            @jax.jit
-            def _embed(p, images: jnp.ndarray) -> jnp.ndarray:
-                z = embed_resnet_features(p, _prep(images), backbone_cfg,
-                                          ecfg)
-                return z.astype(jnp.float32)
-        elif family == "densenet":
-            from tpu_ac.features.embedding import embed_densenet_features
+        vit_kwargs = ({"precision": precision,
+                       "attention_impl": attention_impl}
+                      if family == "vit" else {})
 
-            @jax.jit
-            def _embed(p, images: jnp.ndarray) -> jnp.ndarray:
-                z = embed_densenet_features(p, _prep(images), backbone_cfg,
-                                            ecfg)
-                return z.astype(jnp.float32)
-        elif family == "vgg":
-            from tpu_ac.features.embedding import embed_vgg_features
-
-            @jax.jit
-            def _embed(p, images: jnp.ndarray) -> jnp.ndarray:
-                z = embed_vgg_features(p, _prep(images), backbone_cfg, ecfg)
-                return z.astype(jnp.float32)
-        elif family == "efficientnet":
-            from tpu_ac.features.embedding import embed_efficientnet_features
-
-            @jax.jit
-            def _embed(p, images: jnp.ndarray) -> jnp.ndarray:
-                z = embed_efficientnet_features(p, _prep(images),
-                                                backbone_cfg, ecfg)
-                return z.astype(jnp.float32)
-        elif family == "alexnet":
-            from tpu_ac.features.embedding import embed_alexnet_features
-
-            @jax.jit
-            def _embed(p, images: jnp.ndarray) -> jnp.ndarray:
-                z = embed_alexnet_features(p, _prep(images), backbone_cfg,
-                                           ecfg)
-                return z.astype(jnp.float32)
-        elif family == "resnetv2":
-            from tpu_ac.features.embedding import embed_resnetv2_features
-
-            @jax.jit
-            def _embed(p, images: jnp.ndarray) -> jnp.ndarray:
-                z = embed_resnetv2_features(p, _prep(images), backbone_cfg,
-                                            ecfg)
-                return z.astype(jnp.float32)
-        else:
-            raise NotImplementedError(f"family {family}")
+        @jax.jit
+        def _embed(p, images: jnp.ndarray) -> jnp.ndarray:
+            z = embed_features(family, p, _prep(images), backbone_cfg,
+                               ecfg, **vit_kwargs)
+            return z.astype(jnp.float32)
 
         self._device_params = jax.device_put(dict(params))
         self._embed = lambda images: _embed(self._device_params, images)
