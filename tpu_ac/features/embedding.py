@@ -219,7 +219,10 @@ def embed_vit_features(params: Mapping[str, jnp.ndarray], images: jnp.ndarray,
     outs = vit_forward(params, images, vit_cfg, taps=taps,
                        precision=precision, attention_impl=attention_impl,
                        scan_blocks=scan_blocks)
-    return embed_feature_maps([outs[t] for t in taps], cfg)
+    # DeiT-distilled carries an extra prefix (dist) token; keep exactly one
+    # prefix so the shared CLS-drop path (patchcore.py:377-383) applies.
+    skip = vit_cfg.num_prefix_tokens - 1
+    return embed_feature_maps([outs[t][:, skip:] for t in taps], cfg)
 
 
 def build_embedder(params: Mapping[str, jnp.ndarray], vit_cfg: ViTConfig,
@@ -292,12 +295,36 @@ FAMILY_EMBEDDERS: dict[str, object] = {
         "tpu_ac.models.densenet:densenet_forward"),
     "efficientnet": _make_family_embedder(
         "tpu_ac.models.efficientnet:efficientnet_forward"),
+    "efficientnetv2": _make_family_embedder(
+        "tpu_ac.models.efficientnet:efficientnetv2_forward"),
     "mnasnet": _make_family_embedder(
         "tpu_ac.models.efficientnet:mnasnet_forward"),
     "resnetv2": _make_family_embedder(
         "tpu_ac.models.resnetv2:resnetv2_forward"),
     "xcit": embed_xcit_features,
+    "swin": _make_family_embedder("tpu_ac.models.swin:swin_forward"),
+    "inception_v4": _make_family_embedder(
+        "tpu_ac.models.inception:inception_v4_forward"),
+    "bninception": _make_family_embedder(
+        "tpu_ac.models.inception:bninception_forward"),
+    "resnest": _make_family_embedder(
+        "tpu_ac.models.resnest:resnest_forward"),
 }
+
+
+def embed_hybrid_vit_features(params: Mapping[str, jnp.ndarray],
+                              images: jnp.ndarray, hybrid_cfg,
+                              cfg: EmbedConfig, **_kw) -> jnp.ndarray:
+    """_embed pipeline for the R50+ViT hybrid (vit_r50): taps are ViT
+    block indices, outputs carry a CLS token like plain ViTs."""
+    from tpu_ac.models.vit_hybrid import hybrid_vit_forward
+
+    taps = cfg.tap_indices
+    outs = hybrid_vit_forward(params, images, hybrid_cfg, taps=taps)
+    return embed_feature_maps([outs[t] for t in taps], cfg)
+
+
+FAMILY_EMBEDDERS["vit_hybrid"] = embed_hybrid_vit_features
 
 
 def embed_features(family: str, params: Mapping[str, jnp.ndarray],

@@ -317,3 +317,160 @@ def mnasnet_forward(params: Params, images: jnp.ndarray, cfg: MnasNetConfig,
         if name in taps:
             out[name] = x
     return out
+
+
+# --------------------------------------------------------------------------
+# EfficientNetV2 (timm tf_efficientnetv2_m / _l) — backbones.py:47-48.
+# Early stages are ConvBnAct ("cn") and fused-MBConv ("er", EdgeResidual:
+# 3x3 expand conv + 1x1 project, no depthwise/SE); later stages are the
+# B-series MBConv ("ir") with SE.  SiLU activations throughout.
+# --------------------------------------------------------------------------
+
+# stage spec: (kind, expand, channels, repeats, stride, kernel, se)
+_EFFNETV2_M_STAGES = (
+    ("cn", 1, 24, 3, 1, 3, False),
+    ("er", 4, 48, 5, 2, 3, False),
+    ("er", 4, 80, 5, 2, 3, False),
+    ("ir", 4, 160, 7, 2, 3, True),
+    ("ir", 6, 176, 14, 1, 3, True),
+    ("ir", 6, 304, 18, 2, 3, True),
+    ("ir", 6, 512, 5, 1, 3, True),
+)
+_EFFNETV2_L_STAGES = (
+    ("cn", 1, 32, 4, 1, 3, False),
+    ("er", 4, 64, 7, 2, 3, False),
+    ("er", 4, 96, 7, 2, 3, False),
+    ("ir", 4, 192, 10, 2, 3, True),
+    ("ir", 6, 224, 19, 1, 3, True),
+    ("ir", 6, 384, 25, 2, 3, True),
+    ("ir", 6, 640, 7, 1, 3, True),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class EfficientNetV2Config:
+    stages: tuple = _EFFNETV2_M_STAGES
+    stem_channels: int = 24
+    bn_eps: float = 1e-3  # tf variants
+    se_ratio: float = 0.25  # of block input channels
+
+
+EFFICIENTNETV2_M = EfficientNetV2Config()
+EFFICIENTNETV2_L = EfficientNetV2Config(stages=_EFFNETV2_L_STAGES,
+                                        stem_channels=32)
+
+
+def init_efficientnetv2_params(seed: int, cfg: EfficientNetV2Config
+                               ) -> dict[str, jnp.ndarray]:
+    rng = np.random.default_rng(seed)
+    p: dict[str, np.ndarray] = {}
+
+    def conv(name, out_c, in_c, k, groups=1):
+        fan = (in_c // groups) * k * k
+        p[name + ".weight"] = (
+            rng.standard_normal((out_c, in_c // groups, k, k))
+            * math.sqrt(2.0 / fan)).astype(np.float32)
+
+    def conv_b(name, out_c, in_c, k):
+        conv(name, out_c, in_c, k)
+        p[name + ".bias"] = np.zeros((out_c,), np.float32)
+
+    def bn(name, c):
+        p[name + ".weight"] = np.ones((c,), np.float32)
+        p[name + ".bias"] = np.zeros((c,), np.float32)
+        p[name + ".running_mean"] = np.zeros((c,), np.float32)
+        p[name + ".running_var"] = np.ones((c,), np.float32)
+
+    conv("conv_stem", cfg.stem_channels, 3, 3)
+    bn("bn1", cfg.stem_channels)
+    in_c = cfg.stem_channels
+    for si, (kind, expand, out_c, repeats, _s, k, se) in enumerate(
+            cfg.stages):
+        for bi in range(repeats):
+            pre = f"blocks.{si}.{bi}."
+            if kind == "cn":
+                conv(pre + "conv", out_c, in_c, k)
+                bn(pre + "bn1", out_c)
+            elif kind == "er":
+                mid = in_c * expand
+                conv(pre + "conv_exp", mid, in_c, k)
+                bn(pre + "bn1", mid)
+                conv(pre + "conv_pwl", out_c, mid, 1)
+                bn(pre + "bn2", out_c)
+            else:
+                mid = in_c * expand
+                conv(pre + "conv_pw", mid, in_c, 1)
+                bn(pre + "bn1", mid)
+                conv(pre + "conv_dw", mid, mid, k, groups=mid)
+                bn(pre + "bn2", mid)
+                if se:
+                    se_c = max(1, int(in_c * cfg.se_ratio))
+                    conv_b(pre + "se.conv_reduce", se_c, mid, 1)
+                    conv_b(pre + "se.conv_expand", mid, se_c, 1)
+                conv(pre + "conv_pwl", out_c, mid, 1)
+                bn(pre + "bn3", out_c)
+            in_c = out_c
+    return {k2: jnp.asarray(v) for k2, v in p.items()}
+
+
+def efficientnetv2_forward(params: Params, images: jnp.ndarray,
+                           cfg: EfficientNetV2Config,
+                           *, taps: Sequence[str] = ("stage4", "stage6")
+                           ) -> dict[str, jnp.ndarray]:
+    """Run the trunk, returning tapped stage outputs [B, C, H, W]."""
+    taps = tuple(taps)
+    deepest = max(int(t[-1]) for t in taps)
+    x = jax.nn.silu(_bn(params, "bn1",
+                        _conv(images, params["conv_stem.weight"], stride=2,
+                              padding=1), cfg.bn_eps))
+    out: dict[str, jnp.ndarray] = {}
+    for si, (kind, _e, _oc, repeats, stride, k, se) in enumerate(cfg.stages):
+        if si + 1 > deepest:
+            break
+        for bi in range(repeats):
+            pre = f"blocks.{si}.{bi}."
+            s = stride if bi == 0 else 1
+            identity = x
+            if kind == "cn":
+                h = jax.nn.silu(_bn(params, pre + "bn1",
+                                    _conv(x, params[pre + "conv.weight"],
+                                          stride=s, padding=k // 2),
+                                    cfg.bn_eps))
+            elif kind == "er":
+                h = jax.nn.silu(_bn(params, pre + "bn1",
+                                    _conv(x, params[pre + "conv_exp.weight"],
+                                          stride=s, padding=k // 2),
+                                    cfg.bn_eps))
+                h = _bn(params, pre + "bn2",
+                        _conv(h, params[pre + "conv_pwl.weight"]),
+                        cfg.bn_eps)
+            else:
+                h = jax.nn.silu(_bn(params, pre + "bn1",
+                                    _conv(x, params[pre + "conv_pw.weight"]),
+                                    cfg.bn_eps))
+                mid = h.shape[1]
+                h = jax.nn.silu(_bn(params, pre + "bn2",
+                                    _conv(h, params[pre + "conv_dw.weight"],
+                                          stride=s, padding=k // 2,
+                                          groups=mid), cfg.bn_eps))
+                if se:
+                    sq = jnp.mean(h, axis=(2, 3), keepdims=True)
+                    sq = jax.nn.silu(
+                        _conv(sq, params[pre + "se.conv_reduce.weight"])
+                        + params[pre + "se.conv_reduce.bias"][
+                            None, :, None, None])
+                    sq = jax.nn.sigmoid(
+                        _conv(sq, params[pre + "se.conv_expand.weight"])
+                        + params[pre + "se.conv_expand.bias"][
+                            None, :, None, None])
+                    h = h * sq
+                h = _bn(params, pre + "bn3",
+                        _conv(h, params[pre + "conv_pwl.weight"]),
+                        cfg.bn_eps)
+            if s == 1 and identity.shape[1] == h.shape[1]:
+                h = h + identity
+            x = h
+        name = f"stage{si + 1}"
+        if name in taps:
+            out[name] = x
+    return out

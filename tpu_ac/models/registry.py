@@ -82,11 +82,60 @@ def _register_xcits() -> None:
 _register_xcits()
 
 
+def _register_swins() -> None:
+    """vit_swin_base / vit_swin_large (backbones.py:42-43) + the smaller
+    published variants."""
+    from tpu_ac.models.swin import (
+        SWIN_BASE,
+        SWIN_LARGE,
+        SWIN_SMALL,
+        SWIN_TINY,
+    )
+
+    for name, cfg, ckpt in (
+            ("vit_swin_base", SWIN_BASE, "swin_base_patch4_window7_224.pth"),
+            ("vit_swin_large", SWIN_LARGE,
+             "swin_large_patch4_window7_224.pth"),
+            ("swin_tiny", SWIN_TINY, "swin_tiny_patch4_window7_224.pth"),
+            ("swin_small", SWIN_SMALL, "swin_small_patch4_window7_224.pth")):
+        BACKBONE_CONFIGS[name] = BackboneSpec("swin", cfg, ckpt)
+
+
+_register_swins()
+
+
+def _register_hybrids() -> None:
+    """vit_r50 (backbones.py:39, timm vit_large_r50_s32_224)."""
+    from tpu_ac.models.vit_hybrid import VIT_LARGE_R50_S32
+
+    BACKBONE_CONFIGS["vit_r50"] = BackboneSpec(
+        "vit_hybrid", VIT_LARGE_R50_S32, "vit_large_r50_s32_224.pth")
+
+
+_register_hybrids()
+
+
+def _register_inceptions_resnest() -> None:
+    """inception_v4 (backbones.py:34), bninception (backbones.py:8-9),
+    resnest50 (backbones.py:14)."""
+    from tpu_ac.models.inception import BNINCEPTION, INCEPTION_V4
+    from tpu_ac.models.resnest import RESNEST50D_4S2X40D
+
+    BACKBONE_CONFIGS["inception_v4"] = BackboneSpec(
+        "inception_v4", INCEPTION_V4, "inception_v4.pth")
+    BACKBONE_CONFIGS["bninception"] = BackboneSpec(
+        "bninception", BNINCEPTION, "bn_inception.pth")
+    BACKBONE_CONFIGS["resnest50"] = BackboneSpec(
+        "resnest", RESNEST50D_4S2X40D, "resnest50d_4s2x40d.pth")
+
+
+_register_inceptions_resnest()
+
+
 def _register_timm_vits() -> None:
     """timm ViT names from the reference registry (backbones.py:35-40).
     timm checkpoints share the blocks.* state_dict layout, so conversion
-    is the same array copy; remaining timm families (swin, efficientnet,
-    inception, mnasnet, resnetv2/BiT) are future work (see ROADMAP.md)."""
+    is the same array copy."""
     from tpu_ac.models.vit import VIT_LARGE
 
     BACKBONE_CONFIGS["vit_small"] = BackboneSpec(
@@ -101,6 +150,10 @@ def _register_timm_vits() -> None:
     BACKBONE_CONFIGS["vit_deit_base"] = BackboneSpec(
         "vit", dataclasses.replace(VIT_BASE, patch_size=8),
         "deit_base_patch8_224.pth")
+    BACKBONE_CONFIGS["vit_deit_distilled"] = BackboneSpec(
+        "vit", dataclasses.replace(VIT_BASE, patch_size=8,
+                                   num_prefix_tokens=2),
+        "deit_base_distilled_patch8_224.pth")
 
 
 _register_timm_vits()
@@ -148,6 +201,20 @@ def _register_efficientnets() -> None:
         "mnasnet", MNASNET_B1, "mnasnet_b1.pth")
     BACKBONE_CONFIGS["mnasnet_a1"] = BackboneSpec(
         "mnasnet", MNASNET_A1, "mnasnet_a1.pth")
+
+    # b3a = the same B3 architecture, a different training recipe
+    BACKBONE_CONFIGS["efficientnet_b3a"] = BackboneSpec(
+        "efficientnet", EFFICIENTNET_B3, "efficientnet_b3a.pth")
+
+    from tpu_ac.models.efficientnet import (
+        EFFICIENTNETV2_L,
+        EFFICIENTNETV2_M,
+    )
+
+    BACKBONE_CONFIGS["efficientnetv2_m"] = BackboneSpec(
+        "efficientnetv2", EFFICIENTNETV2_M, "tf_efficientnetv2_m.pth")
+    BACKBONE_CONFIGS["efficientnetv2_l"] = BackboneSpec(
+        "efficientnetv2", EFFICIENTNETV2_L, "tf_efficientnetv2_l.pth")
 
 
 _register_efficientnets()
@@ -273,7 +340,13 @@ FAMILY_INITS: dict[str, str] = {
     "vgg": "tpu_ac.models.vgg:init_vgg_params",
     "alexnet": "tpu_ac.models.vgg:init_alexnet_params",
     "efficientnet": "tpu_ac.models.efficientnet:init_efficientnet_params",
+    "efficientnetv2": "tpu_ac.models.efficientnet:init_efficientnetv2_params",
     "mnasnet": "tpu_ac.models.efficientnet:init_mnasnet_params",
     "resnetv2": "tpu_ac.models.resnetv2:init_resnetv2_params",
     "xcit": "tpu_ac.models.xcit:init_xcit_params",
+    "swin": "tpu_ac.models.swin:init_swin_params",
+    "vit_hybrid": "tpu_ac.models.vit_hybrid:init_hybrid_vit_params",
+    "inception_v4": "tpu_ac.models.inception:init_inception_v4_params",
+    "bninception": "tpu_ac.models.inception:init_bninception_params",
+    "resnest": "tpu_ac.models.resnest:init_resnest_params",
 }

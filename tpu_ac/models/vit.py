@@ -48,6 +48,7 @@ class ViTConfig:
     qkv_bias: bool = True
     ln_eps: float = 1e-6
     img_size: int = 224  # pretraining image size (defines pos_embed length)
+    num_prefix_tokens: int = 1  # 2 for DeiT-distilled (CLS + dist token)
 
     @property
     def grid(self) -> int:
@@ -92,7 +93,10 @@ def init_vit_params(seed: int, cfg: ViTConfig) -> dict[str, jnp.ndarray]:
     d = cfg.embed_dim
     p: dict[str, np.ndarray] = {}
     p["cls_token"] = _trunc_normal_np(rng, (1, 1, d))
-    p["pos_embed"] = _trunc_normal_np(rng, (1, cfg.num_patches + 1, d))
+    if cfg.num_prefix_tokens > 1:
+        p["dist_token"] = _trunc_normal_np(rng, (1, 1, d))
+    p["pos_embed"] = _trunc_normal_np(
+        rng, (1, cfg.num_patches + cfg.num_prefix_tokens, d))
     p["patch_embed.proj.weight"] = (
         rng.standard_normal((d, 3, cfg.patch_size, cfg.patch_size)) *
         math.sqrt(1.0 / (3 * cfg.patch_size ** 2))
@@ -151,12 +155,13 @@ def interpolate_pos_encoding(params: Params, npatch: int, w: int, h: int,
     """Bicubic pos-embed resize for non-pretraining image sizes
     (vision_transformer.py:174-194), incl. the +0.1 scale fudge."""
     pos_embed = params["pos_embed"]
-    n = pos_embed.shape[1] - 1
+    n_prefix = cfg.num_prefix_tokens
+    n = pos_embed.shape[1] - n_prefix
     if npatch == n and w == h:
         return pos_embed
     dim = pos_embed.shape[-1]
-    class_pos = pos_embed[:, :1]
-    patch_pos = pos_embed[:, 1:]
+    class_pos = pos_embed[:, :n_prefix]
+    patch_pos = pos_embed[:, n_prefix:]
     w0 = w // cfg.patch_size + 0.1
     h0 = h // cfg.patch_size + 0.1
     side = int(math.sqrt(n))
@@ -171,9 +176,13 @@ def prepare_tokens(params: Params, images: jnp.ndarray, cfg: ViTConfig,
                    precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     b, _, h, w = images.shape
     x = patch_embed(params, images, cfg, precision)
-    cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.embed_dim))
-    x = jnp.concatenate([cls, x], axis=1)
-    return x + interpolate_pos_encoding(params, x.shape[1] - 1, w, h, cfg)
+    prefix = [jnp.broadcast_to(params["cls_token"], (b, 1, cfg.embed_dim))]
+    if cfg.num_prefix_tokens > 1:
+        prefix.append(jnp.broadcast_to(params["dist_token"],
+                                       (b, 1, cfg.embed_dim)))
+    x = jnp.concatenate(prefix + [x], axis=1)
+    return x + interpolate_pos_encoding(
+        params, x.shape[1] - cfg.num_prefix_tokens, w, h, cfg)
 
 
 def _attention_xla(q, k, v, scale, precision):
