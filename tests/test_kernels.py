@@ -3,44 +3,10 @@
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
-from tpu_ac.kernels import fused_attention, min_dists_to_sets
+from tpu_ac.kernels import min_dists_all_pairs, min_dists_to_sets
 from tpu_ac.ops.distances import cdist
-
-
-class TestFusedAttention:
-    @pytest.mark.parametrize("s", [64, 100, 785])
-    def test_matches_xla_attention(self, rng, s):
-        if s == 785:
-            b, h, dh = 1, 2, 32  # keep interpreter time sane
-        else:
-            b, h, dh = 2, 3, 16
-        q = rng.standard_normal((b, h, s, dh)).astype(np.float32)
-        k = rng.standard_normal((b, h, s, dh)).astype(np.float32)
-        v = rng.standard_normal((b, h, s, dh)).astype(np.float32)
-        scale = dh ** -0.5
-        got = np.asarray(fused_attention(
-            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale))
-        attn = jax.nn.softmax(
-            np.einsum("bhsd,bhtd->bhst", q, k) * scale, axis=-1)
-        want = np.einsum("bhst,bhtd->bhsd", np.asarray(attn), v)
-        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
-
-    def test_in_vit_forward(self, rng):
-        """The kernel plugs into block_forward via attention_impl."""
-        from tpu_ac.models import ViTConfig, init_vit_params, vit_forward
-
-        cfg = ViTConfig(patch_size=8, embed_dim=64, depth=2, num_heads=4,
-                        img_size=32)
-        params = init_vit_params(0, cfg)
-        imgs = jnp.asarray(rng.standard_normal((1, 3, 32, 32)).astype(np.float32))
-        base = vit_forward(params, imgs, cfg, taps=(1,))[1]
-        fused = vit_forward(params, imgs, cfg, taps=(1,),
-                            attention_impl=fused_attention)[1]
-        np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
-                                   rtol=5e-4, atol=5e-5)
 
 
 class TestMinDistsKernel:
@@ -58,6 +24,18 @@ class TestMinDistsKernel:
         assert got.shape == (5, p)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
+    def test_all_pairs_matches_per_query(self, rng):
+        Z = rng.standard_normal((4, 24, 96)).astype(np.float32)
+        bank = rng.standard_normal((3, 16, 96)).astype(np.float32)
+        got = np.asarray(min_dists_all_pairs(jnp.asarray(Z),
+                                             jnp.asarray(bank), d_tile=128))
+        assert got.shape == (4, 3, 24)
+        for i in range(4):
+            want = np.asarray(min_dists_to_sets(jnp.asarray(Z[i]),
+                                                jnp.asarray(bank),
+                                                d_tile=128))
+            np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-6)
+
     def test_self_distance_zero(self, rng):
         z = rng.standard_normal((12, 32)).astype(np.float32)
         got = np.asarray(min_dists_to_sets(jnp.asarray(z),
@@ -67,6 +45,49 @@ class TestMinDistsKernel:
         np.testing.assert_allclose(got[0], 0.0, atol=5e-3)
 
 
+class TestPrecisionModes:
+    """bf16c (compensated hi/lo split) and bf16 vs the f32 kernel."""
+
+    def _data(self, rng, scale=1.0):
+        Z = (scale * rng.standard_normal((4, 24, 128))).astype(np.float32)
+        bank = (scale * rng.standard_normal((3, 16, 128))).astype(np.float32)
+        return jnp.asarray(Z), jnp.asarray(bank)
+
+    def test_bf16c_matches_f32_tightly(self, rng):
+        Z, bank = self._data(rng)
+        f32 = np.asarray(min_dists_all_pairs(Z, bank, d_tile=128))
+        comp = np.asarray(min_dists_all_pairs(Z, bank, d_tile=128,
+                                              precision="bf16c"))
+        # hi/lo split recovers products to ~2^-16 relative; distances on
+        # unit-scale data differ in the 4th decimal at worst.
+        np.testing.assert_allclose(comp, f32, rtol=3e-4, atol=3e-4)
+
+    def test_bf16c_beats_plain_bf16(self, rng):
+        """The compensation must actually buy accuracy, not just cost."""
+        Z, bank = self._data(rng)
+        f32 = np.asarray(min_dists_all_pairs(Z, bank, d_tile=128))
+        comp = np.asarray(min_dists_all_pairs(Z, bank, d_tile=128,
+                                              precision="bf16c"))
+        fast = np.asarray(min_dists_all_pairs(Z, bank, d_tile=128,
+                                              precision="bf16"))
+        assert np.abs(comp - f32).max() < np.abs(fast - f32).max() / 4
+
+    def test_bf16_close_and_nonnegative(self, rng):
+        Z, bank = self._data(rng)
+        f32 = np.asarray(min_dists_all_pairs(Z, bank, d_tile=128))
+        fast = np.asarray(min_dists_all_pairs(Z, bank, d_tile=128,
+                                              precision="bf16"))
+        # single-pass bf16 of the rounded vectors: ~2^-9 relative per
+        # coordinate -> percent-level distances on unit-scale data
+        np.testing.assert_allclose(fast, f32, rtol=3e-2, atol=3e-2)
+        assert (fast >= 0.0).all()
+
+    def test_bad_precision_raises(self, rng):
+        Z, bank = self._data(rng)
+        with pytest.raises(ValueError):
+            min_dists_all_pairs(Z, bank, precision="fp8")
+
+
 class TestAlphaWithKernel:
     def test_alpha_kernel_path_matches_xla_path(self, rng):
         """weight_distance via the kernel == the XLA formulation."""
@@ -74,10 +95,41 @@ class TestAlphaWithKernel:
 
         Z = rng.standard_normal((6, 16, 64)).astype(np.float32)
         zj = jnp.asarray(Z)
-        want = np.asarray(weight_distance_unsupervised(zj))
-        n = Z.shape[0]
-        got = np.stack([
-            np.asarray(min_dists_to_sets(zj[i], zj, d_tile=128)).sum(0) / (n - 1)
-            for i in range(n)
-        ])
+        want = np.asarray(weight_distance_unsupervised(zj, impl="xla"))
+        got = np.asarray(weight_distance_unsupervised(zj, impl="pallas"))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("precision", ["bf16c", "bf16"])
+    def test_alpha_precision_modes_cluster_identically(self, rng, precision):
+        """Reduced-precision alpha weights keep the per-row ordering (and
+        hence the downstream argmax/softmax structure) on separated data."""
+        from tpu_ac.cluster.alpha import (
+            alpha_from_weights,
+            weight_distance_unsupervised,
+        )
+
+        # two separated clusters of images
+        Z = rng.standard_normal((8, 16, 64)).astype(np.float32)
+        Z[4:] += 8.0
+        zj = jnp.asarray(Z)
+        a32 = np.asarray(alpha_from_weights(
+            weight_distance_unsupervised(zj, impl="pallas"), tau=1.0))
+        alo = np.asarray(alpha_from_weights(
+            weight_distance_unsupervised(zj, impl="pallas",
+                                         precision=precision), tau=1.0))
+        tol = 1e-3 if precision == "bf16c" else 2e-2
+        np.testing.assert_allclose(alo, a32, rtol=tol, atol=tol)
+        # the heaviest patch per image survives the precision drop
+        assert (a32.argmax(1) == alo.argmax(1)).mean() > 0.9
+
+    def test_supervised_precision_plumbs(self, rng):
+        from tpu_ac.cluster.alpha import weight_distance_supervised
+
+        Z = rng.standard_normal((3, 8, 32)).astype(np.float32)
+        Zt = rng.standard_normal((2, 8, 32)).astype(np.float32)
+        f32 = np.asarray(weight_distance_supervised(
+            jnp.asarray(Z), jnp.asarray(Zt), impl="pallas"))
+        comp = np.asarray(weight_distance_supervised(
+            jnp.asarray(Z), jnp.asarray(Zt), impl="pallas",
+            precision="bf16c"))
+        np.testing.assert_allclose(comp, f32, rtol=1e-3, atol=1e-3)

@@ -32,12 +32,23 @@ from tpu_ac.ops.distances import pairwise_sq_dists
 
 
 def _min_dists_to_set(zi: jnp.ndarray, zall_flat: jnp.ndarray,
-                      n_images: int) -> jnp.ndarray:
+                      n_images: int,
+                      precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """min_q ||zi[p] - Z[j,q]|| for every (p, j): [P, D] x [N*P, D] -> [P, N]."""
     p = zi.shape[0]
-    d2 = pairwise_sq_dists(zi, zall_flat)  # [P, N*P]
+    d2 = pairwise_sq_dists(zi, zall_flat, precision=precision)  # [P, N*P]
     d2 = d2.reshape(p, n_images, -1)
     return jnp.sqrt(jnp.min(d2, axis=-1))
+
+
+# XLA equivalents of the kernel precision modes: HIGHEST = multi-pass f32,
+# HIGH = bf16_3x (the compensated decomposition XLA already implements),
+# DEFAULT = single-pass bf16 multiplies.
+_XLA_PRECISION = {
+    "f32": jax.lax.Precision.HIGHEST,
+    "bf16c": jax.lax.Precision.HIGH,
+    "bf16": jax.lax.Precision.DEFAULT,
+}
 
 
 def _use_pallas(impl: str) -> bool:
@@ -47,7 +58,8 @@ def _use_pallas(impl: str) -> bool:
 
 
 def weight_distance_unsupervised(Z: jnp.ndarray, impl: str = "auto",
-                                 n_valid: int | None = None) -> jnp.ndarray:
+                                 n_valid: int | None = None,
+                                 precision: str = "f32") -> jnp.ndarray:
     """Vectorized Weight_Distance_Unsupervised (utils.py:222-227).
 
     Args:
@@ -57,6 +69,9 @@ def weight_distance_unsupervised(Z: jnp.ndarray, impl: str = "auto",
         impl: "auto" (pallas kernel on TPU, XLA elsewhere) | "xla" | "pallas".
         n_valid: number of real images (defaults to N).  Padding N up to a
             bucket size keeps one compiled program across category sweeps.
+        precision: "f32" (parity) | "bf16c" (compensated bf16 — hi/lo split
+            recovers ~f32 products at half the DMA) | "bf16" (single-pass,
+            fastest).  See tpu_ac.kernels.distances.
     Returns:
         W: [N, P]; W[i,p] = mean over j != i of min_q ||Z[i,p]-Z[j,q]||.
 
@@ -68,20 +83,18 @@ def weight_distance_unsupervised(Z: jnp.ndarray, impl: str = "auto",
     valid_col = None if nv == n else (np.arange(n) < nv)
 
     if _use_pallas(impl):
-        from tpu_ac.kernels.distances import min_dists_to_sets
+        from tpu_ac.kernels.distances import min_dists_all_pairs
 
-        def per_image_k(zi: jnp.ndarray) -> jnp.ndarray:
-            mins = min_dists_to_sets(zi, Z)  # [N, P]
-            if valid_col is not None:
-                mins = jnp.where(valid_col[:, None], mins, 0.0)
-            return jnp.sum(mins, axis=0) / (nv - 1)
-
-        return jax.lax.map(per_image_k, Z)
+        mins = min_dists_all_pairs(Z, Z, precision=precision)  # [N, N, P]
+        if valid_col is not None:
+            mins = jnp.where(valid_col[None, :, None], mins, 0.0)
+        return jnp.sum(mins, axis=1) / (nv - 1)
 
     z_flat = Z.reshape(n * p, d)
+    xla_precision = _XLA_PRECISION[precision]
 
     def per_image(zi: jnp.ndarray) -> jnp.ndarray:
-        mins = _min_dists_to_set(zi, z_flat, n)  # [P, N]
+        mins = _min_dists_to_set(zi, z_flat, n, xla_precision)  # [P, N]
         if valid_col is not None:
             mins = jnp.where(valid_col[None, :], mins, 0.0)
         return jnp.sum(mins, axis=-1) / (nv - 1)
@@ -91,8 +104,8 @@ def weight_distance_unsupervised(Z: jnp.ndarray, impl: str = "auto",
 
 def weight_distance_supervised(Z: jnp.ndarray, Z_train: jnp.ndarray,
                                impl: str = "auto",
-                               n_train_valid: int | None = None
-                               ) -> jnp.ndarray:
+                               n_train_valid: int | None = None,
+                               precision: str = "f32") -> jnp.ndarray:
     """Vectorized Weight_Distance_Supervised (utils.py:230-237).
 
     Args:
@@ -100,6 +113,7 @@ def weight_distance_supervised(Z: jnp.ndarray, Z_train: jnp.ndarray,
         Z_train: [Nt, P, D] normal-image (train) patch embeddings (rows
             beyond ``n_train_valid`` are padding, masked out of the min).
         impl: "auto" | "xla" | "pallas" (see weight_distance_unsupervised).
+        precision: "f32" | "bf16c" | "bf16" (see weight_distance_unsupervised).
     Returns:
         W: [N, P]; W[i,p] = min over all train patches of the L2 distance.
     """
@@ -108,20 +122,18 @@ def weight_distance_supervised(Z: jnp.ndarray, Z_train: jnp.ndarray,
     valid_col = None if ntv == nt else (np.arange(nt) < ntv)
 
     if _use_pallas(impl):
-        from tpu_ac.kernels.distances import min_dists_to_sets
+        from tpu_ac.kernels.distances import min_dists_all_pairs
 
-        def per_image_k(zi: jnp.ndarray) -> jnp.ndarray:
-            mins = min_dists_to_sets(zi, Z_train)
-            if valid_col is not None:
-                mins = jnp.where(valid_col[:, None], mins, jnp.inf)
-            return jnp.min(mins, axis=0)
-
-        return jax.lax.map(per_image_k, Z)
+        mins = min_dists_all_pairs(Z, Z_train, precision=precision)
+        if valid_col is not None:
+            mins = jnp.where(valid_col[None, :, None], mins, jnp.inf)
+        return jnp.min(mins, axis=1)
 
     zt_flat = Z_train.reshape(nt * pt, d)
+    xla_precision = _XLA_PRECISION[precision]
 
     def per_image(zi: jnp.ndarray) -> jnp.ndarray:
-        mins = _min_dists_to_set(zi, zt_flat, nt)  # [P, Nt]
+        mins = _min_dists_to_set(zi, zt_flat, nt, xla_precision)  # [P, Nt]
         if valid_col is not None:
             mins = jnp.where(valid_col[None, :], mins, jnp.inf)
         return jnp.min(mins, axis=-1)

@@ -53,26 +53,26 @@ def shard_batch(mesh: Mesh, array, axis_name: str = "dp"):
 
 
 def _per_image_weights(z_local: jnp.ndarray, bank: jnp.ndarray,
-                       reduce_mode: str, n_valid: int) -> jnp.ndarray:
-    from tpu_ac.kernels.distances import min_dists_to_sets
+                       reduce_mode: str, n_valid: int,
+                       precision: str = "f32") -> jnp.ndarray:
+    from tpu_ac.kernels.distances import min_dists_all_pairs
 
     n_bank = bank.shape[0]
-    valid = (np.arange(n_bank) < n_valid)[:, None]  # mask padded bank rows
+    valid = (np.arange(n_bank) < n_valid)[None, :, None]  # padded bank rows
 
-    def per_i(zi):
-        mins = min_dists_to_sets(zi, bank)  # [N_bank, P]
-        if reduce_mode == "mean":
-            mins = jnp.where(valid, mins, 0.0)
-            return jnp.sum(mins, axis=0) / (n_valid - 1)
-        mins = jnp.where(valid, mins, jnp.inf)
-        return jnp.min(mins, axis=0)
-
-    return jax.lax.map(per_i, z_local)
+    mins = min_dists_all_pairs(z_local, bank,
+                               precision=precision)  # [N_local, N_bank, P]
+    if reduce_mode == "mean":
+        mins = jnp.where(valid, mins, 0.0)
+        return jnp.sum(mins, axis=1) / (n_valid - 1)
+    mins = jnp.where(valid, mins, jnp.inf)
+    return jnp.min(mins, axis=1)
 
 
 def sharded_weight_distance_unsupervised(mesh: Mesh, Z_sharded: jnp.ndarray,
                                          n_valid: int,
-                                         axis_name: str = "dp") -> jnp.ndarray:
+                                         axis_name: str = "dp",
+                                         precision: str = "f32") -> jnp.ndarray:
     """Weight_Distance_Unsupervised with the image set sharded over dp.
 
     Z_sharded: [N_pad, P, D], leading axis sharded; ``n_valid`` real images
@@ -86,14 +86,15 @@ def sharded_weight_distance_unsupervised(mesh: Mesh, Z_sharded: jnp.ndarray,
                        check_rep=False)
     def f(z_local):
         bank = jax.lax.all_gather(z_local, axis_name, axis=0, tiled=True)
-        return _per_image_weights(z_local, bank, "mean", n_valid)
+        return _per_image_weights(z_local, bank, "mean", n_valid, precision)
 
     return f(Z_sharded)
 
 
 def sharded_weight_distance_supervised(mesh: Mesh, Z_sharded: jnp.ndarray,
                                        Z_train: jnp.ndarray,
-                                       axis_name: str = "dp") -> jnp.ndarray:
+                                       axis_name: str = "dp",
+                                       precision: str = "f32") -> jnp.ndarray:
     """Supervised variant: test images sharded over dp, train bank
     replicated (it is read-only and typically small)."""
     n_train = Z_train.shape[0]
@@ -102,7 +103,7 @@ def sharded_weight_distance_supervised(mesh: Mesh, Z_sharded: jnp.ndarray,
                        in_specs=(P(axis_name), P()), out_specs=P(axis_name),
                        check_rep=False)
     def f(z_local, bank):
-        return _per_image_weights(z_local, bank, "min", n_train)
+        return _per_image_weights(z_local, bank, "min", n_train, precision)
 
     return f(Z_sharded, Z_train)
 

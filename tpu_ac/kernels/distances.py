@@ -1,18 +1,35 @@
 """Tiled pairwise-distance + row-min Pallas kernel — the alpha hot loop.
 
-The alpha weights need, for a test image i with patches zi [P, D] and every
-other image j with patches Z[j] [P, D]:
+The alpha weights need, for every test image i with patches Z[i] [P, D] and
+every bank image j with patches B[j] [Q, D]:
 
-    mins[j, p] = min_q || zi[p] - Z[j, q] ||        (utils.py:222-237)
+    mins[i, j, p] = min_q || Z[i, p] - B[j, q] ||      (utils.py:222-237)
 
-The XLA formulation (tpu_ac.cluster.alpha) computes the full [P, N*P]
-distance matrix per i — ~90 MB HBM traffic per image at MVTec scale.  This
-kernel keeps each [P, P] tile in VMEM, accumulates the q-contraction over D
-in a scratch accumulator, and writes only the [P]-vector of row-mins per j:
-HBM output shrinks by a factor of P (784x).
+The XLA formulation (tpu_ac.cluster.alpha) materializes a [P, N*P]
+distance matrix per image — ~90 MB of HBM traffic each at MVTec scale.
+This kernel keeps each [P, Q] tile in VMEM, accumulates the D-contraction
+in a scratch accumulator, and writes only the [P]-vector of row-mins per
+(i, j): HBM output shrinks by a factor of Q (784x).
 
-Grid: (N, K) — j image outer, D-tile inner (last grid dim iterates
-fastest, so the accumulator scratch carries across k for a fixed j).
+Grid: (I, J, K) — one fused launch for the whole image set (no host loop
+over i), K (the D-tile axis) innermost so the accumulator carries across k
+for a fixed (i, j) while Pallas double-buffers the next zi/bank blocks.
+
+Precision modes (the MXU multiplies bf16; f32 multiplication is emulated
+by multi-pass decomposition, so the lever is how many passes we pay):
+
+- "f32":   f32 operands, full-precision accumulation (Mosaic multi-pass).
+           Bitwise-stable parity mode.
+- "bf16c": compensated bf16 — operands are split z = hi + lo into two
+           bf16 halves (~f32 mantissa coverage); the cross term
+           hi.hi' + hi.lo' + lo.hi' recovers the f32 product to ~2^-16
+           relative (the dropped lo.lo' term), while the norm terms
+           |z|^2 are computed in f32 outside the kernel.  3 single-pass
+           matmuls + half the DMA traffic of f32.
+- "bf16":  single-pass bf16 of the *rounded* vectors with norms computed
+           from the same rounded values, so d2 = |hi_p - hi_q|^2 exactly
+           (>= 0, no cancellation garbage).  Fastest; distances carry the
+           bf16 rounding of the inputs (~2^-9 relative per coordinate).
 """
 
 from __future__ import annotations
@@ -24,90 +41,156 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+PRECISIONS = ("f32", "bf16c", "bf16")
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _min_dists_kernel(zi_ref, bank_ref, a2_ref, b2_ref, out_ref, acc,
-                      *, n_k: int, q_valid: int):
-    k = pl.program_id(1)
+def _min_dists_kernel(*refs, n_k: int, q_valid: int, compensated: bool):
+    if compensated:
+        (zi_hi_ref, zi_lo_ref, bank_hi_ref, bank_lo_ref,
+         a2_ref, b2_ref, out_ref, acc) = refs
+    else:
+        zi_hi_ref, bank_hi_ref, a2_ref, b2_ref, out_ref, acc = refs
+        zi_lo_ref = bank_lo_ref = None
+    k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    acc[:] += jax.lax.dot_general(
-        zi_ref[:], bank_ref[0],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc[:] += dot(zi_hi_ref[0], bank_hi_ref[0])
+    if compensated:
+        acc[:] += dot(zi_hi_ref[0], bank_lo_ref[0])
+        acc[:] += dot(zi_lo_ref[0], bank_hi_ref[0])
 
     @pl.when(k == n_k - 1)
     def _():
-        a2 = a2_ref[0]     # [P_pad]
+        a2 = a2_ref[0, 0]  # [P_pad]
         b2 = b2_ref[0, 0]  # [Q_pad]
         d2 = a2[:, None] - 2.0 * acc[:] + b2[None, :]
         if acc.shape[1] != q_valid:  # mask padded bank patches
             col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
             d2 = jnp.where(col < q_valid, d2, jnp.inf)
-        out_ref[0, 0] = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
+        out_ref[0, 0, 0] = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("d_tile", "q_valid", "interpret"))
-def _min_dists_padded(zi, bank, a2, b2, *, d_tile: int, q_valid: int,
-                      interpret: bool):
-    p_pad, d_pad = zi.shape
-    n, q_pad, _ = bank.shape
+@functools.partial(
+    jax.jit, static_argnames=("d_tile", "q_valid", "compensated", "interpret"))
+def _min_dists_padded(zi_parts, bank_parts, a2, b2, *, d_tile: int,
+                      q_valid: int, compensated: bool, interpret: bool):
+    n_i, p_pad, d_pad = zi_parts[0].shape
+    n_j, q_pad, _ = bank_parts[0].shape
     n_k = d_pad // d_tile
-    kernel = functools.partial(_min_dists_kernel, n_k=n_k, q_valid=q_valid)
-    # N-indexed operands carry a singleton middle axis so every block's
-    # trailing two dims are full array dims (Mosaic requires the last two
-    # block dims divisible by (8, 128) or equal to the array dims).
+    kernel = functools.partial(_min_dists_kernel, n_k=n_k, q_valid=q_valid,
+                               compensated=compensated)
+
+    def zi_spec():
+        return pl.BlockSpec((1, p_pad, d_tile), lambda i, j, k: (i, 0, k),
+                            memory_space=pltpu.VMEM)
+
+    def bank_spec():
+        return pl.BlockSpec((1, q_pad, d_tile), lambda i, j, k: (j, 0, k),
+                            memory_space=pltpu.VMEM)
+
+    # norm vectors carry a singleton middle axis so each block's trailing
+    # two dims equal the array dims (Mosaic requires the last two block
+    # dims divisible by (8, 128) or equal to the array dims)
+    in_specs = [zi_spec() for _ in zi_parts] + [bank_spec() for _ in bank_parts]
+    in_specs += [
+        pl.BlockSpec((1, 1, p_pad), lambda i, j, k: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, q_pad), lambda i, j, k: (j, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    # the output block likewise needs trailing two dims equal to array
+    # dims, hence the singleton third axis squeezed off on return
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, 1, p_pad), jnp.float32),
-        grid=(n, n_k),
-        in_specs=[
-            pl.BlockSpec((p_pad, d_tile), lambda j, k: (0, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q_pad, d_tile), lambda j, k: (j, 0, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p_pad), lambda j, k: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_pad), lambda j, k: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, p_pad), lambda j, k: (j, 0, 0),
+        out_shape=jax.ShapeDtypeStruct((n_i, n_j, 1, p_pad), jnp.float32),
+        grid=(n_i, n_j, n_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, 1, p_pad), lambda i, j, k: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((p_pad, q_pad), jnp.float32)],
         interpret=interpret,
-    )(zi, bank, a2, b2)
-    return out[:, 0]
+    )(*zi_parts, *bank_parts, a2, b2)
+    return out[:, :, 0]
 
 
-def min_dists_to_sets(zi: jnp.ndarray, bank: jnp.ndarray,
-                      *, d_tile: int = 512,
-                      interpret: bool | None = None) -> jnp.ndarray:
-    """mins[j, p] = min_q ||zi[p] - bank[j, q]|| for zi [P, D], bank [N, Q, D].
+def _split_hi_lo(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~= x to ~16 mantissa bits."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
-    Returns [N, P] float32.  Non-TPU backends run in interpreter mode.
+
+def min_dists_all_pairs(Z: jnp.ndarray, bank: jnp.ndarray,
+                        *, d_tile: int = 512, precision: str = "f32",
+                        interpret: bool | None = None) -> jnp.ndarray:
+    """mins[i, j, p] = min_q ||Z[i, p] - bank[j, q]|| in one fused launch.
+
+    Args:
+        Z: [I, P, D] query patch sets.
+        bank: [N, Q, D] bank patch sets (for the unsupervised alpha this is
+            Z itself; for supervised it is the train set).
+        precision: "f32" | "bf16c" | "bf16" (see module docstring).
+    Returns:
+        [I, N, P] float32 min-distances.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    p, d = zi.shape
-    n, q, _ = bank.shape
+    if precision not in PRECISIONS:
+        raise ValueError(f"precision {precision!r}; want one of {PRECISIONS}")
+    n_i, p, d = Z.shape
+    n_j, q, _ = bank.shape
     p_pad = _round_up(p, 128)
     q_pad = _round_up(q, 128)
     d_pad = _round_up(d, d_tile)
 
-    zi_p = jnp.pad(zi.astype(jnp.float32),
-                   ((0, p_pad - p), (0, d_pad - d)))
+    z_p = jnp.pad(Z.astype(jnp.float32),
+                  ((0, 0), (0, p_pad - p), (0, d_pad - d)))
     bank_p = jnp.pad(bank.astype(jnp.float32),
                      ((0, 0), (0, q_pad - q), (0, d_pad - d)))
-    a2 = jnp.sum(jnp.square(zi_p), axis=-1)[None]            # [1, P_pad]
-    b2 = jnp.sum(jnp.square(bank_p), axis=-1)[:, None, :]    # [N, 1, Q_pad]
 
-    out = _min_dists_padded(zi_p, bank_p, a2, b2, d_tile=d_tile,
-                            q_valid=q, interpret=interpret)
-    return out[:, :p]
+    if precision == "f32":
+        zi_parts, bank_parts = (z_p,), (bank_p,)
+        a2 = jnp.sum(jnp.square(z_p), axis=-1)[:, None, :]
+        b2 = jnp.sum(jnp.square(bank_p), axis=-1)[:, None, :]
+    elif precision == "bf16c":
+        zi_parts = _split_hi_lo(z_p)
+        bank_parts = _split_hi_lo(bank_p)
+        a2 = jnp.sum(jnp.square(z_p), axis=-1)[:, None, :]
+        b2 = jnp.sum(jnp.square(bank_p), axis=-1)[:, None, :]
+    else:  # "bf16": norms from the rounded values keep d2 >= 0 exactly
+        z_hi = z_p.astype(jnp.bfloat16)
+        bank_hi = bank_p.astype(jnp.bfloat16)
+        zi_parts, bank_parts = (z_hi,), (bank_hi,)
+        a2 = jnp.sum(jnp.square(z_hi.astype(jnp.float32)),
+                     axis=-1)[:, None, :]
+        b2 = jnp.sum(jnp.square(bank_hi.astype(jnp.float32)),
+                     axis=-1)[:, None, :]
+
+    out = _min_dists_padded(zi_parts, bank_parts, a2, b2, d_tile=d_tile,
+                            q_valid=q, compensated=(precision == "bf16c"),
+                            interpret=interpret)
+    return out[:, :, :p]
+
+
+def min_dists_to_sets(zi: jnp.ndarray, bank: jnp.ndarray,
+                      *, d_tile: int = 512, precision: str = "f32",
+                      interpret: bool | None = None) -> jnp.ndarray:
+    """mins[j, p] = min_q ||zi[p] - bank[j, q]|| for one query set zi [P, D].
+
+    Returns [N, P] float32.  Kept for callers that stream one query image at
+    a time; the alpha path uses the fused ``min_dists_all_pairs``.
+    """
+    return min_dists_all_pairs(zi[None], bank, d_tile=d_tile,
+                               precision=precision, interpret=interpret)[0]

@@ -11,9 +11,10 @@ TPU notes:
 - patch embedding is evaluated as space-to-depth + one big [B*N, C*ps*ps] x
   [C*ps*ps, D] matmul (MXU) rather than a conv — identical math, better
   layout;
-- attention is softmax(QK^T * scale)V per head; at seq len 785 the whole
-  score matrix fits VMEM-tiled by XLA, and a fused Pallas attention kernel
-  (tpu_ac.kernels.attention) can be swapped in via ``attention_impl``;
+- attention is softmax(QK^T * scale)V per head; at seq len 785 XLA's fused
+  dense attention is the fastest measured implementation (it beat a
+  hand-written Pallas kernel in f32 and bf16); a custom callable can be
+  swapped in via ``attention_impl`` for experimentation;
 - parameters keep torch (out, in) layout; matmuls contract against the
   trailing axis of the weight (x @ W^T) which XLA folds with no copies.
 

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 
-def pairwise_sq_dists(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def pairwise_sq_dists(a: jnp.ndarray, b: jnp.ndarray,
+                      precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Squared L2 distances between rows: [..., M, D] x [..., N, D] -> [..., M, N]."""
     a2 = jnp.sum(jnp.square(a), axis=-1, keepdims=True)
     b2 = jnp.sum(jnp.square(b), axis=-1, keepdims=True)
@@ -27,7 +28,7 @@ def pairwise_sq_dists(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         a, b,
         dimension_numbers=(((a.ndim - 1,), (b.ndim - 1,)),
                            (tuple(range(a.ndim - 2)), tuple(range(b.ndim - 2)))),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     d2 = a2 - 2.0 * ab + jnp.swapaxes(b2, -1, -2)
     return jnp.maximum(d2, 0.0)

@@ -14,6 +14,7 @@ decoded images and one device->host download of (alpha, X).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import pickle
 from typing import Mapping
@@ -55,9 +56,20 @@ class PipelineConfig:
     imagesize: int = 224
     batch_size: int = 32  # amortizes per-dispatch overhead on remote links
     # "default" (f32 storage, MXU-native matmuls) | "highest" (3-pass f32,
-    # strictest parity) | "bfloat16" (bf16 storage+compute, ~25% faster
+    # strictest parity) | "bfloat16" (bf16 storage+compute, ~1.8x faster
     # embed at matched clustering metrics on separable data)
     precision: str = "default"
+    # Alpha distance-kernel precision: "auto" follows ``precision``
+    # (bfloat16 -> single-pass bf16, else f32); explicit "f32" | "bf16c"
+    # (compensated hi/lo split, ~f32-accurate products at half the DMA) |
+    # "bf16" override.  See tpu_ac.kernels.distances.
+    alpha_precision: str = "auto"
+
+    @property
+    def resolved_alpha_precision(self) -> str:
+        if self.alpha_precision != "auto":
+            return self.alpha_precision
+        return "bf16" if self.precision == "bfloat16" else "f32"
 
     @property
     def embed_config(self) -> EmbedConfig:
@@ -77,9 +89,9 @@ class CategoryEmbedder:
                  precision=None, family: str = "vit"):
         if attention_impl == "auto":
             # Measured on v5e at ViT-B/8 scale (S=785): XLA's fused dense
-            # attention edges out the Pallas kernel (164 vs 151 img/s on
-            # the full embed), so XLA is the default; pass
-            # kernels.attention.fused_attention explicitly to use it.
+            # attention beat a hand-written Pallas kernel in both f32 and
+            # bf16, so the (since removed) kernel never earned the slot;
+            # "auto" = XLA.  A custom callable can still be passed through.
             attention_impl = None
         cast_dtype = None
         if precision is None:
@@ -163,9 +175,33 @@ def _pad_bucket(Z: jnp.ndarray, bucket: int) -> jnp.ndarray:
         [Z, jnp.zeros((pad, *Z.shape[1:]), Z.dtype)])
 
 
+# Single-program alpha+X: weights -> alpha -> weighted embedding run as ONE
+# jitted dispatch (the eager formulation pays a host round trip per op,
+# ~30 ms each over remote-tunnel links).  tau/n_valid are static: one
+# compile per (mode, tau, bucketed shape, precision), reused across a
+# category sweep thanks to the n_bucket padding.
+@functools.partial(
+    jax.jit,
+    static_argnames=("supervised", "tau", "n_valid", "n_train_valid",
+                     "precision"))
+def _alpha_x_program(Z, Z_train, *, supervised: str, tau: float,
+                     n_valid: int, n_train_valid: int | None,
+                     precision: str):
+    if supervised == "supervised":
+        w = weight_distance_supervised(
+            Z, Z_train, n_train_valid=n_train_valid,
+            precision=precision)[:n_valid]
+    else:
+        w = weight_distance_unsupervised(
+            Z, n_valid=n_valid, precision=precision)[:n_valid]
+    alpha = alpha_from_weights(w, tau)
+    return alpha, weighted_embedding(alpha, Z[:n_valid])
+
+
 def compute_alpha_X(Z: jnp.ndarray, supervised: str, tau: float,
                     Z_train: jnp.ndarray | None = None,
-                    n_bucket: int = 32, use_mesh: bool | None = None
+                    n_bucket: int = 32, use_mesh: bool | None = None,
+                    precision: str = "f32"
                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(alpha [N, P], X [N, D]) per the selected mode (examples/main.py:270-296).
 
@@ -196,27 +232,28 @@ def compute_alpha_X(Z: jnp.ndarray, supervised: str, tau: float,
         if supervised == "supervised":
             if Z_train is None:
                 raise ValueError("supervised mode requires Z_train")
-            w = sharded_weight_distance_supervised(mesh, z_sh, Z_train)[:n]
+            w = sharded_weight_distance_supervised(
+                mesh, z_sh, Z_train, precision=precision)[:n]
         else:
-            w = sharded_weight_distance_unsupervised(mesh, z_sh,
-                                                     n_valid=n)[:n]
+            w = sharded_weight_distance_unsupervised(
+                mesh, z_sh, n_valid=n, precision=precision)[:n]
         alpha = alpha_from_weights(w, tau)
         return alpha, weighted_embedding(alpha, Z)
 
     if supervised == "supervised":
         if Z_train is None:
             raise ValueError("supervised mode requires Z_train")
-        nt = Z_train.shape[0]
-        w = weight_distance_supervised(
+        return _alpha_x_program(
             _pad_bucket(Z, n_bucket), _pad_bucket(Z_train, n_bucket),
-            n_train_valid=nt)[:n]
-        alpha = alpha_from_weights(w, tau)
-    elif supervised == "unsupervised":
-        w = weight_distance_unsupervised(
-            _pad_bucket(Z, n_bucket), n_valid=n)[:n]
-        alpha = alpha_from_weights(w, tau)
-    else:  # "average"
-        alpha = matrix_alpha_average(Z)
+            supervised="supervised", tau=float(tau), n_valid=n,
+            n_train_valid=Z_train.shape[0], precision=precision)
+    if supervised == "unsupervised":
+        return _alpha_x_program(
+            _pad_bucket(Z, n_bucket), None,
+            supervised="unsupervised", tau=float(tau), n_valid=n,
+            n_train_valid=None, precision=precision)
+    # "average"
+    alpha = matrix_alpha_average(Z)
     return alpha, weighted_embedding(alpha, Z)
 
 
@@ -286,7 +323,8 @@ def run_category(source: str, category: str, cfg: PipelineConfig,
                              cfg.resize, cfg.imagesize) for i in keep])
         Z_train = embedder(train_imgs)
 
-    alpha, X = compute_alpha_X(Z, cfg.supervised, cfg.tau, Z_train)
+    alpha, X = compute_alpha_X(Z, cfg.supervised, cfg.tau, Z_train,
+                               precision=cfg.resolved_alpha_precision)
     alpha_np, x_np = np.asarray(alpha), np.asarray(X)
 
     result = {
