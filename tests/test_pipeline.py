@@ -125,6 +125,31 @@ class TestPipelineEndToEnd:
             assert set(scores) == {"NMI", "ARI", "F1"}
             assert 0.0 <= scores["F1"] <= 1.0
 
+    def test_bfloat16_precision_matches_f32_metrics(self, synth_root,
+                                                    tiny_cfg, tiny_embedder):
+        """The bf16 pipeline (bf16 embed + bf16 alpha kernel) must produce
+        the same clustering metrics as f32 (VERDICT r1 #4 validation)."""
+        import dataclasses
+        from tpu_ac.models import ViTConfig, init_vit_params
+        from tpu_ac.pipeline import (
+            CategoryEmbedder,
+            category_metrics,
+            run_category,
+        )
+
+        f32 = run_category(synth_root, "bottle", tiny_cfg, tiny_embedder)
+        cfg_bf = dataclasses.replace(tiny_cfg, precision="bfloat16")
+        assert cfg_bf.resolved_alpha_precision == "bf16"
+        vit_cfg = ViTConfig(patch_size=8, embed_dim=64, depth=4, num_heads=4,
+                            img_size=32)
+        emb_bf = CategoryEmbedder(init_vit_params(0, vit_cfg), vit_cfg,
+                                  cfg_bf)
+        bf = run_category(synth_root, "bottle", cfg_bf, emb_bf)
+        s32 = category_metrics(f32["X"], f32["anomaly_labels"])
+        sbf = category_metrics(bf["X"], bf["anomaly_labels"])
+        assert s32 == sbf
+        np.testing.assert_allclose(bf["alpha"].sum(axis=1), 1.0, rtol=1e-3)
+
     def test_artifact_roundtrip(self, synth_root, tiny_cfg, tiny_embedder,
                                 tmp_path):
         from tpu_ac.pipeline import run_category, load_alpha_X
