@@ -81,3 +81,50 @@ class TestVideo:
         from PIL import Image
         gif = Image.open(out)
         assert gif.n_frames == 3
+
+
+class TestFeatureMapVisualize:
+    def test_grid_normalized(self, rng):
+        from tpu_ac.viz.plots import feature_map_grid
+
+        z = rng.standard_normal((16, 8)).astype(np.float32)
+        grid = feature_map_grid(z)
+        assert grid.shape == (4, 4)
+        assert grid.min() == 0.0 and grid.max() == pytest.approx(1.0)
+
+    def test_saves_once_per_label_run(self, rng, tmp_path):
+        """Reproduces the reference's label_current walk
+        (examples/main.py:166-181): one png per label change."""
+        from tpu_ac.viz.plots import feature_map_visualize
+
+        Z = rng.standard_normal((6, 16, 8)).astype(np.float32)
+        labels = ["good", "good", "crack", "crack", "good", "hole"]
+        paths = feature_map_visualize(Z, labels, str(tmp_path), "vitb8")
+        assert [os.path.basename(p) for p in paths] == [
+            "vitb8_good.png", "vitb8_crack.png", "vitb8_good.png",
+            "vitb8_hole.png"]
+        assert all(os.path.exists(p) for p in set(paths))
+
+    def test_with_images_panel(self, rng, tmp_path):
+        from tpu_ac.viz.plots import feature_map_visualize
+
+        Z = rng.standard_normal((2, 16, 8)).astype(np.float32)
+        imgs = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+        paths = feature_map_visualize(Z, ["good", "bad"], str(tmp_path),
+                                      "t", images_chw=imgs)
+        assert len(paths) == 2
+
+
+class TestMaxHausdorff:
+    def test_matches_scipy_directed(self, rng):
+        from scipy.spatial import distance
+
+        from tpu_ac.cluster.alpha import max_hausdorff_distance
+
+        a = rng.standard_normal((20, 8)).astype(np.float32)
+        b = rng.standard_normal((15, 8)).astype(np.float32)
+        got = max_hausdorff_distance(a, b)
+        # the reference's max(directed(i,j), directed(i,j))[0] collapses to
+        # the directed distance — reproduced quirk
+        want = distance.directed_hausdorff(a, b)[0]
+        assert got == pytest.approx(want, rel=1e-5)

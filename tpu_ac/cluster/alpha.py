@@ -175,6 +175,21 @@ def matrix_alpha_average(Z: jnp.ndarray) -> jnp.ndarray:
     return jnp.full((n, p), 1.0 / p, dtype=Z.dtype)
 
 
+def max_hausdorff_distance(a, b) -> float:
+    """Max_Hausdorff_Distance (utils.py:280-281).
+
+    The reference calls ``max(directed_hausdorff(i, j),
+    directed_hausdorff(i, j))[0]`` — both arguments in the SAME order, so
+    despite the name it computes the *directed* Hausdorff distance
+    sup_p inf_q ||a_p - b_q|| rather than the symmetric one.  That quirk is
+    reproduced (the function is unused by any reference pipeline; it ships
+    for API completeness).
+    """
+    d2 = np.asarray(pairwise_sq_dists(jnp.asarray(a, jnp.float32),
+                                      jnp.asarray(b, jnp.float32)))
+    return float(np.sqrt(d2.min(axis=1).max()))
+
+
 def weighted_embedding(alpha: jnp.ndarray, Z: jnp.ndarray) -> jnp.ndarray:
     """X = bmm(alpha, Z): [N, P] x [N, P, D] -> [N, D] (examples/main.py:294-296)."""
     return jnp.einsum("np,npd->nd", alpha.astype(Z.dtype), Z,

@@ -5,6 +5,8 @@
 - ``alpha_heatmap`` / ``visualize_alpha_on_image``: per-image alpha weight
   maps, nearest-neighbor upsampled next to the source image
   (utils/draw_alpha.py:74-134, examples/test.py:71-105,158-174).
+- ``feature_map_grid`` / ``feature_map_visualize``: per-patch mean-embedding
+  intensity maps, saved once per anomaly label (examples/main.py:72-181).
 - ``plot_segmentation_images``: image/mask/heatmap triptychs
   (models/patchcore/utils.py:18-77).
 - ``attention_maps``: per-head CLS attention of the last block
@@ -104,6 +106,59 @@ def visualize_alpha_on_image(image_chw: np.ndarray, alpha_row: np.ndarray,
         fig.savefig(save_path, dpi=120, bbox_inches="tight")
         plt.close(fig)
     return fig
+
+
+def feature_map_grid(z_i: np.ndarray) -> np.ndarray:
+    """[P, D] patch embeddings -> min-max-normalized [G, G] intensity map
+    (examples/main.py:165-175: per-patch mean over the embedding dim,
+    normalized to [0, 1], reshaped onto the square grid)."""
+    z = np.asarray(z_i, np.float32).mean(axis=1)
+    lo, hi = z.min(), z.max()
+    z = (z - lo) / max(hi - lo, 1e-12)
+    g = int(math.isqrt(len(z)))
+    return z.reshape(g, g)
+
+
+def feature_map_visualize(Z: np.ndarray, anomaly_labels: list[str],
+                          out_dir: str, tag: str,
+                          images_chw: np.ndarray | None = None) -> list[str]:
+    """feature_map_visualize (examples/main.py:72-181): save one per-patch
+    mean-embedding intensity map per *first occurrence* of each anomaly
+    label (the reference's ``label_current`` walk).  Returns saved paths.
+
+    Z: [N, P, D] patch embeddings; images_chw: optional normalized source
+    images rendered alongside the map (the reference shows the image + gt
+    mask + map; the mask panel needs the dataset tree and lives in
+    ``plot_segmentation_images``).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    saved: list[str] = []
+    label_current = None
+    for i, label in enumerate(anomaly_labels):
+        if label == label_current:
+            continue
+        label_current = label
+        grid = feature_map_grid(Z[i])
+        cols = 2 if images_chw is not None else 1
+        fig, axes = plt.subplots(1, cols, figsize=(4 * cols, 4),
+                                 squeeze=False)
+        if images_chw is not None:
+            axes[0][0].imshow(_denormalize(images_chw[i]))
+            axes[0][0].set_title("image")
+        axes[0][-1].imshow(grid, cmap="gray")
+        axes[0][-1].set_title(f"mean embedding ({label})")
+        for ax in axes[0]:
+            ax.axis("off")
+        path = os.path.join(out_dir, f"{tag}_{label}.png")
+        fig.savefig(path, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        saved.append(path)
+    return saved
 
 
 def plot_segmentation_images(save_dir: str, image_paths: list[str],
