@@ -36,6 +36,21 @@ class TestMinDistsKernel:
                                                 d_tile=128))
             np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.parametrize("n_i,ti", [(5, 2), (4, 4), (3, 8)])
+    def test_query_blocking_and_padding(self, rng, n_i, ti):
+        """ti-blocked queries (incl. n_i not divisible by ti, and ti
+        clamped to n_i) match the unblocked result."""
+        Z = rng.standard_normal((n_i, 24, 96)).astype(np.float32)
+        bank = rng.standard_normal((3, 16, 96)).astype(np.float32)
+        want = np.asarray(min_dists_all_pairs(jnp.asarray(Z),
+                                              jnp.asarray(bank),
+                                              d_tile=128, ti=1))
+        got = np.asarray(min_dists_all_pairs(jnp.asarray(Z),
+                                             jnp.asarray(bank),
+                                             d_tile=128, ti=ti))
+        assert got.shape == (n_i, 3, 24)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
     def test_self_distance_zero(self, rng):
         z = rng.standard_normal((12, 32)).astype(np.float32)
         got = np.asarray(min_dists_to_sets(jnp.asarray(z),

@@ -11,9 +11,13 @@ This kernel keeps each [P, Q] tile in VMEM, accumulates the D-contraction
 in a scratch accumulator, and writes only the [P]-vector of row-mins per
 (i, j): HBM output shrinks by a factor of Q (784x).
 
-Grid: (I, J, K) — one fused launch for the whole image set (no host loop
-over i), K (the D-tile axis) innermost so the accumulator carries across k
-for a fixed (i, j) while Pallas double-buffers the next zi/bank blocks.
+Grid: (I/TI, J, K) — one fused launch for the whole image set (no host
+loop over i), K (the D-tile axis) innermost so the accumulator carries
+across k for a fixed (i-block, j) while Pallas double-buffers the next
+bank block.  Each step keeps TI full [P, D] query rows resident in VMEM
+(their block index only changes with the outer axis), so zi HBM traffic is
+I*P*D bytes total and the dominant bank stream (N*Q*D bytes per i-block)
+is amortized over TI queries.
 
 Precision modes (the MXU multiplies bf16; f32 multiplication is emulated
 by multi-pass decomposition, so the lever is how many passes we pay):
@@ -48,7 +52,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _min_dists_kernel(*refs, n_k: int, q_valid: int, compensated: bool):
+def _min_dists_kernel(*refs, n_k: int, d_tile: int, q_valid: int,
+                      compensated: bool, ti: int):
     if compensated:
         (zi_hi_ref, zi_lo_ref, bank_hi_ref, bank_lo_ref,
          a2_ref, b2_ref, out_ref, acc) = refs
@@ -66,34 +71,45 @@ def _min_dists_kernel(*refs, n_k: int, q_valid: int, compensated: bool):
             a, b, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    acc[:] += dot(zi_hi_ref[0], bank_hi_ref[0])
-    if compensated:
-        acc[:] += dot(zi_hi_ref[0], bank_lo_ref[0])
-        acc[:] += dot(zi_lo_ref[0], bank_hi_ref[0])
+    # zi rows are VMEM-resident across the whole (j, k) sweep (their block
+    # index only changes with the outer i-block), so the D contraction
+    # slices the resident rows instead of re-streaming them from HBM.
+    ks = pl.dslice(k * d_tile, d_tile)
+    for t in range(ti):  # static unroll over the query block
+        acc[t] += dot(zi_hi_ref[t, :, ks], bank_hi_ref[0])
+        if compensated:
+            acc[t] += dot(zi_hi_ref[t, :, ks], bank_lo_ref[0])
+            acc[t] += dot(zi_lo_ref[t, :, ks], bank_hi_ref[0])
 
     @pl.when(k == n_k - 1)
     def _():
-        a2 = a2_ref[0, 0]  # [P_pad]
         b2 = b2_ref[0, 0]  # [Q_pad]
-        d2 = a2[:, None] - 2.0 * acc[:] + b2[None, :]
-        if acc.shape[1] != q_valid:  # mask padded bank patches
-            col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-            d2 = jnp.where(col < q_valid, d2, jnp.inf)
-        out_ref[0, 0, 0] = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
+        for t in range(ti):
+            a2 = a2_ref[t, 0]  # [P_pad]
+            d2 = a2[:, None] - 2.0 * acc[t] + b2[None, :]
+            if acc.shape[2] != q_valid:  # mask padded bank patches
+                col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+                d2 = jnp.where(col < q_valid, d2, jnp.inf)
+            out_ref[t, 0, 0] = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("d_tile", "q_valid", "compensated", "interpret"))
+    jax.jit, static_argnames=("d_tile", "q_valid", "compensated", "ti",
+                              "interpret"))
 def _min_dists_padded(zi_parts, bank_parts, a2, b2, *, d_tile: int,
-                      q_valid: int, compensated: bool, interpret: bool):
+                      q_valid: int, compensated: bool, ti: int,
+                      interpret: bool):
     n_i, p_pad, d_pad = zi_parts[0].shape
     n_j, q_pad, _ = bank_parts[0].shape
     n_k = d_pad // d_tile
-    kernel = functools.partial(_min_dists_kernel, n_k=n_k, q_valid=q_valid,
-                               compensated=compensated)
+    kernel = functools.partial(_min_dists_kernel, n_k=n_k, d_tile=d_tile,
+                               q_valid=q_valid, compensated=compensated,
+                               ti=ti)
 
     def zi_spec():
-        return pl.BlockSpec((1, p_pad, d_tile), lambda i, j, k: (i, 0, k),
+        # full [TI, P, D] rows resident per i-block: fetched once per
+        # outer step, NOT per (j, k) — cuts zi HBM traffic by N_j * n_k
+        return pl.BlockSpec((ti, p_pad, d_pad), lambda i, j, k: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def bank_spec():
@@ -105,7 +121,7 @@ def _min_dists_padded(zi_parts, bank_parts, a2, b2, *, d_tile: int,
     # dims divisible by (8, 128) or equal to the array dims)
     in_specs = [zi_spec() for _ in zi_parts] + [bank_spec() for _ in bank_parts]
     in_specs += [
-        pl.BlockSpec((1, 1, p_pad), lambda i, j, k: (i, 0, 0),
+        pl.BlockSpec((ti, 1, p_pad), lambda i, j, k: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, q_pad), lambda i, j, k: (j, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -115,11 +131,16 @@ def _min_dists_padded(zi_parts, bank_parts, a2, b2, *, d_tile: int,
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_i, n_j, 1, p_pad), jnp.float32),
-        grid=(n_i, n_j, n_k),
+        grid=(n_i // ti, n_j, n_k),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, 1, p_pad), lambda i, j, k: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((ti, 1, 1, p_pad),
+                               lambda i, j, k: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((p_pad, q_pad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((ti, p_pad, q_pad), jnp.float32)],
+        # the resident query blocks exceed XLA's stock 16 MiB scoped-vmem
+        # ceiling; raise it per-kernel (v5e VMEM is 128 MiB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(*zi_parts, *bank_parts, a2, b2)
     return out[:, :, 0]
@@ -134,6 +155,7 @@ def _split_hi_lo(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 def min_dists_all_pairs(Z: jnp.ndarray, bank: jnp.ndarray,
                         *, d_tile: int = 512, precision: str = "f32",
+                        ti: int = 2,
                         interpret: bool | None = None) -> jnp.ndarray:
     """mins[i, j, p] = min_q ||Z[i, p] - bank[j, q]|| in one fused launch.
 
@@ -142,6 +164,11 @@ def min_dists_all_pairs(Z: jnp.ndarray, bank: jnp.ndarray,
         bank: [N, Q, D] bank patch sets (for the unsupervised alpha this is
             Z itself; for supervised it is the train set).
         precision: "f32" | "bf16c" | "bf16" (see module docstring).
+        ti: query rows processed per grid step.  Each step holds ti full
+            [P, D] query rows resident in VMEM, so the bank HBM stream
+            (the dominant traffic, N_j * D * Q bytes per query) is shared
+            by ti queries.  2 fits comfortably in VMEM at the flagship
+            shape (P=784, D=4096); raise to 4 for smaller D.
     Returns:
         [I, N, P] float32 min-distances.
     """
@@ -154,9 +181,11 @@ def min_dists_all_pairs(Z: jnp.ndarray, bank: jnp.ndarray,
     p_pad = _round_up(p, 128)
     q_pad = _round_up(q, 128)
     d_pad = _round_up(d, d_tile)
+    ti = max(1, min(ti, n_i))
+    i_pad = _round_up(n_i, ti)
 
     z_p = jnp.pad(Z.astype(jnp.float32),
-                  ((0, 0), (0, p_pad - p), (0, d_pad - d)))
+                  ((0, i_pad - n_i), (0, p_pad - p), (0, d_pad - d)))
     bank_p = jnp.pad(bank.astype(jnp.float32),
                      ((0, 0), (0, q_pad - q), (0, d_pad - d)))
 
@@ -180,8 +209,8 @@ def min_dists_all_pairs(Z: jnp.ndarray, bank: jnp.ndarray,
 
     out = _min_dists_padded(zi_parts, bank_parts, a2, b2, d_tile=d_tile,
                             q_valid=q, compensated=(precision == "bf16c"),
-                            interpret=interpret)
-    return out[:, :, :p]
+                            ti=ti, interpret=interpret)
+    return out[:n_i, :, :p]
 
 
 def min_dists_to_sets(zi: jnp.ndarray, bank: jnp.ndarray,

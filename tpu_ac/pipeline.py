@@ -318,9 +318,13 @@ def run_category(source: str, category: str, cfg: PipelineConfig,
 
         order = np.random.default_rng(seed).permutation(len(train_ds))
         keep = order[: int(cfg.train_ratio * len(test_ds))]
-        train_imgs = np.stack([
-            load_image_uint8(train_ds.items[int(i)].image_path,
-                             cfg.resize, cfg.imagesize) for i in keep])
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(16, os.cpu_count() or 1)) as pool:
+            train_imgs = np.stack(list(pool.map(
+                lambda i: load_image_uint8(train_ds.items[int(i)].image_path,
+                                           cfg.resize, cfg.imagesize),
+                keep)))
         Z_train = embedder(train_imgs)
 
     alpha, X = compute_alpha_X(Z, cfg.supervised, cfg.tau, Z_train,

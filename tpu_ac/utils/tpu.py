@@ -20,7 +20,13 @@ import time
 def ensure_backend(max_attempts: int = 12, sleep_s: float = 30.0,
                    compilation_cache: str | None = "~/.cache/jax_compilation",
                    verbose: bool = True):
-    """Return jax with a live backend, retrying transient claim failures."""
+    """Return jax with a live backend, retrying transient claim failures.
+
+    (VMEM scratch ceilings for the Pallas kernels are raised per-kernel via
+    ``pltpu.CompilerParams(vmem_limit_bytes=...)`` — do NOT put
+    ``--xla_tpu_scoped_vmem_limit_kib`` in XLA_FLAGS: the local CPU XLA
+    parser aborts on unknown TPU flags.)
+    """
     import jax
 
     if compilation_cache:
