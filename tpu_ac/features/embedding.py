@@ -181,7 +181,7 @@ def embed_feature_maps(feature_maps: Sequence[jnp.ndarray],
         b, p_ = stacked.shape[:2]
         flat = stacked.reshape(b, p_, -1)
         return adaptive_avg_pool1d(flat, cfg.target_embed_dimension,
-                                   use_matmul=True)
+                                   use_matmul=True, precision=precision)
 
     layer_patches = []
     grids = []
@@ -222,7 +222,10 @@ def embed_vit_features(params: Mapping[str, jnp.ndarray], images: jnp.ndarray,
     # DeiT-distilled carries an extra prefix (dist) token; keep exactly one
     # prefix so the shared CLS-drop path (patchcore.py:377-383) applies.
     skip = vit_cfg.num_prefix_tokens - 1
-    return embed_feature_maps([outs[t][:, skip:] for t in taps], cfg)
+    # precision threads into the pool matmuls too — at HIGHEST the fused
+    # patchify+pool conv alone is ~0.7 TFLOP of multi-pass f32 per batch
+    return embed_feature_maps([outs[t][:, skip:] for t in taps], cfg,
+                              precision=precision)
 
 
 def build_embedder(params: Mapping[str, jnp.ndarray], vit_cfg: ViTConfig,

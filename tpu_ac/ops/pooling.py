@@ -66,7 +66,8 @@ def adaptive_avg_pool_matrix(length: int, out: int) -> jnp.ndarray:
     return jnp.asarray(_adaptive_pool_matrix_np(length, out))
 
 
-def adaptive_avg_pool1d(x: jnp.ndarray, out: int, *, use_matmul: bool = False) -> jnp.ndarray:
+def adaptive_avg_pool1d(x: jnp.ndarray, out: int, *, use_matmul: bool = False,
+                        precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """torch.nn.functional.adaptive_avg_pool1d over the last axis.
 
     Args:
@@ -75,6 +76,8 @@ def adaptive_avg_pool1d(x: jnp.ndarray, out: int, *, use_matmul: bool = False) -
         use_matmul: evaluate as an [L, out] matmul (MXU) instead of
             gather+weighted-sum (VPU).  Both are torch-exact up to fp
             summation order.
+        precision: matmul precision for the use_matmul path (HIGHEST for
+            torch-exact parity; pass DEFAULT for speed in bf16 pipelines).
     Returns:
         [..., out]
     """
@@ -86,11 +89,11 @@ def adaptive_avg_pool1d(x: jnp.ndarray, out: int, *, use_matmul: bool = False) -
         k = length // out
         return jnp.mean(x.reshape(*x.shape[:-1], out, k), axis=-1)
     if use_matmul:
-        mat = adaptive_avg_pool_matrix(length, out)
+        mat = adaptive_avg_pool_matrix(length, out).astype(x.dtype)
         return jax.lax.dot_general(
             x, mat,
             dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
     idx, w = _adaptive_pool_tables(length, out)
     gathered = jnp.take(x, jnp.asarray(idx.reshape(-1)), axis=-1)
