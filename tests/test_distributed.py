@@ -88,3 +88,44 @@ class TestPipelineMeshPath:
                                    use_mesh=False)
         np.testing.assert_allclose(np.asarray(a_mesh), np.asarray(a_one),
                                    rtol=5e-4, atol=1e-6)
+
+    def test_sharded_embed_matches_single_device(self, rng):
+        """CategoryEmbedder(mesh=...) shards the batch over dp and must
+        reproduce the single-device embeddings exactly (embedding is
+        per-image; no cross-device reductions)."""
+        import dataclasses
+
+        from tpu_ac.distributed import get_mesh
+        from tpu_ac.models import ViTConfig, init_vit_params
+        from tpu_ac.pipeline import CategoryEmbedder, PipelineConfig
+
+        vit_cfg = ViTConfig(patch_size=8, embed_dim=64, depth=2, num_heads=4,
+                            img_size=32)
+        params = init_vit_params(0, vit_cfg)
+        cfg = PipelineConfig(layers=("blocks.0", "blocks.1"),
+                             pretrain_embed_dimension=96,
+                             target_embed_dimension=192,
+                             imagesize=32, batch_size=8)
+        imgs = rng.integers(0, 255, (11, 3, 32, 32)).astype(np.uint8)
+        single = CategoryEmbedder(params, vit_cfg, cfg, mesh=None)
+        sharded = CategoryEmbedder(params, vit_cfg, cfg, mesh=get_mesh())
+        assert sharded.mesh is not None
+        z1 = np.asarray(single(imgs))
+        z8 = np.asarray(sharded(imgs))
+        np.testing.assert_allclose(z8, z1, rtol=2e-5, atol=2e-6)
+
+    def test_auto_mesh_selection(self):
+        """mesh="auto" engages only when batch_size divides device_count."""
+        from tpu_ac.models import ViTConfig, init_vit_params
+        from tpu_ac.pipeline import CategoryEmbedder, PipelineConfig
+
+        vit_cfg = ViTConfig(patch_size=8, embed_dim=64, depth=2, num_heads=4,
+                            img_size=32)
+        params = init_vit_params(0, vit_cfg)
+        on = CategoryEmbedder(params, vit_cfg,
+                              PipelineConfig(imagesize=32, batch_size=8),
+                              mesh="auto")
+        off = CategoryEmbedder(params, vit_cfg,
+                               PipelineConfig(imagesize=32, batch_size=6),
+                               mesh="auto")
+        assert on.mesh is not None and off.mesh is None

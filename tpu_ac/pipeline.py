@@ -86,7 +86,19 @@ class CategoryEmbedder:
 
     def __init__(self, params: Mapping[str, jnp.ndarray], backbone_cfg,
                  cfg: PipelineConfig, attention_impl="auto",
-                 precision=None, family: str = "vit"):
+                 precision=None, family: str = "vit", mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with a "dp" axis — the
+        image batch shards over it (params replicated) so a category embeds
+        data-parallel across chips; "auto" picks the process mesh when more
+        than one device is visible and batch_size divides evenly.
+        """
+        if mesh == "auto":
+            mesh = None
+            if jax.device_count() > 1 and \
+                    cfg.batch_size % jax.device_count() == 0:
+                from tpu_ac.distributed import get_mesh
+
+                mesh = get_mesh()
         if attention_impl == "auto":
             # Measured on v5e at ViT-B/8 scale (S=785): XLA's fused dense
             # attention beat a hand-written Pallas kernel in both f32 and
@@ -138,7 +150,19 @@ class CategoryEmbedder:
                                ecfg, **vit_kwargs)
             return z.astype(jnp.float32)
 
-        self._device_params = jax.device_put(dict(params))
+        if mesh is not None:
+            # dp over the mesh: params replicated once, each upload sharded
+            # on the batch axis; jit partitions the embed automatically
+            # (no collectives needed — embedding is per-image).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._batch_sharding = NamedSharding(mesh, P("dp"))
+            self._device_params = jax.device_put(
+                dict(params), NamedSharding(mesh, P()))
+        else:
+            self._batch_sharding = None
+            self._device_params = jax.device_put(dict(params))
+        self.mesh = mesh
         self._embed = lambda images: _embed(self._device_params, images)
 
     def __call__(self, images: np.ndarray) -> jnp.ndarray:
@@ -157,12 +181,18 @@ class CategoryEmbedder:
                 [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
         starts = list(range(0, images.shape[0], bs))
         chunks = []
-        next_buf = jax.device_put(images[starts[0]:starts[0] + bs])
+
+        def upload(s):
+            batch = images[s:s + bs]
+            if self._batch_sharding is not None:
+                return jax.device_put(batch, self._batch_sharding)
+            return jax.device_put(batch)
+
+        next_buf = upload(starts[0])
         for i, s in enumerate(starts):
             buf = next_buf
             if i + 1 < len(starts):
-                s2 = starts[i + 1]
-                next_buf = jax.device_put(images[s2:s2 + bs])
+                next_buf = upload(starts[i + 1])
             chunks.append(self._embed(buf))
         return jnp.concatenate(chunks)[:n]
 
@@ -201,7 +231,7 @@ def _alpha_x_program(Z, Z_train, *, supervised: str, tau: float,
 def compute_alpha_X(Z: jnp.ndarray, supervised: str, tau: float,
                     Z_train: jnp.ndarray | None = None,
                     n_bucket: int = 32, use_mesh: bool | None = None,
-                    precision: str = "f32"
+                    precision: str = "f32", mesh=None
                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(alpha [N, P], X [N, D]) per the selected mode (examples/main.py:270-296).
 
@@ -227,7 +257,8 @@ def compute_alpha_X(Z: jnp.ndarray, supervised: str, tau: float,
             sharded_weight_distance_unsupervised,
         )
 
-        mesh = get_mesh()
+        if mesh is None:
+            mesh = get_mesh()
         z_sh, _ = shard_batch(mesh, np.asarray(Z))
         if supervised == "supervised":
             if Z_train is None:
@@ -356,9 +387,10 @@ def category_metrics(X: np.ndarray, anomaly_labels: list[str]) -> dict[str, floa
 
 
 def build_embedder_for_config(cfg: PipelineConfig, *, checkpoint_dir=None,
-                              attention_impl="auto", seed: int = 0
-                              ) -> CategoryEmbedder:
+                              attention_impl="auto", seed: int = 0,
+                              mesh="auto") -> CategoryEmbedder:
     params, backbone_cfg, family = load_backbone(
         cfg.backbone_name, checkpoint_dir=checkpoint_dir, seed=seed)
     return CategoryEmbedder(params, backbone_cfg, cfg,
-                            attention_impl=attention_impl, family=family)
+                            attention_impl=attention_impl, family=family,
+                            mesh=mesh)
