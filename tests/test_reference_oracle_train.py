@@ -1,0 +1,200 @@
+"""Training-stack parity against the ACTUAL reference implementations.
+
+Extends tests/test_reference_oracle.py (which covers the Anomaly-Clustering
+core) to the training workloads, importing the reference's own modules as
+oracles:
+
+- ``Unsupervised-Classification-master/losses/losses.py`` — SimCLR / SCAN /
+  ConfidenceBasedCE / entropy vs tpu_ac.train.scan
+- ``dino-main/main_dino.py`` DINOLoss — vs tpu_ac.train.dino.dino_loss
+- ``dino-main/utils.py`` cosine_scheduler / PCA / compute_ap / compute_map —
+  vs tpu_ac.train.{dino,evals}
+
+The reference files import only torch/numpy (main_dino also needs a
+torchvision stub and a no-op torch.distributed shim for the loss's
+center all_reduce, which is a single-process identity).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+_SCAN_LOSSES = ("/root/reference/Unsupervised-Classification-master/"
+                "losses/losses.py")
+_DINO_DIR = "/root/reference/dino-main"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(_SCAN_LOSSES) or not os.path.isdir(_DINO_DIR),
+    reason="reference tree not mounted")
+
+
+def _load(name: str, path: str):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_losses():
+    # the reference hardcodes .cuda() on loss-internal tensors
+    # (losses.py:55,142,155); identity-shim it for the CPU oracle run
+    orig = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        yield _load("ref_scan_losses", _SCAN_LOSSES)
+    finally:
+        torch.Tensor.cuda = orig
+
+
+@pytest.fixture(scope="module")
+def ref_dino_utils():
+    return _load("utils", os.path.join(_DINO_DIR, "utils.py"))
+
+
+@pytest.fixture(scope="module")
+def ref_main_dino(ref_dino_utils):
+    # main_dino imports torchvision (stubbed — unused by DINOLoss), utils
+    # (the dino one, loaded above under its expected top-level name) and
+    # vision_transformer.
+    for name in ("torchvision",):
+        if name not in sys.modules:
+            stub = types.ModuleType(name)
+            stub.datasets = types.SimpleNamespace()
+            stub.transforms = types.SimpleNamespace(
+                Compose=object, RandomResizedCrop=object)
+            stub.models = types.SimpleNamespace(__dict__={})
+            sys.modules[name] = stub
+    _load("vision_transformer", os.path.join(_DINO_DIR,
+                                             "vision_transformer.py"))
+    mod = _load("ref_main_dino", os.path.join(_DINO_DIR, "main_dino.py"))
+    # single-process shim: all_reduce is the identity, world size 1
+    mod.dist = types.SimpleNamespace(all_reduce=lambda t: None,
+                                     get_world_size=lambda: 1)
+    return mod
+
+
+class TestSCANLossOracles:
+    def test_simclr_loss(self, rng, ref_losses):
+        from tpu_ac.train.scan import simclr_loss
+
+        b, dim = 12, 32
+        f = rng.standard_normal((b, 2, dim)).astype(np.float32)
+        f /= np.linalg.norm(f, axis=2, keepdims=True)
+        want = ref_losses.SimCLRLoss(temperature=0.1)(
+            torch.from_numpy(f)).item()
+        got = float(simclr_loss(f, temperature=0.1))
+        assert got == pytest.approx(want, rel=1e-5)
+
+    def test_scan_loss(self, rng, ref_losses):
+        from tpu_ac.train.scan import scan_loss
+
+        anchors = rng.standard_normal((16, 10)).astype(np.float32)
+        neighbors = rng.standard_normal((16, 10)).astype(np.float32)
+        total_t, cons_t, ent_t = ref_losses.SCANLoss(entropy_weight=2.0)(
+            torch.from_numpy(anchors), torch.from_numpy(neighbors))
+        total, cons, ent = scan_loss(anchors, neighbors, entropy_weight=2.0)
+        assert float(total) == pytest.approx(total_t.item(), rel=1e-5)
+        assert float(cons) == pytest.approx(cons_t.item(), rel=1e-5)
+        assert float(ent) == pytest.approx(ent_t.item(), rel=1e-5)
+
+    def test_entropy(self, rng, ref_losses):
+        from tpu_ac.train.scan import entropy
+
+        probs = rng.random((8, 10)).astype(np.float32)
+        probs /= probs.sum(axis=1, keepdims=True)
+        want = ref_losses.entropy(torch.from_numpy(probs),
+                                  input_as_probabilities=True).item()
+        assert float(entropy(probs)) == pytest.approx(want, rel=1e-5)
+
+    @pytest.mark.parametrize("balancing", [True, False])
+    def test_confidence_based_ce(self, rng, ref_losses, balancing):
+        from tpu_ac.train.scan import confidence_based_ce
+
+        weak = rng.standard_normal((32, 5)).astype(np.float32) * 8.0
+        strong = rng.standard_normal((32, 5)).astype(np.float32)
+        crit = ref_losses.ConfidenceBasedCE(threshold=0.9,
+                                            apply_class_balancing=balancing)
+        want = crit(torch.from_numpy(weak), torch.from_numpy(strong)).item()
+        got = float(confidence_based_ce(weak, strong, threshold=0.9,
+                                        apply_class_balancing=balancing))
+        assert got == pytest.approx(want, rel=1e-4)
+
+
+class TestDINOLossOracle:
+    def test_dino_loss_matches_reference(self, rng, ref_main_dino):
+        from tpu_ac.train.dino import dino_loss
+
+        out_dim, b, ncrops = 16, 6, 4
+        crit = ref_main_dino.DINOLoss(
+            out_dim, ncrops=ncrops, warmup_teacher_temp=0.04,
+            teacher_temp=0.07, warmup_teacher_temp_epochs=5, nepochs=10)
+        center = rng.standard_normal((1, out_dim)).astype(np.float32)
+        crit.center = torch.from_numpy(center.copy())
+        student = rng.standard_normal((ncrops * b, out_dim)).astype(np.float32)
+        teacher = rng.standard_normal((2 * b, out_dim)).astype(np.float32)
+        epoch = 2
+        want = crit(torch.from_numpy(student), torch.from_numpy(teacher),
+                    epoch).item()
+        temp = crit.teacher_temp_schedule[epoch]
+        got = float(dino_loss(student, teacher, center[0], ncrops=ncrops,
+                              teacher_temp=float(temp)))
+        assert got == pytest.approx(want, rel=1e-5)
+
+
+class TestDINOUtilsOracles:
+    def test_cosine_scheduler(self, ref_dino_utils):
+        from tpu_ac.train.dino import cosine_scheduler
+
+        epochs, niter = 7, 13
+        want = ref_dino_utils.cosine_scheduler(
+            0.5, 1e-4, epochs, niter, warmup_epochs=2,
+            start_warmup_value=1e-6)
+        got = cosine_scheduler(0.5, 1e-4, total_steps=epochs * niter,
+                               warmup_steps=2 * niter,
+                               start_warmup_value=1e-6)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    def test_pca_whitening(self, rng, ref_dino_utils, capsys):
+        from tpu_ac.train.evals import PCA
+
+        x = rng.standard_normal((64, 24)).astype(np.float64)
+        cov = np.cov(x.T)
+        ref = ref_dino_utils.PCA(dim=8, whit=0.5)
+        ref.train_pca(cov.copy())
+        ours = PCA(dim=8, whit=0.5)
+        ours.train_pca(cov.copy())
+        q = rng.standard_normal((5, 24))
+        np.testing.assert_allclose(ours.apply(q.copy()),
+                                   np.asarray(ref.apply(q.copy())),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_compute_ap_and_map(self, rng, ref_dino_utils):
+        from tpu_ac.train.evals import compute_ap, compute_map
+
+        ranks = np.asarray([0, 2, 5, 9])
+        assert compute_ap(ranks, 4) == pytest.approx(
+            ref_dino_utils.compute_ap(ranks, 4), rel=1e-9)
+
+        # revisited-style gnd over 30 ranked images, 4 queries
+        nq, ndb = 4, 30
+        gnd = []
+        for _ in range(nq):
+            perm = rng.permutation(ndb)
+            gnd.append({"ok": perm[:5], "junk": perm[5:9]})
+        ranks_mat = np.stack([rng.permutation(ndb) for _ in range(nq)]).T
+        want = ref_dino_utils.compute_map(ranks_mat, gnd, kappas=[1, 5, 10])
+        got = compute_map(ranks_mat, gnd, kappas=[1, 5, 10])
+        np.testing.assert_allclose(got[0], want[0], rtol=1e-9)
+        np.testing.assert_allclose(got[1], want[1], rtol=1e-9)
+        np.testing.assert_allclose(got[2], want[2], rtol=1e-9)
+        np.testing.assert_allclose(got[3], want[3], rtol=1e-9)
