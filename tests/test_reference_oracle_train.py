@@ -65,15 +65,18 @@ def ref_dino_utils():
 def ref_main_dino(ref_dino_utils):
     # main_dino imports torchvision (stubbed — unused by DINOLoss), utils
     # (the dino one, loaded above under its expected top-level name) and
-    # vision_transformer.
-    for name in ("torchvision",):
-        if name not in sys.modules:
-            stub = types.ModuleType(name)
-            stub.datasets = types.SimpleNamespace()
-            stub.transforms = types.SimpleNamespace(
-                Compose=object, RandomResizedCrop=object)
-            stub.models = types.SimpleNamespace(__dict__={})
-            sys.modules[name] = stub
+    # vision_transformer.  test_reference_oracle.py may have registered a
+    # barer torchvision stub already — augment it rather than skip, or the
+    # `from torchvision import datasets, transforms` line fails.
+    stub = sys.modules.get("torchvision") or types.ModuleType("torchvision")
+    if not hasattr(stub, "datasets"):
+        stub.datasets = types.SimpleNamespace()
+    if not hasattr(stub, "transforms"):
+        stub.transforms = types.SimpleNamespace(
+            Compose=object, RandomResizedCrop=object)
+    if not hasattr(stub, "models"):
+        stub.models = types.SimpleNamespace(__dict__={})
+    sys.modules["torchvision"] = stub
     _load("vision_transformer", os.path.join(_DINO_DIR,
                                              "vision_transformer.py"))
     mod = _load("ref_main_dino", os.path.join(_DINO_DIR, "main_dino.py"))
