@@ -6,8 +6,8 @@ MVTec AD via PatchCore machinery + DINO ViT backbones, PatchCore anomaly
 detection, DINO self-supervised pre-training, and the SCAN unsupervised
 classification pipeline), re-architected for TPUs:
 
-- compute path: JAX + XLA + Pallas kernels (MXU matmuls, fused attention,
-  tiled pairwise-distance reductions) instead of torch/cuDNN/FAISS,
+- compute path: JAX + XLA + Pallas kernels (MXU matmuls, fused tiled
+  pairwise-distance reductions) instead of torch/cuDNN/FAISS,
 - scaling: ``jax.sharding.Mesh`` + ``shard_map``/``jit`` with ICI
   collectives instead of NCCL/DDP,
 - functional models (parameter pytrees) instead of ``nn.Module`` hooks.
