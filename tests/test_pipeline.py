@@ -272,3 +272,41 @@ class TestPatchcoreCLISegImages:
                  "--percentage", "0.5", "--save_segmentation_images"])
         seg_dir = os.path.join(out, "segmentation_images", "bottle")
         assert os.path.isdir(seg_dir) and len(os.listdir(seg_dir)) == 12
+
+
+class TestCategorySweep:
+    @pytest.fixture(scope="class")
+    def tiny_cfg(self):
+        from tpu_ac.pipeline import PipelineConfig
+        return PipelineConfig(
+            backbone_name="tiny_test", layers=("blocks.2", "blocks.3"),
+            pretrain_embed_dimension=96, target_embed_dimension=192,
+            resize=48, imagesize=32, batch_size=4)
+
+    @pytest.fixture(scope="class")
+    def tiny_embedder(self, tiny_cfg):
+        from tpu_ac.models import ViTConfig, init_vit_params
+        from tpu_ac.pipeline import CategoryEmbedder
+        vit_cfg = ViTConfig(patch_size=8, embed_dim=64, depth=4, num_heads=4,
+                            img_size=32)
+        return CategoryEmbedder(init_vit_params(0, vit_cfg), vit_cfg,
+                                tiny_cfg)
+
+    def test_sweep_matches_per_category(self, synth_root, tiny_cfg,
+                                        tiny_embedder, tmp_path):
+        """run_category_sweep (host-decode prefetch) must yield exactly what
+        serial run_category produces, in order, with artifacts written."""
+        from tpu_ac.data.mvtec import make_synthetic_mvtec
+        from tpu_ac.pipeline import run_category, run_category_sweep
+
+        make_synthetic_mvtec(synth_root, classname="cable", seed=3)
+        cats = ["bottle", "cable"]
+        swept = list(run_category_sweep(synth_root, cats, tiny_cfg,
+                                        tiny_embedder,
+                                        output_dir=str(tmp_path)))
+        assert [c for c, _ in swept] == cats
+        for cat, res in swept:
+            serial = run_category(synth_root, cat, tiny_cfg, tiny_embedder)
+            np.testing.assert_allclose(res["X"], serial["X"], rtol=1e-6)
+            assert res["anomaly_labels"] == serial["anomaly_labels"]
+            assert os.path.exists(res["artifact_path"])

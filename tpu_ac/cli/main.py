@@ -16,7 +16,7 @@ from tpu_ac.utils.profiling import maybe_profile, step_annotation
 from tpu_ac.pipeline import (
     PipelineConfig,
     build_embedder_for_config,
-    run_category,
+    run_category_sweep,
 )
 
 LOGGER = logging.getLogger("tpu_ac.cli.main")
@@ -106,17 +106,17 @@ def main(argv=None) -> None:
         embedder = build_embedder_for_config(
             cfg, checkpoint_dir=args.checkpoint_dir)
         with maybe_profile(args.profile):
-            for category in categories:
-                t0 = time.time()
-                with step_annotation(f"category:{category}:{supervised}"):
-                    result = run_category(
-                        args.path, category, cfg, embedder,
-                        output_dir=args.output_dir,
-                        dataset_name=args.dataset)
+            # run_category_sweep decodes category c+1 on host threads while
+            # category c embeds on the device
+            t0 = time.time()
+            for category, result in run_category_sweep(
+                    args.path, list(categories), cfg, embedder,
+                    output_dir=args.output_dir, dataset_name=args.dataset):
                 LOGGER.info("%s [%s]: %d images -> %s (%.1fs)",
                             category, supervised,
                             len(result["anomaly_labels"]),
                             result.get("artifact_path"), time.time() - t0)
+                t0 = time.time()
 
 
 if __name__ == "__main__":

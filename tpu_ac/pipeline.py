@@ -336,31 +336,44 @@ def run_category(source: str, category: str, cfg: PipelineConfig,
     test_ds = MVTecDataset(source, classname=category, resize=cfg.resize,
                            imagesize=cfg.imagesize, split=DatasetSplit.TEST)
     images = test_ds.load_all_images(uint8=True)
-    Z = embedder(images)
+    return _run_category_loaded(source, category, test_ds, images, cfg,
+                                embedder, output_dir, dataset_name, seed)
 
-    Z_train = None
-    if cfg.supervised == "supervised":
-        train_ds = MVTecDataset(source, classname=category, resize=cfg.resize,
-                                imagesize=cfg.imagesize,
-                                split=DatasetSplit.TRAIN)
-        # Reference quirk reproduced (examples/main.py:281): the train set is
-        # truncated to train_ratio * len(test set), in (shuffled) order.
-        from tpu_ac.data.mvtec import load_image_uint8
 
-        order = np.random.default_rng(seed).permutation(len(train_ds))
-        keep = order[: int(cfg.train_ratio * len(test_ds))]
-        from concurrent.futures import ThreadPoolExecutor
+def _run_category_loaded(source: str, category: str, test_ds, images,
+                         cfg: PipelineConfig, embedder: CategoryEmbedder,
+                         output_dir, dataset_name: str, seed: int) -> dict:
+    from tpu_ac.utils.profiling import step_annotation
 
-        with ThreadPoolExecutor(min(16, os.cpu_count() or 1)) as pool:
-            train_imgs = np.stack(list(pool.map(
-                lambda i: load_image_uint8(train_ds.items[int(i)].image_path,
-                                           cfg.resize, cfg.imagesize),
-                keep)))
-        Z_train = embedder(train_imgs)
+    with step_annotation(f"category:{category}:{cfg.supervised}"):
+        Z = embedder(images)
 
-    alpha, X = compute_alpha_X(Z, cfg.supervised, cfg.tau, Z_train,
-                               precision=cfg.resolved_alpha_precision)
-    alpha_np, x_np = np.asarray(alpha), np.asarray(X)
+        Z_train = None
+        if cfg.supervised == "supervised":
+            train_ds = MVTecDataset(source, classname=category,
+                                    resize=cfg.resize,
+                                    imagesize=cfg.imagesize,
+                                    split=DatasetSplit.TRAIN)
+            # Reference quirk reproduced (examples/main.py:281): the train
+            # set is truncated to train_ratio * len(test set), in
+            # (shuffled) order.
+            from tpu_ac.data.mvtec import load_image_uint8
+
+            order = np.random.default_rng(seed).permutation(len(train_ds))
+            keep = order[: int(cfg.train_ratio * len(test_ds))]
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(16, os.cpu_count() or 1)) as pool:
+                train_imgs = np.stack(list(pool.map(
+                    lambda i: load_image_uint8(
+                        train_ds.items[int(i)].image_path,
+                        cfg.resize, cfg.imagesize),
+                    keep)))
+            Z_train = embedder(train_imgs)
+
+        alpha, X = compute_alpha_X(Z, cfg.supervised, cfg.tau, Z_train,
+                                   precision=cfg.resolved_alpha_precision)
+        alpha_np, x_np = np.asarray(alpha), np.asarray(X)
 
     result = {
         "alpha": alpha_np,
@@ -374,6 +387,37 @@ def run_category(source: str, category: str, cfg: PipelineConfig,
         result["artifact_path"] = save_alpha_X(
             d, category, cfg.supervised, alpha_np, x_np)
     return result
+
+
+def run_category_sweep(source: str, categories: list[str],
+                       cfg: PipelineConfig, embedder: CategoryEmbedder,
+                       output_dir: str | None = None,
+                       dataset_name: str = "mvtec_ad",
+                       seed: int = 2023):
+    """Generator over categories with host/device pipelining.
+
+    The reference's category loop (examples/main.py:348-366) is fully
+    serial: decode category c, embed c, alpha c, repeat.  Here the test
+    split of category c+1 decodes on host threads WHILE category c's
+    embed+alpha run on the device, so the host IO rides under device
+    compute.  Yields (category, result) in order.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load_test_images(category: str):
+        ds = MVTecDataset(source, classname=category, resize=cfg.resize,
+                          imagesize=cfg.imagesize, split=DatasetSplit.TEST)
+        return ds, ds.load_all_images(uint8=True)
+
+    with ThreadPoolExecutor(1) as prefetcher:
+        nxt = prefetcher.submit(load_test_images, categories[0])
+        for i, category in enumerate(categories):
+            test_ds, images = nxt.result()
+            if i + 1 < len(categories):
+                nxt = prefetcher.submit(load_test_images, categories[i + 1])
+            yield category, _run_category_loaded(
+                source, category, test_ds, images, cfg, embedder,
+                output_dir, dataset_name, seed)
 
 
 def category_metrics(X: np.ndarray, anomaly_labels: list[str]) -> dict[str, float]:
