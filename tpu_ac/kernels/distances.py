@@ -154,7 +154,7 @@ def _split_hi_lo(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def min_dists_all_pairs(Z: jnp.ndarray, bank: jnp.ndarray,
-                        *, d_tile: int = 512, precision: str = "f32",
+                        *, d_tile: int = 1024, precision: str = "f32",
                         ti: int = 2,
                         interpret: bool | None = None) -> jnp.ndarray:
     """mins[i, j, p] = min_q ||Z[i, p] - bank[j, q]|| in one fused launch.
@@ -164,6 +164,9 @@ def min_dists_all_pairs(Z: jnp.ndarray, bank: jnp.ndarray,
         bank: [N, Q, D] bank patch sets (for the unsupervised alpha this is
             Z itself; for supervised it is the train set).
         precision: "f32" | "bf16c" | "bf16" (see module docstring).
+        d_tile: D-contraction tile.  1024 measured best at the flagship
+            shape (v5e sweep over 512/1024/2048: 72.4/70.8 ms f32,
+            69.7/70.5 ms bf16 for 1024/2048 vs 73.6/70.3 at 512).
         ti: query rows processed per grid step.  Each step holds ti full
             [P, D] query rows resident in VMEM, so the bank HBM stream
             (the dominant traffic, N_j * D * Q bytes per query) is shared
