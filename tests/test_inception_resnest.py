@@ -124,17 +124,23 @@ class TestResNeSt:
         assert outs["layer2"].shape == (1, 512, 16, 16)
         assert outs["layer3"].shape == (1, 1024, 8, 8)
 
-    def test_rsoftmax_structure(self):
-        """Radix softmax normalizes over the radix splits within each
-        cardinal group."""
+    def test_rsoftmax_matches_official_layout(self):
+        """The flattened gates are radix-major (official rSoftMax: view
+        (B, card, radix, c') -> transpose -> softmax(radix) -> reshape
+        with NO transpose back), so chunk r of the output gates
+        radix-split r: summing the radix chunks gives 1 per channel."""
         rng_ = np.random.default_rng(0)
         radix, card, c = 4, 2, 8
-        x = jnp.asarray(rng_.standard_normal(
-            (3, radix * c)).astype(np.float32))
-        y = np.asarray(_rsoftmax(x, radix, card))
-        # reshape back to (B, card, radix, c/card): radix axis sums to 1
-        y4 = y.reshape(3, card, radix, c // card)
-        np.testing.assert_allclose(y4.sum(axis=2), 1.0, rtol=1e-5)
+        x = rng_.standard_normal((3, radix * c)).astype(np.float32)
+        y = np.asarray(_rsoftmax(jnp.asarray(x), radix, card))
+        # radix-major: reshape (B, radix, C) and sum over radix == 1
+        np.testing.assert_allclose(y.reshape(3, radix, c).sum(axis=1), 1.0,
+                                   rtol=1e-5)
+        # oracle: replicate the official numpy-side computation
+        want = x.reshape(3, card, radix, -1).transpose(0, 2, 1, 3)
+        want = np.exp(want - want.max(axis=1, keepdims=True))
+        want = want / want.sum(axis=1, keepdims=True)
+        np.testing.assert_allclose(y, want.reshape(3, -1), rtol=1e-5)
 
     def test_split_attn_gate_actually_gates(self, params, rng):
         """Forcing fc2 output to strongly favor one split changes the

@@ -310,3 +310,38 @@ class TestCategorySweep:
             np.testing.assert_allclose(res["X"], serial["X"], rtol=1e-6)
             assert res["anomaly_labels"] == serial["anomaly_labels"]
             assert os.path.exists(res["artifact_path"])
+
+
+class TestAlphaProgramReuse:
+    def test_one_compile_across_category_sizes(self, rng):
+        """Different category sizes inside one n_bucket must reuse ONE
+        compiled alpha program (valid counts are traced data, not compile
+        keys) and still mask padding correctly."""
+        import jax.numpy as jnp
+
+        from tpu_ac.cluster.alpha import (
+            alpha_from_weights,
+            weight_distance_unsupervised,
+        )
+        from tpu_ac.pipeline import _alpha_x_program, compute_alpha_X
+
+        _alpha_x_program.clear_cache()
+        for n in (6, 9):
+            Z = jnp.asarray(rng.standard_normal((n, 8, 16)).astype(
+                np.float32))
+            alpha, X = compute_alpha_X(Z, "unsupervised", tau=1.0,
+                                       n_bucket=16, use_mesh=False)
+            assert alpha.shape == (n, 8) and X.shape == (n, 16)
+            want = np.asarray(alpha_from_weights(
+                weight_distance_unsupervised(Z), 1.0))
+            # padded vs unpadded matmuls tile differently; the mm-form
+            # cancellation amplifies that to ~1e-4 relative on the mins
+            np.testing.assert_allclose(np.asarray(alpha), want,
+                                       rtol=5e-3, atol=1e-4)
+        assert _alpha_x_program._cache_size() == 1
+
+    def test_empty_category_list_yields_nothing(self, synth_root):
+        from tpu_ac.pipeline import PipelineConfig, run_category_sweep
+
+        assert list(run_category_sweep(synth_root, [], PipelineConfig(),
+                                       embedder=None)) == []

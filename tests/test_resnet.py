@@ -345,7 +345,7 @@ class TestEfficientNet:
         from tpu_ac.models.efficientnet import (
             EfficientNetConfig, efficientnet_forward, init_efficientnet_params)
 
-        cfg = EfficientNetConfig()
+        cfg = EfficientNetConfig(tf_same=False)  # native symmetric padding
         p = init_efficientnet_params(0, cfg)
         imgs = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
         got = efficientnet_forward(p, jnp.asarray(imgs), cfg,
@@ -392,6 +392,37 @@ class TestEfficientNet:
         st = EFFICIENTNET_B7.stages
         assert EFFICIENTNET_B7.stem_channels == 64
         assert st[1][1] == 48 and st[1][2] == 7  # 24*2.0, ceil(2*3.1)
+
+    def test_tf_same_padding_matches_torch_oracle(self, rng):
+        """The registered b1..b7/v2 are timm tf_ ports: strided convs use
+        TensorFlow SAME padding (asymmetric, bottom/right-heavy) — checked
+        against torch F.pad + conv, and shown to differ from symmetric."""
+        import torch
+        import torch.nn.functional as F
+        from tpu_ac.models.efficientnet import _conv, _same_pads
+
+        assert _same_pads(64, 3, 2) == (0, 1)
+        assert _same_pads(64, 5, 2) == (1, 2)
+        assert _same_pads(63, 3, 2) == (1, 1)
+        assert _same_pads(64, 3, 1) == (1, 1)  # stride 1 == symmetric
+
+        x = rng.standard_normal((1, 4, 16, 16)).astype(np.float32)
+        w = rng.standard_normal((8, 4, 3, 3)).astype(np.float32)
+        got = np.asarray(_conv(jnp.asarray(x), jnp.asarray(w), stride=2,
+                               tf_same=True))
+        xt = F.pad(torch.from_numpy(x), (0, 1, 0, 1))  # (l, r, t, b)
+        want = F.conv2d(xt, torch.from_numpy(w), stride=2).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        sym = np.asarray(_conv(jnp.asarray(x), jnp.asarray(w), stride=2,
+                               padding=1))
+        assert np.abs(got - sym).max() > 1e-3
+
+    def test_b3a_is_native_padded(self):
+        from tpu_ac.models.registry import BACKBONE_CONFIGS
+
+        assert BACKBONE_CONFIGS["efficientnet_b1"].config.tf_same
+        assert not BACKBONE_CONFIGS["efficientnet_b3a"].config.tf_same
+        assert BACKBONE_CONFIGS["efficientnetv2_m"].config.tf_same
 
     def test_registry(self):
         from tpu_ac.models import load_backbone

@@ -149,3 +149,41 @@ class TestSwinForward:
         # ref grid = the first tapped layer's grid: 8x8 = 64 patches
         assert z.shape == (2, 64, 48)
         assert np.isfinite(np.asarray(z)).all()
+
+
+class TestShiftDisableRule:
+    def test_single_window_stage_attends_unshifted(self, micro_params, rng):
+        """Upstream Swin sets shift_size=0 when min(grid) <= window_size;
+        at 32px MICRO's stage 1 grid is 4x4 == window, so its odd block
+        must equal an explicit shift=0 block (and differ from shift=2)."""
+        x32 = rng.standard_normal((1, 3, 32, 32)).astype(np.float32)
+        out = swin_forward(micro_params, jnp.asarray(x32), MICRO,
+                           taps=("layers.1",))["layers.1"]
+
+        # replay the forward manually with explicit shifts
+        def manual(shift_for_odd):
+            from tpu_ac.models.swin import layernorm
+
+            p = micro_params
+            y = jax.lax.conv_general_dilated(
+                jnp.asarray(x32), p["patch_embed.proj.weight"],
+                window_strides=(4, 4), padding="VALID",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"))
+            y = y + p["patch_embed.proj.bias"][None, :, None, None]
+            y = y.transpose(0, 2, 3, 1)
+            y = layernorm(y, p["patch_embed.norm.weight"],
+                          p["patch_embed.norm.bias"], MICRO.ln_eps)
+            y = _swin_block(p, "layers.0.blocks.0.", y, 2, 4, 0, MICRO,
+                            jax.lax.Precision.HIGHEST)
+            y = _patch_merging(p, "layers.0.downsample.", y, MICRO,
+                               jax.lax.Precision.HIGHEST)
+            y = _swin_block(p, "layers.1.blocks.0.", y, 2, 4, 0, MICRO,
+                            jax.lax.Precision.HIGHEST)
+            y = _swin_block(p, "layers.1.blocks.1.", y, 2, 4,
+                            shift_for_odd, MICRO,
+                            jax.lax.Precision.HIGHEST)
+            return y.transpose(0, 3, 1, 2)
+
+        np.testing.assert_allclose(np.asarray(out), np.asarray(manual(0)),
+                                   rtol=1e-5, atol=1e-6)
+        assert np.abs(np.asarray(out) - np.asarray(manual(2))).max() > 1e-4

@@ -13,7 +13,6 @@ import os
 
 import numpy as np
 
-from tpu_ac.data.mvtec import load_image
 from tpu_ac.models.registry import load_backbone
 from tpu_ac.train.copy_detection import (
     CopydaysDataset,
@@ -48,10 +47,22 @@ def _load_dir_images(path: str, imsize: int) -> np.ndarray:
 
 
 def _load_paths(paths: list[str], imsize: int) -> np.ndarray:
-    # reference transform: Resize((imsize, imsize)) + normalize (square,
-    # no crop — eval_copy_detection.py:154-158)
-    return np.stack([load_image(p, resize=imsize, imagesize=imsize)
-                     for p in paths])
+    # reference transform: Resize((imsize, imsize)) + normalize — a SQUARE
+    # resize with no crop (eval_copy_detection.py:154-158); shorter-edge
+    # resize + center crop would discard content on non-square Copydays
+    # images and change the protocol
+    from PIL import Image
+
+    from tpu_ac.data.mvtec import IMAGENET_MEAN, IMAGENET_STD
+
+    out = []
+    for p in paths:
+        img = Image.open(p).convert("RGB").resize((imsize, imsize),
+                                                  Image.BILINEAR)
+        arr = np.asarray(img, np.float32) / 255.0
+        arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+        out.append(arr.transpose(2, 0, 1))
+    return np.stack(out).astype(np.float32)
 
 
 def main(argv=None) -> None:

@@ -80,7 +80,13 @@ def weight_distance_unsupervised(Z: jnp.ndarray, impl: str = "auto",
     """
     n, p, d = Z.shape
     nv = n if n_valid is None else n_valid
-    valid_col = None if nv == n else (np.arange(n) < nv)
+    # n_valid may be a TRACED scalar (so one compiled program serves every
+    # category size in a sweep — the padded shape is the compile key, the
+    # valid count is data); python ints keep the old constant-folded path.
+    if isinstance(nv, (int, np.integer)):
+        valid_col = None if nv == n else (np.arange(n) < nv)
+    else:
+        valid_col = jnp.arange(n) < nv
 
     if _use_pallas(impl):
         from tpu_ac.kernels.distances import min_dists_all_pairs
@@ -119,7 +125,10 @@ def weight_distance_supervised(Z: jnp.ndarray, Z_train: jnp.ndarray,
     """
     nt, pt, d = Z_train.shape
     ntv = nt if n_train_valid is None else n_train_valid
-    valid_col = None if ntv == nt else (np.arange(nt) < ntv)
+    if isinstance(ntv, (int, np.integer)):
+        valid_col = None if ntv == nt else (np.arange(nt) < ntv)
+    else:  # traced scalar: see weight_distance_unsupervised
+        valid_col = jnp.arange(nt) < ntv
 
     if _use_pallas(impl):
         from tpu_ac.kernels.distances import min_dists_all_pairs

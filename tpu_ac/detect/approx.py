@@ -25,6 +25,7 @@ D-dim candidate tensor in HBM.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -106,24 +107,55 @@ class IVFFlatIndex:
         n_probe = min(self.n_probe, self.centroids.shape[0])
         max_cell = self.cells.shape[1]
         k = min(k, n_probe * max_cell)
-
-        @jax.jit
-        def run(q):
-            cd2 = pairwise_sq_dists(q, self.centroids)      # [M, nlist]
-            _, probe = jax.lax.top_k(-cd2, n_probe)          # [M, nprobe]
-            cand = self.cells[probe]          # [M, nprobe, max_cell, D]
-            cand_ids = self.cell_ids[probe]   # [M, nprobe, max_cell]
-            cand_valid = self.cell_valid[probe]
-            m = q.shape[0]
-            cand = cand.reshape(m, -1, cand.shape[-1])
-            d2 = jnp.sum(jnp.square(cand - q[:, None, :]), axis=-1)
-            d2 = jnp.where(cand_valid.reshape(m, -1), d2, jnp.inf)
-            neg, pos = jax.lax.top_k(-d2, k)
-            idx = jnp.take_along_axis(cand_ids.reshape(m, -1), pos, axis=1)
-            return -neg, idx
-
-        d2, idx = run(q)
+        d2, idx = _ivfflat_search(q, self.centroids, self.cells,
+                                  self.cell_ids, self.cell_valid,
+                                  n_probe=n_probe, k=k)
         return np.asarray(d2), np.asarray(idx)
+
+
+# Index arrays travel as jit ARGUMENTS (never closure captures): a fresh
+# closure per call would retrace + recompile every search and inline the
+# whole index into the HLO (CLAUDE.md: minutes per remote compile).
+@functools.partial(jax.jit, static_argnames=("n_probe", "k"))
+def _ivfflat_search(q, centroids, cells, cell_ids, cell_valid,
+                    *, n_probe: int, k: int):
+    cd2 = pairwise_sq_dists(q, centroids)           # [M, nlist]
+    _, probe = jax.lax.top_k(-cd2, n_probe)          # [M, nprobe]
+    cand = cells[probe]                # [M, nprobe, max_cell, D]
+    cand_ids = cell_ids[probe]         # [M, nprobe, max_cell]
+    cand_valid = cell_valid[probe]
+    m = q.shape[0]
+    cand = cand.reshape(m, -1, cand.shape[-1])
+    d2 = jnp.sum(jnp.square(cand - q[:, None, :]), axis=-1)
+    d2 = jnp.where(cand_valid.reshape(m, -1), d2, jnp.inf)
+    neg, pos = jax.lax.top_k(-d2, k)
+    idx = jnp.take_along_axis(cand_ids.reshape(m, -1), pos, axis=1)
+    return -neg, idx
+
+
+@functools.partial(jax.jit, static_argnames=("n_probe", "k"))
+def _ivfpq_search(q, centroids, codebooks, cell_codes, cell_const,
+                  cell_ids, cell_valid, *, n_probe: int, k: int):
+    b = q.shape[0]
+    m, k_codes, dsub = codebooks.shape
+    cd2 = pairwise_sq_dists(q, centroids)            # [B, L]
+    neg_cd2, probe = jax.lax.top_k(-cd2, n_probe)    # [B, P]
+    # per-query LUT: q_sub . codebook  -> [B, M, K]
+    q_sub = q.reshape(b, m, dsub)
+    qdot = jnp.einsum("bmd,mkd->bmk", q_sub, codebooks,
+                      precision=jax.lax.Precision.HIGHEST)
+    qdot_flat = qdot.reshape(b, m * k_codes)
+    cand_codes = cell_codes[probe].astype(jnp.int32)
+    flat_idx = cand_codes + (jnp.arange(m, dtype=jnp.int32)
+                             * k_codes)              # [B, P, C, M]
+    qr = jnp.take_along_axis(qdot_flat[:, None, None, :], flat_idx, axis=3)
+    qr = jnp.sum(qr, axis=-1)                        # [B, P, C]
+    d2 = (-neg_cd2)[:, :, None] + cell_const[probe] - 2.0 * qr
+    d2 = jnp.where(cell_valid[probe], d2, jnp.inf)
+    d2 = d2.reshape(b, -1)
+    neg, pos = jax.lax.top_k(-d2, k)
+    idx = jnp.take_along_axis(cell_ids[probe].reshape(b, -1), pos, axis=1)
+    return -neg, idx
 
 
 def _kmeans_batched(xs: jnp.ndarray, n_clusters: int, n_iters: int,
@@ -250,34 +282,13 @@ class IVFPQIndex:
         query = self._padded(np.asarray(query, np.float32))
         n_probe = min(self.n_probe, self.centroids.shape[0])
         max_cell = self.cell_codes.shape[1]
-        m, k_codes, dsub = self.codebooks.shape
         k = min(k, n_probe * max_cell)
 
-        @jax.jit
-        def run(q):
-            b = q.shape[0]
-            cd2 = pairwise_sq_dists(q, self.centroids)       # [B, L]
-            neg_cd2, probe = jax.lax.top_k(-cd2, n_probe)    # [B, P]
-            # per-query LUT: q_sub . codebook  -> [B, M, K]
-            q_sub = q.reshape(b, m, dsub)
-            qdot = jnp.einsum("bmd,mkd->bmk", q_sub, self.codebooks,
-                              precision=jax.lax.Precision.HIGHEST)
-            qdot_flat = qdot.reshape(b, m * k_codes)
-            cand_codes = self.cell_codes[probe].astype(jnp.int32)
-            flat_idx = cand_codes + (jnp.arange(m, dtype=jnp.int32)
-                                     * k_codes)              # [B, P, C, M]
-            qr = jnp.take_along_axis(qdot_flat[:, None, None, :], flat_idx,
-                                     axis=3)
-            qr = jnp.sum(qr, axis=-1)                        # [B, P, C]
-            d2 = (-neg_cd2)[:, :, None] + self.cell_const[probe] - 2.0 * qr
-            d2 = jnp.where(self.cell_valid[probe], d2, jnp.inf)
-            d2 = d2.reshape(b, -1)
-            neg, pos = jax.lax.top_k(-d2, k)
-            idx = jnp.take_along_axis(
-                self.cell_ids[probe].reshape(b, -1), pos, axis=1)
-            return -neg, idx
-
-        outs = [run(jnp.asarray(query[i:i + self.query_chunk]))
+        outs = [_ivfpq_search(jnp.asarray(query[i:i + self.query_chunk]),
+                              self.centroids, self.codebooks,
+                              self.cell_codes, self.cell_const,
+                              self.cell_ids, self.cell_valid,
+                              n_probe=n_probe, k=k)
                 for i in range(0, len(query), self.query_chunk)]
         d2 = np.concatenate([np.asarray(o[0]) for o in outs])
         idx = np.concatenate([np.asarray(o[1]) for o in outs])

@@ -50,6 +50,10 @@ class EfficientNetConfig:
     depth_mult: float = 1.0
     bn_eps: float = 1e-3  # tf variants use eps=1e-3
     se_ratio: float = 0.25
+    # the registered b1/b3/b5/b7 are timm tf_ ports trained with
+    # TensorFlow SAME padding: strided convs pad asymmetrically
+    # (bottom/right-heavy), unlike the symmetric k//2 of native variants
+    tf_same: bool = True
 
     @property
     def stem_channels(self) -> int:
@@ -113,9 +117,23 @@ def init_efficientnet_params(seed: int, cfg: EfficientNetConfig
     return {k2: jnp.asarray(v) for k2, v in p.items()}
 
 
-def _conv(x, w, stride=1, padding=0, groups=1):
+def _same_pads(size: int, k: int, s: int) -> tuple[int, int]:
+    """TensorFlow SAME padding (lo, hi) for one spatial dim — asymmetric,
+    bottom/right-heavy for even inputs (e.g. k=3, s=2, even size -> (0, 1)
+    where symmetric k//2 pads (1, 1))."""
+    total = max((-(-size // s) - 1) * s + k - size, 0)
+    return total // 2, total - total // 2
+
+
+def _conv(x, w, stride=1, padding=0, groups=1, tf_same=False):
+    if tf_same:
+        k = w.shape[2]
+        pads = (_same_pads(x.shape[2], k, stride),
+                _same_pads(x.shape[3], k, stride))
+    else:
+        pads = ((padding, padding), (padding, padding))
     return jax.lax.conv_general_dilated(
-        x, w, (stride, stride), ((padding, padding), (padding, padding)),
+        x, w, (stride, stride), pads,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=groups)
 
@@ -135,9 +153,10 @@ def efficientnet_forward(params: Params, images: jnp.ndarray,
     """Run the trunk, returning tapped stage outputs [B, C, H, W]."""
     taps = tuple(taps)
     deepest = max(int(t[-1]) for t in taps)
+    same = getattr(cfg, "tf_same", False)
     x = jax.nn.silu(_bn(params, "bn1",
                         _conv(images, params["conv_stem.weight"], stride=2,
-                              padding=1), cfg.bn_eps))
+                              padding=1, tf_same=same), cfg.bn_eps))
     out: dict[str, jnp.ndarray] = {}
     for si, (expand, _out_c, repeats, stride, k) in enumerate(cfg.stages):
         if si + 1 > deepest:
@@ -154,7 +173,8 @@ def efficientnet_forward(params: Params, images: jnp.ndarray,
             mid = h.shape[1]
             h = jax.nn.silu(_bn(params, pre + "bn2",
                                 _conv(h, params[pre + "conv_dw.weight"],
-                                      stride=s, padding=k // 2, groups=mid),
+                                      stride=s, padding=k // 2, groups=mid,
+                                      tf_same=same),
                                 cfg.bn_eps))
             # squeeze-excite
             se = jnp.mean(h, axis=(2, 3), keepdims=True)
@@ -353,6 +373,7 @@ class EfficientNetV2Config:
     stem_channels: int = 24
     bn_eps: float = 1e-3  # tf variants
     se_ratio: float = 0.25  # of block input channels
+    tf_same: bool = True  # tf_ ports: TF SAME padding on strided convs
 
 
 EFFICIENTNETV2_M = EfficientNetV2Config()
@@ -420,9 +441,10 @@ def efficientnetv2_forward(params: Params, images: jnp.ndarray,
     """Run the trunk, returning tapped stage outputs [B, C, H, W]."""
     taps = tuple(taps)
     deepest = max(int(t[-1]) for t in taps)
+    same = getattr(cfg, "tf_same", False)
     x = jax.nn.silu(_bn(params, "bn1",
                         _conv(images, params["conv_stem.weight"], stride=2,
-                              padding=1), cfg.bn_eps))
+                              padding=1, tf_same=same), cfg.bn_eps))
     out: dict[str, jnp.ndarray] = {}
     for si, (kind, _e, _oc, repeats, stride, k, se) in enumerate(cfg.stages):
         if si + 1 > deepest:
@@ -434,12 +456,14 @@ def efficientnetv2_forward(params: Params, images: jnp.ndarray,
             if kind == "cn":
                 h = jax.nn.silu(_bn(params, pre + "bn1",
                                     _conv(x, params[pre + "conv.weight"],
-                                          stride=s, padding=k // 2),
+                                          stride=s, padding=k // 2,
+                                          tf_same=same),
                                     cfg.bn_eps))
             elif kind == "er":
                 h = jax.nn.silu(_bn(params, pre + "bn1",
                                     _conv(x, params[pre + "conv_exp.weight"],
-                                          stride=s, padding=k // 2),
+                                          stride=s, padding=k // 2,
+                                          tf_same=same),
                                     cfg.bn_eps))
                 h = _bn(params, pre + "bn2",
                         _conv(h, params[pre + "conv_pwl.weight"]),
@@ -452,7 +476,8 @@ def efficientnetv2_forward(params: Params, images: jnp.ndarray,
                 h = jax.nn.silu(_bn(params, pre + "bn2",
                                     _conv(h, params[pre + "conv_dw.weight"],
                                           stride=s, padding=k // 2,
-                                          groups=mid), cfg.bn_eps))
+                                          groups=mid, tf_same=same),
+                                    cfg.bn_eps))
                 if se:
                     sq = jnp.mean(h, axis=(2, 3), keepdims=True)
                     sq = jax.nn.silu(

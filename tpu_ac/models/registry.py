@@ -202,9 +202,14 @@ def _register_efficientnets() -> None:
     BACKBONE_CONFIGS["mnasnet_a1"] = BackboneSpec(
         "mnasnet", MNASNET_A1, "mnasnet_a1.pth")
 
-    # b3a = the same B3 architecture, a different training recipe
+    # b3a = the same B3 architecture trained NATIVELY (not a tf_ port):
+    # symmetric k//2 padding and torch bn eps, unlike the tf_ variants
+    import dataclasses as _dc
+
     BACKBONE_CONFIGS["efficientnet_b3a"] = BackboneSpec(
-        "efficientnet", EFFICIENTNET_B3, "efficientnet_b3a.pth")
+        "efficientnet",
+        _dc.replace(EFFICIENTNET_B3, tf_same=False, bn_eps=1e-5),
+        "efficientnet_b3a.pth")
 
     from tpu_ac.models.efficientnet import (
         EFFICIENTNETV2_L,

@@ -3,7 +3,8 @@
 Registry entry ``resnest50`` (reference backbones.py:14,
 ``timm.create_model("resnest50d_4s2x40d")``): radix 4, cardinality 2,
 base width 40, deep 3-conv stem ("d"), average-pool downsampling, and
-AvgPool-after-conv2 (avd) in strided blocks.
+AvgPool-BEFORE-conv2 (avd_first — the "fast" ablation this variant uses)
+in strided blocks.
 
 Split attention = grouped 3x3 conv producing radix*width channels, a
 global-pooled two-layer gate (fc1/bn1/fc2, grouped by cardinality), and a
@@ -37,6 +38,9 @@ class ResNeStConfig:
     stem_width: int = 32
     expansion: int = 4
     bn_eps: float = 1e-5
+    # resnest50d_4s2x40d is the "fast" ablation: AvgPool BEFORE the
+    # split-attention conv in strided blocks (timm block_args avd_first)
+    avd_first: bool = True
 
     def group_width(self, planes: int) -> int:
         return int(planes * (self.base_width / 64.0)) * self.cardinality
@@ -139,12 +143,17 @@ def _avgpool(x, k, stride, padding, count_include_pad=True):
 
 
 def _rsoftmax(x: jnp.ndarray, radix: int, cardinality: int) -> jnp.ndarray:
-    """[B, radix*C] gate logits -> radix-softmax (grouped by cardinality),
-    matching ResNeSt's rSoftMax view/transpose layout."""
+    """[B, radix*C] gate logits -> radix-softmax (grouped by cardinality).
+
+    Matches the official rSoftMax exactly: view (B, card, radix, c'),
+    transpose to radix-major, softmax over radix, and flatten WITHOUT
+    transposing back — the flattened gates are radix-major so that
+    chunk r of the output aligns with radix-split r of the conv features.
+    """
     b = x.shape[0]
     x = x.reshape(b, cardinality, radix, -1).transpose(0, 2, 1, 3)
     x = jax.nn.softmax(x, axis=1)
-    return x.transpose(0, 2, 1, 3).reshape(b, -1)
+    return x.reshape(b, -1)
 
 
 def _split_attn_conv(params: Params, pre: str, x: jnp.ndarray,
@@ -203,11 +212,14 @@ def resnest_forward(params: Params, images: jnp.ndarray, cfg: ResNeStConfig,
             identity = x
             y = _conv(x, params[pre + "conv1.weight"], precision=precision)
             y = jax.nn.relu(_bn(params, pre + "bn1", y, eps))
-            # avd (avd_first=False): conv2 runs at stride 1; a 3x3/s
-            # average pool after it does the downsampling
+            # avd: conv2 runs at stride 1; a 3x3/s average pool does the
+            # downsampling.  resnest50d_4s2x40d is a "fast" variant built
+            # with avd_first=True (pool BEFORE the split-attention conv).
+            if s > 1 and cfg.avd_first:
+                y = _avgpool(y, 3, s, 1)
             y = _split_attn_conv(params, pre + "conv2.", y, cfg, 1,
                                  precision)
-            if s > 1:
+            if s > 1 and not cfg.avd_first:
                 y = _avgpool(y, 3, s, 1)
             y = _conv(y, params[pre + "conv3.weight"], precision=precision)
             y = _bn(params, pre + "bn3", y, eps)

@@ -265,7 +265,11 @@ def swin_forward(params: Params, images: jnp.ndarray, cfg: SwinConfig,
             raise ValueError(
                 f"stage {li} grid {gh}x{gw} not divisible by window {w}")
         for bi in range(depth):
-            shift = 0 if bi % 2 == 0 else w // 2
+            # upstream Swin disables the shift when the grid is no larger
+            # than the window (min(input_resolution) <= window_size ->
+            # shift_size = 0) — at 224px the last stage is a single 7x7
+            # window, so its odd blocks attend unshifted
+            shift = 0 if (bi % 2 == 0 or min(gh, gw) <= w) else w // 2
             x = _swin_block(params, f"layers.{li}.blocks.{bi}.", x, nh, w,
                             shift, cfg, precision)
         if li in tap_idx:

@@ -207,25 +207,23 @@ def _pad_bucket(Z: jnp.ndarray, bucket: int) -> jnp.ndarray:
 
 # Single-program alpha+X: weights -> alpha -> weighted embedding run as ONE
 # jitted dispatch (the eager formulation pays a host round trip per op,
-# ~30 ms each over remote-tunnel links).  tau/n_valid are static: one
-# compile per (mode, tau, bucketed shape, precision), reused across a
-# category sweep thanks to the n_bucket padding.
+# ~30 ms each over remote-tunnel links).  The valid counts are TRACED
+# scalars and the outputs stay padded (sliced by the caller), so one
+# compile per (mode, tau, bucketed shape, precision) genuinely serves a
+# whole category sweep — category sizes differ but the n_bucket-padded
+# shape and program do not.
 @functools.partial(
-    jax.jit,
-    static_argnames=("supervised", "tau", "n_valid", "n_train_valid",
-                     "precision"))
-def _alpha_x_program(Z, Z_train, *, supervised: str, tau: float,
-                     n_valid: int, n_train_valid: int | None,
-                     precision: str):
+    jax.jit, static_argnames=("supervised", "tau", "precision"))
+def _alpha_x_program(Z, Z_train, n_valid, n_train_valid, *,
+                     supervised: str, tau: float, precision: str):
     if supervised == "supervised":
         w = weight_distance_supervised(
-            Z, Z_train, n_train_valid=n_train_valid,
-            precision=precision)[:n_valid]
+            Z, Z_train, n_train_valid=n_train_valid, precision=precision)
     else:
         w = weight_distance_unsupervised(
-            Z, n_valid=n_valid, precision=precision)[:n_valid]
+            Z, n_valid=n_valid, precision=precision)
     alpha = alpha_from_weights(w, tau)
-    return alpha, weighted_embedding(alpha, Z[:n_valid])
+    return alpha, weighted_embedding(alpha, Z)
 
 
 def compute_alpha_X(Z: jnp.ndarray, supervised: str, tau: float,
@@ -274,15 +272,16 @@ def compute_alpha_X(Z: jnp.ndarray, supervised: str, tau: float,
     if supervised == "supervised":
         if Z_train is None:
             raise ValueError("supervised mode requires Z_train")
-        return _alpha_x_program(
+        alpha, X = _alpha_x_program(
             _pad_bucket(Z, n_bucket), _pad_bucket(Z_train, n_bucket),
-            supervised="supervised", tau=float(tau), n_valid=n,
-            n_train_valid=Z_train.shape[0], precision=precision)
+            np.int32(n), np.int32(Z_train.shape[0]),
+            supervised="supervised", tau=float(tau), precision=precision)
+        return alpha[:n], X[:n]
     if supervised == "unsupervised":
-        return _alpha_x_program(
-            _pad_bucket(Z, n_bucket), None,
-            supervised="unsupervised", tau=float(tau), n_valid=n,
-            n_train_valid=None, precision=precision)
+        alpha, X = _alpha_x_program(
+            _pad_bucket(Z, n_bucket), None, np.int32(n), None,
+            supervised="unsupervised", tau=float(tau), precision=precision)
+        return alpha[:n], X[:n]
     # "average"
     alpha = matrix_alpha_average(Z)
     return alpha, weighted_embedding(alpha, Z)
@@ -408,6 +407,9 @@ def run_category_sweep(source: str, categories: list[str],
         ds = MVTecDataset(source, classname=category, resize=cfg.resize,
                           imagesize=cfg.imagesize, split=DatasetSplit.TEST)
         return ds, ds.load_all_images(uint8=True)
+
+    if not categories:
+        return
 
     with ThreadPoolExecutor(1) as prefetcher:
         nxt = prefetcher.submit(load_test_images, categories[0])
