@@ -102,3 +102,39 @@ class TestImageFolderSharding:
         assert len(a) == len(b) == 8
         assert set(a.tolist()).isdisjoint(b.tolist())
         assert set(a.tolist()) | set(b.tolist()) == set(range(16))
+
+
+class TestImageNetMmapCache:
+    def test_mmap_cache_roundtrip(self, tmp_path):
+        """mmap_cache decodes once to a .npy and memory-maps it; a second
+        load reuses the cache and matches the in-memory decode."""
+        import numpy as np
+        from PIL import Image
+
+        from tpu_ac.data.classification import load_imagenet
+
+        root = tmp_path / "inet"
+        rng = np.random.default_rng(0)
+        for wnid in ("n01", "n02"):
+            d = root / "train" / wnid
+            d.mkdir(parents=True)
+            for i in range(3):
+                Image.fromarray(rng.integers(
+                    0, 255, (40, 48, 3)).astype(np.uint8)).save(
+                        d / f"img{i}.png")
+        cache = str(tmp_path / "cache")
+        ds_mem = load_imagenet(str(root), "train", size=32)
+        ds_map = load_imagenet(str(root), "train", size=32,
+                               mmap_cache=cache)
+        assert isinstance(ds_map.images, np.memmap)
+        np.testing.assert_array_equal(np.asarray(ds_map.images),
+                                      ds_mem.images)
+        np.testing.assert_array_equal(ds_map.labels, ds_mem.labels)
+        # second load hits the existing cache file
+        import os
+        files = os.listdir(cache)
+        ds_again = load_imagenet(str(root), "train", size=32,
+                                 mmap_cache=cache)
+        assert os.listdir(cache) == files
+        np.testing.assert_array_equal(np.asarray(ds_again.images),
+                                      ds_mem.images)

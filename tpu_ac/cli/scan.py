@@ -71,7 +71,11 @@ def _load_dataset(cfg, split: str) -> ArrayDataset:
             subset = f"{root}/imagenet_subsets/{name}.txt"
         return load_imagenet(root, "train" if split == "train" else "val",
                              subset_file=subset,
-                             size=cfg.get("image_size", 224))
+                             size=cfg.get("image_size", 224),
+                             # at _100/_200 scale the decoded split is tens
+                             # of GB: cache to disk + memory-map (set
+                             # mmap_cache: in the env/exp yml)
+                             mmap_cache=cfg.get("mmap_cache"))
     return make_synthetic_classification(
         n_per_class=cfg.get("synthetic_per_class", 16),
         n_classes=cfg.get("num_classes", 4),

@@ -95,14 +95,21 @@ def load_stl10(root: str, split: str = "train") -> ArrayDataset:
 
 def load_imagenet(root: str, split: str = "train",
                   subset_file: str | None = None,
-                  size: int = 224) -> ArrayDataset:
-    """ImageNet / ImageNetSubset as an in-memory ArrayDataset.
+                  size: int = 224,
+                  mmap_cache: str | None = None) -> ArrayDataset:
+    """ImageNet / ImageNetSubset as an ArrayDataset.
 
     Mirrors data/imagenet.py:1-102: walks <root>/<split>/<wnid>/ for the
     wnids in ``subset_file`` (one per line, "wnid name"), or every class
     directory when no subset is given.  Images are resize(shorter side
     -> size*8/7) + center-crop(size), the reference's val transform; the
     SCAN augmentations re-crop from the stored PIL image.
+
+    ``mmap_cache``: directory for a decoded .npy cache that is memory-
+    MAPPED instead of held in RAM — required at ImageNet-100/200 scale,
+    where the decoded train split is tens of GB (the array pages in on
+    demand and is reused across runs).  Without it the decode is fully
+    in-memory (fine for the _50 subsets and tests).
     """
     split_dir = os.path.join(root, split)
     if subset_file:
@@ -112,24 +119,45 @@ def load_imagenet(root: str, split: str = "train",
         wnids = sorted(d for d in os.listdir(split_dir)
                        if os.path.isdir(os.path.join(split_dir, d)))
     resize = int(size * 8 / 7)  # 256 for 224
-    imgs, labels = [], []
+
+    paths, labels = [], []
     for ci, wnid in enumerate(wnids):
         cdir = os.path.join(split_dir, wnid)
         if not os.path.isdir(cdir):
             continue
         for fname in sorted(os.listdir(cdir)):
-            with Image.open(os.path.join(cdir, fname)) as im:
-                im = im.convert("RGB")
-                w, h = im.size
-                s = resize / min(w, h)
-                im = im.resize((round(w * s), round(h * s)),
-                               Image.BILINEAR)
-                left = (im.width - size) // 2
-                top = (im.height - size) // 2
-                im = im.crop((left, top, left + size, top + size))
-                imgs.append(np.asarray(im, np.uint8))
+            paths.append(os.path.join(cdir, fname))
             labels.append(ci)
-    return ArrayDataset(np.stack(imgs), np.asarray(labels), classes=wnids)
+    labels = np.asarray(labels)
+
+    def decode(path: str) -> np.ndarray:
+        with Image.open(path) as im:
+            im = im.convert("RGB")
+            w, h = im.size
+            s = resize / min(w, h)
+            im = im.resize((round(w * s), round(h * s)), Image.BILINEAR)
+            left = (im.width - size) // 2
+            top = (im.height - size) // 2
+            im = im.crop((left, top, left + size, top + size))
+            return np.asarray(im, np.uint8)
+
+    if mmap_cache:
+        tag = f"{split}_{len(paths)}_{size}"
+        os.makedirs(mmap_cache, exist_ok=True)
+        cache_path = os.path.join(mmap_cache, f"imagenet_{tag}.npy")
+        if not os.path.exists(cache_path):
+            arr = np.lib.format.open_memmap(
+                cache_path + ".tmp", mode="w+", dtype=np.uint8,
+                shape=(len(paths), size, size, 3))
+            for i, p in enumerate(paths):
+                arr[i] = decode(p)
+            arr.flush()
+            del arr
+            os.replace(cache_path + ".tmp", cache_path)
+        imgs = np.load(cache_path, mmap_mode="r")
+    else:
+        imgs = np.stack([decode(p) for p in paths])
+    return ArrayDataset(imgs, labels, classes=wnids)
 
 
 def make_synthetic_classification(n_per_class: int = 20, n_classes: int = 4,

@@ -31,10 +31,15 @@ class ResNetV2Config:
     width_factor: int = 1                          # 3 for bitm x3 variants
     gn_groups: int = 32
     gn_eps: float = 1e-5
-
-    @property
-    def stem_channels(self) -> int:
-        return 64 * self.width_factor
+    # preact=True: BiT-style pre-activation bottlenecks (norm-relu before
+    # each conv, bare-conv downsample, final trunk norm).  preact=False:
+    # the POST-activation layout timm builds for the R50+ViT hybrid
+    # (conv->norm order, stem.norm, downsample.norm, relu after the
+    # residual add, NO final norm).  Same conv/norm key names either way.
+    preact: bool = True
+    # StdConv2dSame: TF SAME (asymmetric) padding on strided convs/pool —
+    # timm's hybrid backbone uses it (stem_type='same')
+    tf_same: bool = False
 
 
 RESNETV2_101 = ResNetV2Config()
@@ -61,47 +66,67 @@ def init_resnetv2_params(seed: int, cfg: ResNetV2Config
 
     wf = cfg.width_factor
     conv("stem.conv", 64 * wf, 3, 7)
+    if not cfg.preact:
+        gn("stem.norm", 64 * wf)
     in_c = 64 * wf
     for si, n_blocks in enumerate(cfg.block_counts):
         out_c = 256 * (2 ** si) * wf
         mid = 64 * (2 ** si) * wf
         for bi in range(n_blocks):
             pre = f"stages.{si}.blocks.{bi}."
-            gn(pre + "norm1", in_c)
+            # preact: norms sized by their preceding stream (norm1 on the
+            # block INPUT); post-act: norms follow their conv's output
+            gn(pre + "norm1", in_c if cfg.preact else mid)
             conv(pre + "conv1", mid, in_c, 1)
             gn(pre + "norm2", mid)
             conv(pre + "conv2", mid, mid, 3)
-            gn(pre + "norm3", mid)
+            gn(pre + "norm3", mid if cfg.preact else out_c)
             conv(pre + "conv3", out_c, mid, 1)
             if bi == 0:
                 conv(pre + "downsample.conv", out_c, in_c, 1)
+                if not cfg.preact:
+                    gn(pre + "downsample.norm", out_c)
             in_c = out_c
-    gn("norm", in_c)
+    if cfg.preact:
+        gn("norm", in_c)
     return {k: jnp.asarray(v) for k, v in p.items()}
 
 
-def _std_conv(x, w, stride=1, padding=0, eps=1e-8):
-    """Weight-standardized conv (BiT): W normalized per output channel."""
+def _std_conv(x, w, stride=1, padding=0, eps=1e-8, tf_same=False):
+    """Weight-standardized conv (BiT): W normalized per output channel.
+    ``tf_same`` = StdConv2dSame (asymmetric TF SAME padding)."""
     mean = jnp.mean(w, axis=(1, 2, 3), keepdims=True)
     var = jnp.var(w, axis=(1, 2, 3), keepdims=True)
     w = (w - mean) * jax.lax.rsqrt(var + eps)
+    if tf_same:
+        from tpu_ac.models.efficientnet import _same_pads
+
+        k = w.shape[2]
+        pads = (_same_pads(x.shape[2], k, stride),
+                _same_pads(x.shape[3], k, stride))
+    else:
+        pads = ((padding, padding), (padding, padding))
     return jax.lax.conv_general_dilated(
-        x, w, (stride, stride), ((padding, padding), (padding, padding)),
+        x, w, (stride, stride), pads,
         dimension_numbers=("NCHW", "OIHW", "NCHW"))
 
 
-def _gn_relu(params: Params, name: str, x: jnp.ndarray,
-             groups: int, eps: float) -> jnp.ndarray:
+def _gn(params: Params, name: str, x: jnp.ndarray,
+        groups: int, eps: float) -> jnp.ndarray:
+    """GroupNorm without the activation (post-act norm3/downsample.norm)."""
     b, c, h, w = x.shape
     g = min(groups, c)
     xg = x.reshape(b, g, c // g, h, w)
     mean = jnp.mean(xg, axis=(2, 3, 4), keepdims=True)
     var = jnp.var(xg, axis=(2, 3, 4), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    x = xg.reshape(b, c, h, w)
-    x = x * params[name + ".weight"][None, :, None, None] + \
+    x = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(b, c, h, w)
+    return x * params[name + ".weight"][None, :, None, None] + \
         params[name + ".bias"][None, :, None, None]
-    return jax.nn.relu(x)
+
+
+def _gn_relu(params: Params, name: str, x: jnp.ndarray,
+             groups: int, eps: float) -> jnp.ndarray:
+    return jax.nn.relu(_gn(params, name, x, groups, eps))
 
 
 def resnetv2_forward(params: Params, images: jnp.ndarray,
@@ -112,10 +137,21 @@ def resnetv2_forward(params: Params, images: jnp.ndarray,
     residual stream, matching a hook on timm's stages.<i>)."""
     taps = tuple(taps)
     deepest = max(int(t[-1]) for t in taps)
-    x = _std_conv(images, params["stem.conv.weight"], stride=2, padding=3)
+    same = cfg.tf_same
+    x = _std_conv(images, params["stem.conv.weight"], stride=2, padding=3,
+                  tf_same=same)
+    if not cfg.preact:
+        x = _gn_relu(params, "stem.norm", x, cfg.gn_groups, cfg.gn_eps)
+    if same:
+        from tpu_ac.models.efficientnet import _same_pads
+
+        pool_pads = (_same_pads(x.shape[2], 3, 2),
+                     _same_pads(x.shape[3], 3, 2))
+    else:
+        pool_pads = ((1, 1), (1, 1))
     x = jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
-        ((0, 0), (0, 0), (1, 1), (1, 1)))
+        ((0, 0), (0, 0), *pool_pads))
     out: dict[str, jnp.ndarray] = {}
     for si, n_blocks in enumerate(cfg.block_counts):
         if si + 1 > deepest:
@@ -124,21 +160,46 @@ def resnetv2_forward(params: Params, images: jnp.ndarray,
         for bi in range(n_blocks):
             pre = f"stages.{si}.blocks.{bi}."
             s = stride if bi == 0 else 1
-            pre_act = _gn_relu(params, pre + "norm1", x, cfg.gn_groups,
-                               cfg.gn_eps)
-            if pre + "downsample.conv.weight" in params:
-                shortcut = _std_conv(pre_act,
-                                     params[pre + "downsample.conv.weight"],
-                                     stride=s)
+            if cfg.preact:
+                pre_act = _gn_relu(params, pre + "norm1", x, cfg.gn_groups,
+                                   cfg.gn_eps)
+                if pre + "downsample.conv.weight" in params:
+                    shortcut = _std_conv(
+                        pre_act, params[pre + "downsample.conv.weight"],
+                        stride=s)
+                else:
+                    shortcut = x
+                h = _std_conv(pre_act, params[pre + "conv1.weight"])
+                h = _gn_relu(params, pre + "norm2", h, cfg.gn_groups,
+                             cfg.gn_eps)
+                h = _std_conv(h, params[pre + "conv2.weight"], stride=s,
+                              padding=1, tf_same=same)
+                h = _gn_relu(params, pre + "norm3", h, cfg.gn_groups,
+                             cfg.gn_eps)
+                h = _std_conv(h, params[pre + "conv3.weight"])
+                x = h + shortcut
             else:
-                shortcut = x
-            h = _std_conv(pre_act, params[pre + "conv1.weight"])
-            h = _gn_relu(params, pre + "norm2", h, cfg.gn_groups, cfg.gn_eps)
-            h = _std_conv(h, params[pre + "conv2.weight"], stride=s,
-                          padding=1)
-            h = _gn_relu(params, pre + "norm3", h, cfg.gn_groups, cfg.gn_eps)
-            h = _std_conv(h, params[pre + "conv3.weight"])
-            x = h + shortcut
+                # post-activation (timm hybrid backbone): conv->norm order,
+                # normed downsample, relu after the residual add
+                if pre + "downsample.conv.weight" in params:
+                    shortcut = _gn(
+                        params, pre + "downsample.norm",
+                        _std_conv(x, params[pre + "downsample.conv.weight"],
+                                  stride=s),
+                        cfg.gn_groups, cfg.gn_eps)
+                else:
+                    shortcut = x
+                h = _gn_relu(params, pre + "norm1",
+                             _std_conv(x, params[pre + "conv1.weight"]),
+                             cfg.gn_groups, cfg.gn_eps)
+                h = _gn_relu(params, pre + "norm2",
+                             _std_conv(h, params[pre + "conv2.weight"],
+                                       stride=s, padding=1, tf_same=same),
+                             cfg.gn_groups, cfg.gn_eps)
+                h = _gn(params, pre + "norm3",
+                        _std_conv(h, params[pre + "conv3.weight"]),
+                        cfg.gn_groups, cfg.gn_eps)
+                x = jax.nn.relu(h + shortcut)
         name = f"stage{si + 1}"
         if name in taps:
             out[name] = x

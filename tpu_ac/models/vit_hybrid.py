@@ -1,16 +1,19 @@
 """Hybrid R50+ViT — the ``vit_r50`` registry entry
 (reference backbones.py:39, ``timm.create_model("vit_large_r50_s32_224")``).
 
-A ResNetV2-50 trunk (pre-activation, StdConv+GroupNorm — reusing
-tpu_ac.models.resnetv2) replaces the patch embedding: images -> stride-32
+A ResNetV2-50 trunk replaces the patch embedding: images -> stride-32
 feature grid -> 1x1 conv projection -> tokens, then the standard ViT-Large
 transformer (reusing tpu_ac.models.vit block_forward / pos-embed
-interpolation).
+interpolation).  timm builds this backbone with ``preact=False`` +
+``StdConv2dSame`` (POST-activation bottlenecks, stem/downsample norms, TF
+SAME padding, no final trunk norm) — reproduced via
+ResNetV2Config(preact=False, tf_same=True).
 
 Param keys follow timm's hybrid layout: ``patch_embed.backbone.*`` for the
-ResNetV2 (stem.conv, stages.S.blocks.B.*, norm), ``patch_embed.proj.*``
-for the projection, plus the usual ViT keys (cls_token, pos_embed,
-blocks.*, norm) — checkpoint conversion stays an array copy.
+ResNetV2 (stem.conv/stem.norm, stages.S.blocks.B.* incl. downsample.norm),
+``patch_embed.proj.*`` for the projection, plus the usual ViT keys
+(cls_token, pos_embed, blocks.*, norm) — checkpoint conversion stays an
+array copy.
 """
 
 from __future__ import annotations
@@ -44,7 +47,8 @@ _BACKBONE_PREFIX = "patch_embed.backbone."
 @dataclasses.dataclass(frozen=True)
 class HybridViTConfig:
     resnet: ResNetV2Config = ResNetV2Config(block_counts=(3, 4, 6, 3),
-                                            width_factor=1)
+                                            width_factor=1, preact=False,
+                                            tf_same=True)
     vit: ViTConfig = ViTConfig(embed_dim=1024, depth=24, num_heads=16,
                                img_size=224)
     total_stride: int = 32
@@ -67,8 +71,11 @@ def init_hybrid_vit_params(seed: int, cfg: HybridViTConfig
         p[_BACKBONE_PREFIX + k] = v
     d = cfg.vit.embed_dim
     feat_c = 512 * 4 * cfg.resnet.width_factor  # stage4 out channels
-    p[_BACKBONE_PREFIX + "norm.weight"] = jnp.ones((feat_c,), jnp.float32)
-    p[_BACKBONE_PREFIX + "norm.bias"] = jnp.zeros((feat_c,), jnp.float32)
+    if cfg.resnet.preact:  # post-act trunks have no final norm (Identity)
+        p[_BACKBONE_PREFIX + "norm.weight"] = jnp.ones((feat_c,),
+                                                       jnp.float32)
+        p[_BACKBONE_PREFIX + "norm.bias"] = jnp.zeros((feat_c,),
+                                                      jnp.float32)
     # ViT trunk params (pos_embed sized by patch_size=stride: grid+CLS)
     vit_p = init_vit_params(seed + 1, dataclasses.replace(
         cfg.vit, patch_size=cfg.total_stride))
@@ -90,8 +97,9 @@ def hybrid_prepare_tokens(params: Params, images: jnp.ndarray,
     n_stages = len(cfg.resnet.block_counts)
     feats = resnetv2_forward(bb, images, cfg.resnet,
                              taps=(f"stage{n_stages}",))[f"stage{n_stages}"]
-    feats = _gn_relu(bb, "norm", feats, cfg.resnet.gn_groups,
-                     cfg.resnet.gn_eps)
+    if cfg.resnet.preact:  # post-act trunks end at the residual relu
+        feats = _gn_relu(bb, "norm", feats, cfg.resnet.gn_groups,
+                         cfg.resnet.gn_eps)
     x = jax.lax.conv_general_dilated(
         feats, params["patch_embed.proj.weight"], window_strides=(1, 1),
         padding="VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
