@@ -90,10 +90,10 @@ def measure_tpu(images: np.ndarray, precision: str = "bfloat16") -> float:
         return _np.asarray(alpha), _np.asarray(x)
 
     run_once()  # warmup / compile
-    # median of 5: the remote-tunnel link varies +-20% run to run, so a
-    # 3-rep mean is noisy; the median is robust to one degraded rep
+    # median of 9: the remote-tunnel link varies +-20% run to run, so a
+    # small-sample mean is noisy; the median is robust to degraded reps
     times = []
-    for _ in range(5):
+    for _ in range(9):
         t0 = time.perf_counter()
         run_once()
         times.append(time.perf_counter() - t0)
