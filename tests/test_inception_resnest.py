@@ -260,3 +260,46 @@ class TestRegistryBreadth:
                            target_embed_dimension=48)
         z = embed_features("vit", params, x, cfg, ecfg)
         assert z.shape == (1, 16, 48)  # both prefix tokens dropped
+
+
+class TestBNInceptionPoolSemantics:
+    """pretrainedmodels' BNInception pools: ceil_mode max (no left pad) and
+    count_include_pad=True avg — vs torch oracles."""
+
+    def test_maxpool_ceil_matches_torch(self, rng):
+        import torch
+        import torch.nn.functional as F
+
+        from tpu_ac.models.inception import _maxpool_ceil
+
+        for n in (112, 113, 28):
+            x = rng.standard_normal((1, 2, n, n)).astype(np.float32)
+            got = np.asarray(_maxpool_ceil(jnp.asarray(x)))
+            want = F.max_pool2d(torch.from_numpy(x), 3, 2,
+                                ceil_mode=True).numpy()
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_maxpool_ceil_differs_from_symmetric_pad(self, rng):
+        import torch
+        import torch.nn.functional as F
+
+        from tpu_ac.models.inception import _maxpool_ceil
+
+        x = rng.standard_normal((1, 2, 112, 112)).astype(np.float32)
+        ceil = np.asarray(_maxpool_ceil(jnp.asarray(x)))
+        sym = F.max_pool2d(torch.from_numpy(x), 3, 2, padding=1).numpy()
+        assert ceil.shape == sym.shape  # same 56x56 ...
+        assert np.abs(ceil - sym).max() > 1e-3  # ... shifted windows
+
+    def test_avgpool_incpad_matches_torch(self, rng):
+        import torch
+        import torch.nn.functional as F
+
+        from tpu_ac.models.inception import _avgpool_3x3_s1_incpad
+
+        x = rng.standard_normal((1, 3, 14, 14)).astype(np.float32)
+        got = np.asarray(_avgpool_3x3_s1_incpad(jnp.asarray(x)))
+        want = F.avg_pool2d(torch.from_numpy(x), 3, 1, 1,
+                            count_include_pad=True).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

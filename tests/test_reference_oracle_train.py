@@ -201,3 +201,25 @@ class TestDINOUtilsOracles:
         np.testing.assert_allclose(got[1], want[1], rtol=1e-9)
         np.testing.assert_allclose(got[2], want[2], rtol=1e-9)
         np.testing.assert_allclose(got[3], want[3], rtol=1e-9)
+
+
+class TestDINOHeadStateDict:
+    def test_params_load_into_reference_head(self, rng, ref_main_dino):
+        """Our DINO-head param keys must load key-for-key into the
+        reference's torch DINOHead (nn.Sequential Linears at mlp.0/2/4)
+        and reproduce its forward."""
+        import vision_transformer as ref_vits  # loaded by ref_main_dino
+
+        from tpu_ac.models import dino_head_forward, init_dino_head_params
+
+        p = init_dino_head_params(0, in_dim=32, out_dim=48, hidden_dim=24,
+                                  bottleneck_dim=16)
+        head = ref_vits.DINOHead(32, 48, hidden_dim=24, bottleneck_dim=16,
+                                 norm_last_layer=False)
+        state = {k: torch.from_numpy(np.asarray(v)) for k, v in p.items()}
+        missing, unexpected = head.load_state_dict(state, strict=True), None
+        x = rng.standard_normal((4, 32)).astype(np.float32)
+        with torch.no_grad():
+            want = head(torch.from_numpy(x)).numpy()
+        got = np.asarray(dino_head_forward(p, x))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

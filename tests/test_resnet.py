@@ -361,26 +361,39 @@ class TestEfficientNet:
 
         x = F.silu(bn(F.conv2d(torch.from_numpy(imgs), t("conv_stem.weight"),
                                stride=2, padding=1), "bn1"))
+        def se_gate(h, pre):
+            se = h.mean((2, 3), keepdim=True)
+            se = F.silu(F.conv2d(se, t(pre + "se.conv_reduce.weight"),
+                                 t(pre + "se.conv_reduce.bias")))
+            return torch.sigmoid(
+                F.conv2d(se, t(pre + "se.conv_expand.weight"),
+                         t(pre + "se.conv_expand.bias")))
+
         for si, (expand, _oc, repeats, stride, k) in enumerate(cfg.stages[:2]):
             for bi in range(repeats):
                 pre = f"blocks.{si}.{bi}."
                 s = stride if bi == 0 else 1
                 idn = x
                 h = x
-                if expand != 1:
+                if expand == 1:
+                    # timm DepthwiseSeparableConv: dw/bn1 -> se -> pw/bn2
+                    mid = h.shape[1]
+                    h = F.silu(bn(F.conv2d(h, t(pre + "conv_dw.weight"),
+                                           stride=s, padding=k // 2,
+                                           groups=mid), pre + "bn1"))
+                    h = h * se_gate(h, pre)
+                    h = bn(F.conv2d(h, t(pre + "conv_pw.weight")),
+                           pre + "bn2")
+                else:
                     h = F.silu(bn(F.conv2d(h, t(pre + "conv_pw.weight")),
                                   pre + "bn1"))
-                mid = h.shape[1]
-                h = F.silu(bn(F.conv2d(h, t(pre + "conv_dw.weight"), stride=s,
-                                       padding=k // 2, groups=mid),
-                              pre + "bn2"))
-                se = h.mean((2, 3), keepdim=True)
-                se = F.silu(F.conv2d(se, t(pre + "se.conv_reduce.weight"),
-                                     t(pre + "se.conv_reduce.bias")))
-                se = torch.sigmoid(F.conv2d(se, t(pre + "se.conv_expand.weight"),
-                                            t(pre + "se.conv_expand.bias")))
-                h = h * se
-                h = bn(F.conv2d(h, t(pre + "conv_pwl.weight")), pre + "bn3")
+                    mid = h.shape[1]
+                    h = F.silu(bn(F.conv2d(h, t(pre + "conv_dw.weight"),
+                                           stride=s, padding=k // 2,
+                                           groups=mid), pre + "bn2"))
+                    h = h * se_gate(h, pre)
+                    h = bn(F.conv2d(h, t(pre + "conv_pwl.weight")),
+                           pre + "bn3")
                 if s == 1 and idn.shape[1] == h.shape[1]:
                     h = h + idn
                 x = h
@@ -466,7 +479,9 @@ class TestResNetV2:
                                        t(name + ".bias"), eps=1e-5))
 
         x = std_conv(torch.from_numpy(imgs), "stem.conv", 2, 3)
-        x = F.max_pool2d(x, 3, 2, 1)
+        # BiT 'fixed' stem: zero-pad then UNpadded pool (ConstantPad2d(1,0)
+        # + MaxPool2d(3,2)) — zeros, not -inf, at the borders
+        x = F.max_pool2d(F.pad(x, (1, 1, 1, 1)), 3, 2)
         outs = {}
         for si in range(2):
             stride = 1 if si == 0 else 2
@@ -489,6 +504,65 @@ class TestResNetV2:
         p, cfg, family = load_backbone("resnetv2_50_bit")
         assert family == "resnetv2" and cfg.width_factor == 3
         assert p["stem.conv.weight"].shape == (192, 3, 7, 7)
+
+    def test_plain_resnetv2_101_is_batchnorm(self):
+        """timm's PLAIN resnetv2_101 is BatchNormAct + ordinary convs, not
+        the BiT GN+weight-standardized recipe — its checkpoint carries
+        running stats the forward must consume."""
+        from tpu_ac.models import load_backbone
+        from tpu_ac.models.registry import BACKBONE_CONFIGS
+
+        cfg = BACKBONE_CONFIGS["resnetv2_101"].config
+        assert cfg.norm == "bn" and not cfg.std_conv
+        assert cfg.stem_pool == "standard"
+        p, _, _ = load_backbone("resnetv2_101")
+        assert "stages.0.blocks.0.norm1.running_mean" in p
+        bit = BACKBONE_CONFIGS["resnetv2_50_bit"].config
+        assert bit.norm == "gn" and bit.std_conv
+
+    def test_plain_bn_block_matches_torch(self, rng):
+        """Pre-act BN bottleneck (plain resnetv2) vs torch."""
+        import torch
+        import torch.nn.functional as F
+        from tpu_ac.models.resnetv2 import (ResNetV2Config,
+                                            init_resnetv2_params,
+                                            resnetv2_forward)
+
+        tiny = ResNetV2Config(block_counts=(1,), norm="bn", std_conv=False,
+                              stem_pool="standard")
+        p = init_resnetv2_params(0, tiny)
+        # nontrivial running stats to exercise the BN path
+        p = {k: (jnp.asarray(np.random.default_rng(3).uniform(
+                 0.5, 1.5, v.shape).astype(np.float32))
+                 if k.endswith("running_var") else v)
+             for k, v in p.items()}
+        imgs = rng.standard_normal((1, 3, 32, 32)).astype(np.float32)
+        got = resnetv2_forward(p, jnp.asarray(imgs), tiny,
+                               taps=("stage1",))["stage1"]
+
+        def t(k):
+            return torch.from_numpy(np.asarray(p[k]))
+
+        def bn_relu(x, name, relu=True):
+            y = F.batch_norm(x, t(name + ".running_mean"),
+                             t(name + ".running_var"), t(name + ".weight"),
+                             t(name + ".bias"), training=False, eps=1e-5)
+            return F.relu(y) if relu else y
+
+        x = F.conv2d(torch.from_numpy(imgs), t("stem.conv.weight"),
+                     stride=2, padding=3)
+        x = F.max_pool2d(x, 3, 2, 1)
+        pre = "stages.0.blocks.0."
+        pa = bn_relu(x, pre + "norm1")
+        sc = F.conv2d(pa, t(pre + "downsample.conv.weight"))
+        h = F.conv2d(pa, t(pre + "conv1.weight"))
+        h = bn_relu(h, pre + "norm2")
+        h = F.conv2d(h, t(pre + "conv2.weight"), padding=1)
+        h = bn_relu(h, pre + "norm3")
+        h = F.conv2d(h, t(pre + "conv3.weight"))
+        want = (h + sc).numpy()
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
+                                   atol=2e-5)
 
 
 class TestMnasNet:

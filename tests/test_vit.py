@@ -107,8 +107,9 @@ class TestDinoHead:
         xt = torch.from_numpy(x)
         h = xt
         for li in range(3):
-            w = torch.from_numpy(np.asarray(p[f"mlp.{li}.weight"]))
-            b = torch.from_numpy(np.asarray(p[f"mlp.{li}.bias"]))
+            # torch Sequential keys: Linears at 0/2/4
+            w = torch.from_numpy(np.asarray(p[f"mlp.{2 * li}.weight"]))
+            b = torch.from_numpy(np.asarray(p[f"mlp.{2 * li}.bias"]))
             h = torch.nn.functional.linear(h, w, b)
             if li < 2:
                 h = torch.nn.functional.gelu(h)
@@ -169,3 +170,33 @@ class TestSelfAttentionAccessors:
         a0 = vit_selfattention(tiny_params, imgs, TINY, 0)
         assert a0.shape == (1, TINY.num_heads, 17, 17)
         np.testing.assert_allclose(np.asarray(a0).sum(-1), 1.0, rtol=1e-5)
+
+
+class TestValidateParams:
+    def test_validation_uses_architecture_not_cached_checkpoint(
+            self, monkeypatch, tmp_path):
+        """validate_params_against_backbone must compare against the
+        architecture's own init even when a (possibly wrong) checkpoint
+        sits in the default cache — otherwise the report compares the
+        checkpoint with itself and is vacuously clean."""
+        import torch
+
+        from tpu_ac.models import registry
+        from tpu_ac.models.convert import validate_params_against_backbone
+        from tpu_ac.models.registry import BackboneSpec, register_backbone
+        from tpu_ac.models.vit import ViTConfig
+
+        register_backbone("tiny_validate", BackboneSpec(
+            "vit", ViTConfig(patch_size=8, embed_dim=32, depth=1,
+                             num_heads=2, img_size=32),
+            "tiny_validate.pth"))
+        # plant a BOGUS checkpoint under the (patched) default cache dir
+        bogus = {"totally.wrong.key": torch.zeros(3)}
+        torch.save(bogus, tmp_path / "tiny_validate.pth")
+        monkeypatch.setattr(registry, "_DEFAULT_CKPT_DIRS",
+                            (str(tmp_path),))
+        report = validate_params_against_backbone(
+            {"totally.wrong.key": np.zeros(3)}, "tiny_validate")
+        # the bogus keys must be flagged against the REAL structure
+        assert "totally.wrong.key" in report["unexpected"]
+        assert "cls_token" in report["missing"]

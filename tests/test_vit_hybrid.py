@@ -113,7 +113,7 @@ class TestPostActTrunk:
         from tpu_ac.models.resnetv2 import ResNetV2Config, resnetv2_forward
 
         cfg = ResNetV2Config(block_counts=(1,), preact=False, tf_same=True,
-                             gn_groups=8)
+                             stem_pool="same", ws_eps=1e-6, gn_groups=8)
         rng_ = np.random.default_rng(1)
 
         def w(shape):
@@ -147,7 +147,7 @@ class TestPostActTrunk:
             wt = torch.from_numpy(wt)
             m = wt.mean(dim=(1, 2, 3), keepdim=True)
             v = wt.var(dim=(1, 2, 3), unbiased=False, keepdim=True)
-            return (wt - m) * torch.rsqrt(v + 1e-8)
+            return (wt - m) * torch.rsqrt(v + 1e-6)  # StdConv2dSame default eps
 
         def gn(x, name, relu=True):
             y = F.group_norm(x, 8, torch.from_numpy(p[name + ".weight"]),

@@ -65,8 +65,11 @@ def validate_params_against_backbone(params: Mapping[str, Any],
     """
     from tpu_ac.models.registry import load_backbone
 
-    expected, _cfg, _family = load_backbone(name, checkpoint_path=None,
-                                            checkpoint_dir="/nonexistent")
+    # use_checkpoint=False: the expected structure must come from the
+    # architecture's own init, NOT from whatever checkpoint is cached —
+    # otherwise the report compares the checkpoint against itself and is
+    # vacuously clean
+    expected, _cfg, _family = load_backbone(name, use_checkpoint=False)
     missing = sorted(set(expected) - set(params))
     unexpected = sorted(set(params) - set(expected))
     mismatch = sorted(

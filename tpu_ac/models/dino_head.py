@@ -38,8 +38,10 @@ def init_dino_head_params(seed: int, in_dim: int, out_dim: int,
     else:
         dims = [in_dim] + [hidden_dim] * (nlayers - 1) + [bottleneck_dim]
         for li in range(nlayers):
-            p[f"mlp.{li}.weight"] = tn((dims[li + 1], dims[li]))
-            p[f"mlp.{li}.bias"] = np.zeros((dims[li + 1],), np.float32)
+            # torch nn.Sequential indices: Linears at 0/2/4 (GELUs at 1/3),
+            # so converted DINO training checkpoints map key-for-key
+            p[f"mlp.{2 * li}.weight"] = tn((dims[li + 1], dims[li]))
+            p[f"mlp.{2 * li}.bias"] = np.zeros((dims[li + 1],), np.float32)
     p["last_layer.weight_g"] = np.ones((out_dim, 1), np.float32)
     p["last_layer.weight_v"] = (
         rng.standard_normal((out_dim, bottleneck_dim)) /
@@ -55,13 +57,15 @@ def dino_head_forward(params: Params, x: jnp.ndarray,
             precision=precision)
         return y + b if b is not None else y
 
-    if "mlp.weight" in params:
+    if "mlp.weight" in params:  # nlayers == 1: a bare nn.Linear
         x = lin(x, params["mlp.weight"], params["mlp.bias"])
     else:
+        # torch Sequential layout: Linears at even indices, GELUs between
         li = 0
-        while f"mlp.{li}.weight" in params:
-            x = lin(x, params[f"mlp.{li}.weight"], params[f"mlp.{li}.bias"])
-            if f"mlp.{li + 1}.weight" in params:  # GELU between layers
+        while f"mlp.{2 * li}.weight" in params:
+            x = lin(x, params[f"mlp.{2 * li}.weight"],
+                    params[f"mlp.{2 * li}.bias"])
+            if f"mlp.{2 * (li + 1)}.weight" in params:
                 x = jax.nn.gelu(x, approximate=False)
             li += 1
     x = l2_normalize(x, axis=-1)

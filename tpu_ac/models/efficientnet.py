@@ -103,16 +103,25 @@ def init_efficientnet_params(seed: int, cfg: EfficientNetConfig
         for bi in range(repeats):
             pre = f"blocks.{si}.{bi}."
             mid = in_c * expand
-            if expand != 1:
+            se_c = max(1, int(in_c * cfg.se_ratio))
+            if expand == 1:
+                # timm DepthwiseSeparableConv layout (stage 0):
+                # conv_dw/bn1 -> se -> conv_pw/bn2 (no expansion, no pwl)
+                conv(pre + "conv_dw", mid, mid, k, groups=mid)
+                bn(pre + "bn1", mid)
+                conv_b(pre + "se.conv_reduce", se_c, mid, 1)
+                conv_b(pre + "se.conv_expand", mid, se_c, 1)
+                conv(pre + "conv_pw", out_c, mid, 1)
+                bn(pre + "bn2", out_c)
+            else:
                 conv(pre + "conv_pw", mid, in_c, 1)
                 bn(pre + "bn1", mid)
-            conv(pre + "conv_dw", mid, mid, k, groups=mid)
-            bn(pre + "bn2", mid)
-            se_c = max(1, int(in_c * cfg.se_ratio))
-            conv_b(pre + "se.conv_reduce", se_c, mid, 1)
-            conv_b(pre + "se.conv_expand", mid, se_c, 1)
-            conv(pre + "conv_pwl", out_c, mid, 1)
-            bn(pre + "bn3", out_c)
+                conv(pre + "conv_dw", mid, mid, k, groups=mid)
+                bn(pre + "bn2", mid)
+                conv_b(pre + "se.conv_reduce", se_c, mid, 1)
+                conv_b(pre + "se.conv_expand", mid, se_c, 1)
+                conv(pre + "conv_pwl", out_c, mid, 1)
+                bn(pre + "bn3", out_c)
             in_c = out_c
     return {k2: jnp.asarray(v) for k2, v in p.items()}
 
@@ -146,6 +155,18 @@ def _bn(params: Params, name: str, x, eps):
     return (x - rm) * jax.lax.rsqrt(rv + eps) * w + b
 
 
+def _se_gate(params: Params, pre: str, h):
+    """Squeeze-excite gate (se.conv_reduce -> silu -> se.conv_expand ->
+    sigmoid) on globally pooled features."""
+    se = jnp.mean(h, axis=(2, 3), keepdims=True)
+    se = jax.nn.silu(_conv(se, params[pre + "se.conv_reduce.weight"])
+                     + params[pre + "se.conv_reduce.bias"][
+                         None, :, None, None])
+    return jax.nn.sigmoid(_conv(se, params[pre + "se.conv_expand.weight"])
+                          + params[pre + "se.conv_expand.bias"][
+                              None, :, None, None])
+
+
 def efficientnet_forward(params: Params, images: jnp.ndarray,
                          cfg: EfficientNetConfig,
                          *, taps: Sequence[str] = ("stage4", "stage6")
@@ -166,27 +187,32 @@ def efficientnet_forward(params: Params, images: jnp.ndarray,
             s = stride if bi == 0 else 1
             identity = x
             h = x
-            if expand != 1:
+            if expand == 1:
+                # DepthwiseSeparableConv: dw/bn1 -> se -> pw/bn2
+                mid = h.shape[1]
+                h = jax.nn.silu(_bn(params, pre + "bn1",
+                                    _conv(h, params[pre + "conv_dw.weight"],
+                                          stride=s, padding=k // 2,
+                                          groups=mid, tf_same=same),
+                                    cfg.bn_eps))
+                h = h * _se_gate(params, pre, h)
+                h = _bn(params, pre + "bn2",
+                        _conv(h, params[pre + "conv_pw.weight"]),
+                        cfg.bn_eps)
+            else:
                 h = jax.nn.silu(_bn(params, pre + "bn1",
                                     _conv(h, params[pre + "conv_pw.weight"]),
                                     cfg.bn_eps))
-            mid = h.shape[1]
-            h = jax.nn.silu(_bn(params, pre + "bn2",
-                                _conv(h, params[pre + "conv_dw.weight"],
-                                      stride=s, padding=k // 2, groups=mid,
-                                      tf_same=same),
-                                cfg.bn_eps))
-            # squeeze-excite
-            se = jnp.mean(h, axis=(2, 3), keepdims=True)
-            se = jax.nn.silu(_conv(se, params[pre + "se.conv_reduce.weight"])
-                             + params[pre + "se.conv_reduce.bias"][
-                                 None, :, None, None])
-            se = jax.nn.sigmoid(_conv(se, params[pre + "se.conv_expand.weight"])
-                                + params[pre + "se.conv_expand.bias"][
-                                    None, :, None, None])
-            h = h * se
-            h = _bn(params, pre + "bn3",
-                    _conv(h, params[pre + "conv_pwl.weight"]), cfg.bn_eps)
+                mid = h.shape[1]
+                h = jax.nn.silu(_bn(params, pre + "bn2",
+                                    _conv(h, params[pre + "conv_dw.weight"],
+                                          stride=s, padding=k // 2,
+                                          groups=mid, tf_same=same),
+                                    cfg.bn_eps))
+                h = h * _se_gate(params, pre, h)
+                h = _bn(params, pre + "bn3",
+                        _conv(h, params[pre + "conv_pwl.weight"]),
+                        cfg.bn_eps)
             if s == 1 and identity.shape[1] == h.shape[1]:
                 h = h + identity
             x = h

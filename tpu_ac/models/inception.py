@@ -66,7 +66,8 @@ def _maxpool(x, k=3, stride=2, padding=0):
 
 
 def _avgpool_3x3_s1_noinc(x):
-    """AvgPool2d(3, stride 1, pad 1, count_include_pad=False)."""
+    """AvgPool2d(3, stride 1, pad 1, count_include_pad=False) — the timm
+    Inception-v4 flavor."""
     ones = jnp.ones_like(x[:, :1])
     summed = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, 1, 3, 3), (1, 1, 1, 1),
@@ -75,6 +76,33 @@ def _avgpool_3x3_s1_noinc(x):
         ones, 0.0, jax.lax.add, (1, 1, 3, 3), (1, 1, 1, 1),
         ((0, 0), (0, 0), (1, 1), (1, 1)))
     return summed / counts
+
+
+def _avgpool_3x3_s1_incpad(x):
+    """AvgPool2d(3, stride 1, pad 1, count_include_pad=True) — the
+    pretrainedmodels BN-Inception flavor: padded zeros count, so every
+    window divides by 9."""
+    summed = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 1, 3, 3), (1, 1, 1, 1),
+        ((0, 0), (0, 0), (1, 1), (1, 1)))
+    return summed / 9.0
+
+
+def _maxpool_ceil(x, k=3, stride=2):
+    """MaxPool2d(k, s, padding=0, ceil_mode=True): NO top/left padding;
+    the bottom/right edge is extended just enough to fit the ceil-count of
+    windows (torch clips those windows to the input).  pretrainedmodels'
+    BN-Inception uses this for every stride-2 pool — same output shape as
+    a symmetric pad-1 pool on even inputs, but windows start at 0, not -1.
+    """
+
+    def extra(n: int) -> int:
+        out = -(-(n - k) // stride) + 1
+        return max(0, (out - 1) * stride + k - n)
+
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, k, k), (1, 1, stride, stride),
+        ((0, 0), (0, 0), (0, extra(x.shape[2])), (0, extra(x.shape[3]))))
 
 
 # ---------------------------------------------------------------------------
@@ -396,10 +424,10 @@ def bninception_forward(params: Params, images: jnp.ndarray,
         else len(_BNI_ORDER) - 1
 
     x = _bni_conv(params, "conv1_7x7_s2", images, 2, 3, eps, precision)
-    x = _maxpool(x, 3, 2, 1)
+    x = _maxpool_ceil(x)  # MaxPool2d(3, 2, ceil_mode=True): no left pad
     x = _bni_conv(params, "conv2_3x3_reduce", x, 1, 0, eps, precision)
     x = _bni_conv(params, "conv2_3x3", x, 1, 1, eps, precision)
-    x = _maxpool(x, 3, 2, 1)
+    x = _maxpool_ceil(x)
 
     out: dict[str, jnp.ndarray] = {}
     for name in _BNI_ORDER[:deepest + 1]:
@@ -420,9 +448,10 @@ def bninception_forward(params: Params, images: jnp.ndarray,
         branches.append(_bni_conv(params, pre + "double_3x3_2", y, stride,
                                   1, eps, precision))
         if stride == 2:
-            branches.append(_maxpool(x, 3, 2, 1))
+            branches.append(_maxpool_ceil(x))
         else:
-            pooled = (_avgpool_3x3_s1_noinc(x) if pool_kind == "avg"
+            # BN-Inception avg branches count padded zeros (/9 everywhere)
+            pooled = (_avgpool_3x3_s1_incpad(x) if pool_kind == "avg"
                       else _maxpool(x, 3, 1, 1))
             branches.append(_bni_conv(params, pre + "pool_proj", pooled, 1,
                                       0, eps, precision))

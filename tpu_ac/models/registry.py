@@ -305,19 +305,26 @@ def _find_checkpoint(filename: str | None, checkpoint_dir: str | None) -> str | 
 
 
 def load_backbone(name: str, *, checkpoint_dir: str | None = None,
-                  checkpoint_path: str | None = None, seed: int = 0):
+                  checkpoint_path: str | None = None, seed: int = 0,
+                  use_checkpoint: bool = True):
     """Resolve a backbone name to (params, config, family).
 
     Weights come from ``checkpoint_path`` if given, else from the first
     matching file under ``checkpoint_dir`` / default cache dirs, else a
     deterministic random init (with a warning — metrics parity obviously
-    requires the released weights).
+    requires the released weights).  ``use_checkpoint=False`` forces the
+    random init even when a cached checkpoint exists (structure probes
+    like convert.validate_params_against_backbone need the architecture's
+    own key layout, not the checkpoint's).
     """
     if name not in BACKBONE_CONFIGS:
         raise KeyError(
             f"Unknown backbone '{name}'. Registered: {sorted(BACKBONE_CONFIGS)}")
     spec = BACKBONE_CONFIGS[name]
-    path = checkpoint_path or _find_checkpoint(spec.checkpoint, checkpoint_dir)
+    path = None
+    if use_checkpoint:
+        path = checkpoint_path or _find_checkpoint(spec.checkpoint,
+                                                   checkpoint_dir)
     if path is not None:
         params = load_torch_checkpoint(path, spec.checkpoint_key)
     else:

@@ -31,18 +31,33 @@ class ResNetV2Config:
     width_factor: int = 1                          # 3 for bitm x3 variants
     gn_groups: int = 32
     gn_eps: float = 1e-5
-    # preact=True: BiT-style pre-activation bottlenecks (norm-relu before
-    # each conv, bare-conv downsample, final trunk norm).  preact=False:
-    # the POST-activation layout timm builds for the R50+ViT hybrid
+    # preact=True: pre-activation bottlenecks (norm-relu before each conv,
+    # bare-conv downsample, final trunk norm).  preact=False: the
+    # POST-activation layout timm builds for the R50+ViT hybrid
     # (conv->norm order, stem.norm, downsample.norm, relu after the
     # residual add, NO final norm).  Same conv/norm key names either way.
     preact: bool = True
     # StdConv2dSame: TF SAME (asymmetric) padding on strided convs/pool —
     # timm's hybrid backbone uses it (stem_type='same')
     tf_same: bool = False
+    # norm="gn" (GroupNorm, BiT/hybrid) | "bn" (BatchNormAct with running
+    # stats — timm's PLAIN resnetv2_50/101 models)
+    norm: str = "gn"
+    # weight-standardized convs (BiT/hybrid StdConv2d); plain resnetv2
+    # uses ordinary convs
+    std_conv: bool = True
+    ws_eps: float = 1e-8  # BiT passes 1e-8; StdConv2dSame default is 1e-6
+    # stem max-pool flavor: "fixed" = BiT (ConstantPad2d(1, 0.) then an
+    # UNpadded pool — zeros, not -inf, reach the borders); "standard" =
+    # MaxPool2d(3,2,1); "same" = MaxPool2dSame (TF pads, -inf)
+    stem_pool: str = "fixed"
+    bn_eps: float = 1e-5
 
 
-RESNETV2_101 = ResNetV2Config()
+# timm's PLAIN resnetv2_101: BatchNorm norms, ordinary convs, standard
+# symmetric stem pool — NOT the BiT GN+weight-standardized recipe
+RESNETV2_101 = ResNetV2Config(norm="bn", std_conv=False,
+                              stem_pool="standard")
 RESNETV2_50X3 = ResNetV2Config(block_counts=(3, 4, 6, 3), width_factor=3)
 RESNETV2_101X3 = ResNetV2Config(width_factor=3)
 RESNETV2_152X4 = ResNetV2Config(block_counts=(3, 8, 36, 3), width_factor=4)
@@ -63,6 +78,9 @@ def init_resnetv2_params(seed: int, cfg: ResNetV2Config
     def gn(name, c):
         p[name + ".weight"] = np.ones((c,), np.float32)
         p[name + ".bias"] = np.zeros((c,), np.float32)
+        if cfg.norm == "bn":  # BatchNormAct carries running stats
+            p[name + ".running_mean"] = np.zeros((c,), np.float32)
+            p[name + ".running_var"] = np.ones((c,), np.float32)
 
     wf = cfg.width_factor
     conv("stem.conv", 64 * wf, 3, 7)
@@ -92,12 +110,14 @@ def init_resnetv2_params(seed: int, cfg: ResNetV2Config
     return {k: jnp.asarray(v) for k, v in p.items()}
 
 
-def _std_conv(x, w, stride=1, padding=0, eps=1e-8, tf_same=False):
-    """Weight-standardized conv (BiT): W normalized per output channel.
-    ``tf_same`` = StdConv2dSame (asymmetric TF SAME padding)."""
-    mean = jnp.mean(w, axis=(1, 2, 3), keepdims=True)
-    var = jnp.var(w, axis=(1, 2, 3), keepdims=True)
-    w = (w - mean) * jax.lax.rsqrt(var + eps)
+def _std_conv(x, w, stride=1, padding=0, eps=1e-8, tf_same=False,
+              standardize=True):
+    """(Optionally weight-standardized) conv; ``tf_same`` = StdConv2dSame
+    (asymmetric TF SAME padding)."""
+    if standardize:
+        mean = jnp.mean(w, axis=(1, 2, 3), keepdims=True)
+        var = jnp.var(w, axis=(1, 2, 3), keepdims=True)
+        w = (w - mean) * jax.lax.rsqrt(var + eps)
     if tf_same:
         from tpu_ac.models.efficientnet import _same_pads
 
@@ -124,6 +144,16 @@ def _gn(params: Params, name: str, x: jnp.ndarray,
         params[name + ".bias"][None, :, None, None]
 
 
+def _bn_inf(params: Params, name: str, x: jnp.ndarray,
+            eps: float) -> jnp.ndarray:
+    """Inference BatchNorm (running stats) without the activation."""
+    w = params[name + ".weight"][None, :, None, None]
+    b = params[name + ".bias"][None, :, None, None]
+    rm = params[name + ".running_mean"][None, :, None, None]
+    rv = params[name + ".running_var"][None, :, None, None]
+    return (x - rm) * jax.lax.rsqrt(rv + eps) * w + b
+
+
 def _gn_relu(params: Params, name: str, x: jnp.ndarray,
              groups: int, eps: float) -> jnp.ndarray:
     return jax.nn.relu(_gn(params, name, x, groups, eps))
@@ -138,16 +168,34 @@ def resnetv2_forward(params: Params, images: jnp.ndarray,
     taps = tuple(taps)
     deepest = max(int(t[-1]) for t in taps)
     same = cfg.tf_same
-    x = _std_conv(images, params["stem.conv.weight"], stride=2, padding=3,
-                  tf_same=same)
+
+    def conv(x, wname, stride=1, padding=0):
+        return _std_conv(x, params[wname], stride=stride, padding=padding,
+                         eps=cfg.ws_eps, tf_same=same,
+                         standardize=cfg.std_conv)
+
+    def norm(name, x, relu=True):
+        if cfg.norm == "bn":
+            y = _bn_inf(params, name, x, cfg.bn_eps)
+        else:
+            y = _gn(params, name, x, cfg.gn_groups, cfg.gn_eps)
+        return jax.nn.relu(y) if relu else y
+
+    x = conv(images, "stem.conv.weight", stride=2, padding=3)
     if not cfg.preact:
-        x = _gn_relu(params, "stem.norm", x, cfg.gn_groups, cfg.gn_eps)
-    if same:
+        x = norm("stem.norm", x)
+    if cfg.stem_pool == "fixed":
+        # BiT 'fixed' stem: ConstantPad2d(1, 0.) then an UNpadded pool —
+        # the zero (not -inf) border matters where the un-activated stem
+        # output is negative
+        x = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+        pool_pads = ((0, 0), (0, 0))
+    elif cfg.stem_pool == "same":
         from tpu_ac.models.efficientnet import _same_pads
 
         pool_pads = (_same_pads(x.shape[2], 3, 2),
                      _same_pads(x.shape[3], 3, 2))
-    else:
+    else:  # "standard": MaxPool2d(3, 2, padding=1)
         pool_pads = ((1, 1), (1, 1))
     x = jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
@@ -161,44 +209,34 @@ def resnetv2_forward(params: Params, images: jnp.ndarray,
             pre = f"stages.{si}.blocks.{bi}."
             s = stride if bi == 0 else 1
             if cfg.preact:
-                pre_act = _gn_relu(params, pre + "norm1", x, cfg.gn_groups,
-                                   cfg.gn_eps)
+                pre_act = norm(pre + "norm1", x)
                 if pre + "downsample.conv.weight" in params:
-                    shortcut = _std_conv(
-                        pre_act, params[pre + "downsample.conv.weight"],
-                        stride=s)
+                    shortcut = conv(pre_act,
+                                    pre + "downsample.conv.weight",
+                                    stride=s)
                 else:
                     shortcut = x
-                h = _std_conv(pre_act, params[pre + "conv1.weight"])
-                h = _gn_relu(params, pre + "norm2", h, cfg.gn_groups,
-                             cfg.gn_eps)
-                h = _std_conv(h, params[pre + "conv2.weight"], stride=s,
-                              padding=1, tf_same=same)
-                h = _gn_relu(params, pre + "norm3", h, cfg.gn_groups,
-                             cfg.gn_eps)
-                h = _std_conv(h, params[pre + "conv3.weight"])
+                h = conv(pre_act, pre + "conv1.weight")
+                h = norm(pre + "norm2", h)
+                h = conv(h, pre + "conv2.weight", stride=s, padding=1)
+                h = norm(pre + "norm3", h)
+                h = conv(h, pre + "conv3.weight")
                 x = h + shortcut
             else:
                 # post-activation (timm hybrid backbone): conv->norm order,
                 # normed downsample, relu after the residual add
                 if pre + "downsample.conv.weight" in params:
-                    shortcut = _gn(
-                        params, pre + "downsample.norm",
-                        _std_conv(x, params[pre + "downsample.conv.weight"],
-                                  stride=s),
-                        cfg.gn_groups, cfg.gn_eps)
+                    shortcut = norm(
+                        pre + "downsample.norm",
+                        conv(x, pre + "downsample.conv.weight", stride=s),
+                        relu=False)
                 else:
                     shortcut = x
-                h = _gn_relu(params, pre + "norm1",
-                             _std_conv(x, params[pre + "conv1.weight"]),
-                             cfg.gn_groups, cfg.gn_eps)
-                h = _gn_relu(params, pre + "norm2",
-                             _std_conv(h, params[pre + "conv2.weight"],
-                                       stride=s, padding=1, tf_same=same),
-                             cfg.gn_groups, cfg.gn_eps)
-                h = _gn(params, pre + "norm3",
-                        _std_conv(h, params[pre + "conv3.weight"]),
-                        cfg.gn_groups, cfg.gn_eps)
+                h = norm(pre + "norm1", conv(x, pre + "conv1.weight"))
+                h = norm(pre + "norm2",
+                         conv(h, pre + "conv2.weight", stride=s, padding=1))
+                h = norm(pre + "norm3", conv(h, pre + "conv3.weight"),
+                         relu=False)
                 x = jax.nn.relu(h + shortcut)
         name = f"stage{si + 1}"
         if name in taps:

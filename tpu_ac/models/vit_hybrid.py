@@ -46,9 +46,12 @@ _BACKBONE_PREFIX = "patch_embed.backbone."
 
 @dataclasses.dataclass(frozen=True)
 class HybridViTConfig:
+    # timm hybrid backbone: post-act, StdConv2dSame (default eps 1e-6 —
+    # BiT's 1e-8 is only passed for the bit models), 'same' stem pool
     resnet: ResNetV2Config = ResNetV2Config(block_counts=(3, 4, 6, 3),
                                             width_factor=1, preact=False,
-                                            tf_same=True)
+                                            tf_same=True, stem_pool="same",
+                                            ws_eps=1e-6)
     vit: ViTConfig = ViTConfig(embed_dim=1024, depth=24, num_heads=16,
                                img_size=224)
     total_stride: int = 32
