@@ -138,3 +138,31 @@ class TestImageNetMmapCache:
         assert os.listdir(cache) == files
         np.testing.assert_array_equal(np.asarray(ds_again.images),
                                       ds_mem.images)
+
+
+class TestShardedEpochBatches:
+    def test_shards_equal_batch_counts(self, tmp_path):
+        """Wrap-padded sharding (DistributedSampler semantics): every
+        shard yields the same number of batches even when n % shards != 0."""
+        import numpy as np
+        from PIL import Image
+
+        from tpu_ac.data.imagefolder import ImageFolder
+
+        d = tmp_path / "cls" / "a"
+        d.mkdir(parents=True)
+        for i in range(11):
+            Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+                d / f"{i}.png")
+        ds = ImageFolder(str(tmp_path / "cls"))
+        counts, seen = [], []
+        for shard in range(2):
+            batches = list(ds.epoch_batches(3, seed=0, drop_last=True,
+                                            num_shards=2,
+                                            shard_index=shard))
+            counts.append(len(batches))
+            seen.append(np.concatenate(batches))
+        assert counts[0] == counts[1] == 2
+        # shards are disjoint except for the wrap-padded duplicate
+        overlap = set(seen[0]) & set(seen[1])
+        assert len(overlap) <= 1

@@ -270,3 +270,18 @@ class TestPrototypes:
         out = str(tmp_path / "protos.png")
         visualize_indices(imgs, [0, 3, 5, -1], save_path=out)
         assert os.path.exists(out)
+
+
+class TestMemoryBankWrap:
+    def test_update_wraps_circularly(self, rng):
+        from tpu_ac.train.scan import MemoryBank
+
+        bank = MemoryBank(n=10, dim=4, num_classes=3)
+        f = rng.standard_normal((8, 4)).astype(np.float32)
+        bank.update(f, np.arange(8))
+        f2 = rng.standard_normal((8, 4)).astype(np.float32)
+        bank.update(f2, np.arange(8))  # crosses the end: rows 8,9,0..5
+        assert bank.ptr == 6
+        np.testing.assert_array_equal(bank.features[8], f2[0])
+        np.testing.assert_array_equal(bank.features[0], f2[2])
+        np.testing.assert_array_equal(bank.features[6], f[6])

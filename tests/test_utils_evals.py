@@ -213,3 +213,24 @@ class TestDenseNetRemap:
         assert "features.denseblock1.denselayer1.norm1.weight" in out
         assert "features.denseblock1.denselayer1.conv2.weight" in out
         assert "features.conv0.weight" in out
+
+
+class TestComputeMapTruncation:
+    def test_all_positives_within_kappa_score_one(self):
+        """Reference kq truncation (utils.py:804-806): a query whose every
+        positive ranks inside kappa gets precision 1.0, not n_pos/kappa."""
+        from tpu_ac.train.evals import compute_map
+
+        ranks = np.arange(30)[:, None]  # identity ranking, 1 query
+        gnd = [{"ok": np.asarray([0])}]  # single positive at rank 0
+        _map, _aps, pr, prs = compute_map(ranks, gnd, kappas=[1, 5, 10])
+        np.testing.assert_allclose(prs[0], [1.0, 1.0, 1.0])
+
+    def test_positives_beyond_kappa(self):
+        from tpu_ac.train.evals import compute_map
+
+        ranks = np.arange(30)[:, None]
+        gnd = [{"ok": np.asarray([0, 1, 20])}]  # ranks 1,2,21 (1-based)
+        _map, _aps, _pr, prs = compute_map(ranks, gnd, kappas=[5])
+        # kq = min(21, 5) = 5; positives <= 5: two -> 2/5
+        np.testing.assert_allclose(prs[0], [2 / 5])

@@ -44,11 +44,18 @@ class ImageFolder:
         """Shuffled index batches for one epoch.
 
         The DistributedSampler equivalent (dino-main/main_dino.py:146):
-        every shard permutes with the same seed and takes a strided slice,
-        so multi-host runs see disjoint same-sized shards per epoch.
+        every shard permutes with the same seed and takes a strided slice
+        of the WRAP-PADDED permutation (DistributedSampler pads to
+        ceil(n/shards)*shards by repeating leading samples), so every
+        shard sees exactly the same number of samples and batch count —
+        unequal shards would desync lockstep multi-host steps and hang
+        the collectives.
         """
         order = np.random.default_rng(seed).permutation(len(self.samples))
         if num_shards > 1:
+            total = -(-len(order) // num_shards) * num_shards
+            if total > len(order):  # wrap-pad like DistributedSampler
+                order = np.concatenate([order, order[:total - len(order)]])
             order = order[shard_index::num_shards]
         end = (len(order) // batch_size * batch_size if drop_last
                else len(order))

@@ -65,11 +65,13 @@ class IVFFlatIndex:
     """Inverted-file flat index with static cell tables."""
 
     def __init__(self, n_lists: int = 64, n_probe: int = 8,
-                 kmeans_iters: int = 10, seed: int = 0):
+                 kmeans_iters: int = 10, seed: int = 0,
+                 query_chunk: int = 1024):
         self.n_lists = n_lists
         self.n_probe = n_probe
         self.kmeans_iters = kmeans_iters
         self.seed = seed
+        self.query_chunk = query_chunk
         self.centroids: jnp.ndarray | None = None
         self.cells: jnp.ndarray | None = None       # [nlist, max_cell, D]
         self.cell_ids: jnp.ndarray | None = None    # [nlist, max_cell]
@@ -103,14 +105,21 @@ class IVFFlatIndex:
         """(sq_distances [M, k], bank indices [M, k]) over probed cells."""
         if self.centroids is None:
             raise ValueError("index is not fitted")
-        q = jnp.asarray(np.asarray(query, np.float32))
+        q = np.asarray(query, np.float32)
         n_probe = min(self.n_probe, self.centroids.shape[0])
         max_cell = self.cells.shape[1]
         k = min(k, n_probe * max_cell)
-        d2, idx = _ivfflat_search(q, self.centroids, self.cells,
-                                  self.cell_ids, self.cell_valid,
-                                  n_probe=n_probe, k=k)
-        return np.asarray(d2), np.asarray(idx)
+        # chunked queries: the [chunk, nprobe*max_cell, D] candidate
+        # gather is the live-memory peak; a whole PatchCore predict's
+        # B*P queries at once would blow HBM on skewed cells
+        outs = [_ivfflat_search(jnp.asarray(q[i:i + self.query_chunk]),
+                                self.centroids, self.cells,
+                                self.cell_ids, self.cell_valid,
+                                n_probe=n_probe, k=k)
+                for i in range(0, len(q), self.query_chunk)]
+        d2 = np.concatenate([np.asarray(o[0]) for o in outs])
+        idx = np.concatenate([np.asarray(o[1]) for o in outs])
+        return d2, idx
 
 
 # Index arrays travel as jit ARGUMENTS (never closure captures): a fresh
@@ -302,16 +311,20 @@ class ApproximateNearestNeighbourScorer:
     ``method="ivfpq"`` matches the reference's IndexIVFPQ memory semantics;
     ``method="ivfflat"`` keeps exact distances within probed cells."""
 
-    def __init__(self, n_nearest_neighbours: int = 1, n_lists: int = 64,
+    def __init__(self, n_nearest_neighbours: int = 1,
+                 n_lists: int | None = None,
                  n_probe: int = 8, method: str = "ivfflat",
                  code_size: int = 64, n_bits: int = 8):
         self.n_nearest_neighbours = n_nearest_neighbours
         if method == "ivfpq":
+            # defaults mirror the reference's IndexIVFPQ(dim, 512, 64, 8)
+            # (common.py:109-117): 512 coarse centroids, 64 sub-quantizers
             self.index: IVFFlatIndex | IVFPQIndex = IVFPQIndex(
-                n_lists=n_lists, n_probe=n_probe, code_size=code_size,
-                n_bits=n_bits)
+                n_lists=512 if n_lists is None else n_lists,
+                n_probe=n_probe, code_size=code_size, n_bits=n_bits)
         elif method == "ivfflat":
-            self.index = IVFFlatIndex(n_lists=n_lists, n_probe=n_probe)
+            self.index = IVFFlatIndex(
+                n_lists=64 if n_lists is None else n_lists, n_probe=n_probe)
         else:
             raise ValueError(f"unknown approximate-NN method {method!r}")
 

@@ -64,18 +64,30 @@ class PatchCore:
         bank = np.asarray(self.featuresampler.run(bank))
         self.anomaly_scorer.fit([bank])
 
-    def predict(self, images: np.ndarray
+    def predict(self, images: np.ndarray,
+                grid: tuple[int, int] | None = None
                 ) -> tuple[np.ndarray, np.ndarray]:
         """(image_scores [B], segmentation_masks [B, H, W])
-        (patchcore.py:204-229)."""
+        (patchcore.py:204-229).
+
+        ``grid``: the (gh, gw) patch grid for non-square feature maps
+        (the reference threads (nH, nW) from patchify); defaults to a
+        square grid inferred from P, with a clear error otherwise.
+        """
         z = self._embed_all(images)  # [B, P, D]
         b, p, d = z.shape
         patch_scores, _, _ = self.anomaly_scorer.predict([z.reshape(-1, d)])
         patch_scores = patch_scores.reshape(b, p)
         image_scores = patch_scores.max(axis=1)  # PatchMaker.score
-        g = int(math.isqrt(p))
+        if grid is None:
+            g = int(math.isqrt(p))
+            if g * g != p:
+                raise ValueError(
+                    f"non-square patch count {p}; pass grid=(gh, gw) for "
+                    "rectangular feature maps")
+            grid = (g, g)
         masks = self.anomaly_segmentor.convert_to_segmentation(
-            patch_scores.reshape(b, g, g))
+            patch_scores.reshape(b, *grid))
         return image_scores, masks
 
     # -- persistence (patchcore.py:235-274) --

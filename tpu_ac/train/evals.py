@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -54,12 +56,15 @@ def knn_classifier(train_features: np.ndarray, train_labels: np.ndarray,
     tf = jnp.asarray(train_features)
     labels = jnp.asarray(train_labels)
 
-    @jax.jit
-    def chunk_probs(q):
-        sims = q @ tf.T
-        top_sims, idx = jax.lax.top_k(sims, k)
-        neigh = labels[idx]                                 # [b, k]
-        onehot = jax.nn.one_hot(neigh, num_classes)          # [b, k, C]
+    # train features/labels travel as jit ARGUMENTS — a closure would
+    # inline the (potentially >1 GB) bank into the HLO, which remote
+    # compile services reject and which defeats compile caching.
+    @functools.partial(jax.jit, static_argnames=("kk", "n_cls"))
+    def chunk_probs(q, bank, lab, *, kk, n_cls):
+        sims = q @ bank.T
+        top_sims, idx = jax.lax.top_k(sims, kk)
+        neigh = lab[idx]                                     # [b, k]
+        onehot = jax.nn.one_hot(neigh, n_cls)                # [b, k, C]
         w = jnp.exp(top_sims / T)[..., None]
         return jnp.sum(onehot * w, axis=1)
 
@@ -68,7 +73,8 @@ def knn_classifier(train_features: np.ndarray, train_labels: np.ndarray,
     for i in range(0, len(test_features), chunk):
         q = jnp.asarray(test_features[i:i + chunk])
         targets = test_labels[i:i + chunk]
-        probs = np.asarray(chunk_probs(q))
+        probs = np.asarray(chunk_probs(q, tf, labels, kk=k,
+                                       n_cls=num_classes))
         order = np.argsort(-probs, axis=1)
         top1 += int(np.sum(order[:, 0] == targets))
         kk = min(5, k)
@@ -193,10 +199,14 @@ def compute_map(ranks: np.ndarray, gnd: list[dict], kappas=()) -> tuple:
         ap = compute_ap(pos, len(qgnd))
         mAP += ap
         aps[i] = ap
+        # precision@kappa with the reference's kq truncation
+        # (utils.py:804-806): 1-based positions, denominator
+        # min(max(pos), kappa) — a query whose every positive ranks
+        # within kappa scores 1.0, not n_pos/kappa
+        pos1 = pos + 1
         for j, kappa in enumerate(kappas):
-            kq = min(max(pos), kappa) if pos.size else kappa
-            prs[i, j] = (pos < kappa).sum() / kappa if kappa else 0.0
-            del kq
+            kq = min(int(pos1.max()), kappa) if pos1.size else kappa
+            prs[i, j] = (pos1 <= kq).sum() / kq if kq else 0.0
         pr += prs[i, :]
     denom = max(1, nq - nempty)
     return mAP / denom, aps, pr / denom, prs

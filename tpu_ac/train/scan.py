@@ -212,10 +212,14 @@ class MemoryBank:
         self.temperature = temperature
 
     def update(self, features: np.ndarray, targets: np.ndarray) -> None:
+        # circular write: a batch crossing the end of the bank wraps
+        # (the plain slice write would raise on the shape mismatch)
         b = len(features)
-        self.features[self.ptr:self.ptr + b] = np.asarray(features)
-        self.targets[self.ptr:self.ptr + b] = np.asarray(targets)
-        self.ptr = (self.ptr + b) % len(self.features)
+        n = len(self.features)
+        idx = (self.ptr + np.arange(b)) % n
+        self.features[idx] = np.asarray(features)
+        self.targets[idx] = np.asarray(targets)
+        self.ptr = (self.ptr + b) % n
 
     def reset(self) -> None:
         self.ptr = 0
@@ -305,12 +309,16 @@ def make_scan_step(cfg: SCANModelConfig, optimizer,
     'head only' mode) by zeroing backbone grads.
     """
 
+    # head-only mode matches the reference's model.eval() (train_utils.py
+    # scan_train: "No need to update BN"): running-stat BN, no stat updates
+    bn_train = not update_cluster_head_only
+
     def step(state: SCANTrainState, anchors, neighbors):
         def loss_fn(params, bn_state):
             a_logits, _, bn1 = clustering_forward(params, bn_state, anchors,
-                                                  cfg, train=True)
+                                                  cfg, train=bn_train)
             n_logits, _, bn2 = clustering_forward(params, bn1, neighbors,
-                                                  cfg, train=True)
+                                                  cfg, train=bn_train)
             totals = []
             for h in range(cfg.n_heads):
                 total, _c, _e = scan_loss(a_logits[h], n_logits[h],
@@ -343,11 +351,15 @@ def make_selflabel_step(cfg: SCANModelConfig, optimizer,
     def step(state: SCANTrainState, images_weak, images_strong,
              ema_params=None):
         def loss_fn(params, bn_state):
-            weak_logits, _, _ = clustering_forward(
-                params, bn_state, images_weak, cfg, train=False)
+            # the reference keeps model.train() for BOTH passes
+            # (train_utils.py selflabel_train): the weak/pseudo-label pass
+            # uses batch stats and advances the running stats, then the
+            # strong pass advances them again
+            weak_logits, _, bn1 = clustering_forward(
+                params, bn_state, images_weak, cfg, train=True)
             weak_logits = jax.lax.stop_gradient(weak_logits[0])
             strong_logits, _, new_bn = clustering_forward(
-                params, bn_state, images_strong, cfg, train=True)
+                params, bn1, images_strong, cfg, train=True)
             loss = confidence_based_ce(weak_logits, strong_logits[0],
                                        threshold, apply_class_balancing)
             return loss, new_bn

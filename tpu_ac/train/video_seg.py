@@ -118,7 +118,10 @@ def propagate_video(frame_features: list[np.ndarray], first_mask: np.ndarray,
         seg = propagate_labels(jnp.asarray(feat), ctx_feats, ctx_segs,
                                grid=grid, topk=topk,
                                size_mask_neighborhood=size_mask_neighborhood)
-        seg = norm_mask(np.asarray(seg))
+        seg = np.asarray(seg)
+        # the RAW propagated mask feeds the queue; norm_mask applies only
+        # to the returned copy (eval_video_segmentation.py:70-75 queues
+        # deepcopy(frame_tar_avg) BEFORE interpolate + norm_mask)
         que.append((np.asarray(feat), seg))
-        out.append(seg)
+        out.append(norm_mask(seg))
     return out
