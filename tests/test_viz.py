@@ -128,3 +128,22 @@ class TestMaxHausdorff:
         # the directed distance — reproduced quirk
         want = distance.directed_hausdorff(a, b)[0]
         assert got == pytest.approx(want, rel=1e-5)
+
+
+class TestAttentionMapsDistilled:
+    def test_two_prefix_tokens_reshape(self, rng, tmp_path):
+        """DeiT-distilled (CLS + dist prefix) must drop BOTH prefix tokens
+        before the grid reshape."""
+        import dataclasses
+
+        from tpu_ac.models import ViTConfig, init_vit_params
+        from tpu_ac.viz import attention_maps
+
+        cfg = dataclasses.replace(
+            ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                      img_size=32), num_prefix_tokens=2)
+        params = init_vit_params(0, cfg)
+        img = rng.standard_normal((3, 32, 32)).astype(np.float32)
+        maps = attention_maps(params, img, cfg)
+        assert maps.shape == (2, 32, 32)
+        assert np.isfinite(maps).all()

@@ -17,6 +17,15 @@ import math
 import os
 import sys
 
+
+def _bool_flag(s: str) -> bool:
+    """dino utils.bool_flag (utils.py:60-68): 'false'/'off'/'0' -> False."""
+    if s.lower() in ("off", "false", "0"):
+        return False
+    if s.lower() in ("on", "true", "1"):
+        return True
+    raise argparse.ArgumentTypeError(f"invalid bool flag {s!r}")
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -47,7 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--arch", default="vit_small", choices=sorted(_ARCHS))
     p.add_argument("--patch_size", default=16, type=int)
     p.add_argument("--out_dim", default=65536, type=int)
-    p.add_argument("--norm_last_layer", default=True, type=bool)
+    # dino utils.bool_flag semantics: type=bool would make ANY string
+    # (incl. "False") truthy
+    p.add_argument("--norm_last_layer", default=True, type=_bool_flag)
     p.add_argument("--momentum_teacher", default=0.996, type=float)
     p.add_argument("--warmup_teacher_temp", default=0.04, type=float)
     p.add_argument("--teacher_temp", default=0.04, type=float)

@@ -59,6 +59,7 @@ def run_sweep(args) -> None:
                  f"_{args.pretrain_embed_dimension}"
                  f"_{args.target_embed_dimension}_tau_result.csv")
         encoding = "gbk" if args.gbk else "utf-8"
+        label_cache: dict[str, list[str]] = {}  # labels don't vary by tau
         with open(os.path.join(out_path, fname), "w", newline="",
                   encoding=encoding) as f:
             writer = csv.writer(f)
@@ -87,8 +88,11 @@ def run_sweep(args) -> None:
                             d, f"matrix_alpha_X_{category}_{supervised}.pickle")
                         if not os.path.exists(p):
                             continue
-                        labels = category_labels(args.path, category)
-                        scores, n = evaluate_category(p, labels)
+                        if category not in label_cache:  # one walk/category
+                            label_cache[category] = category_labels(
+                                args.path, category)
+                        scores, n = evaluate_category(
+                            p, label_cache[category])
                         print(f"{category} tau={tau} {supervised}: {scores}")
                         writer.writerow([category, scores["NMI"],
                                          scores["ARI"], scores["F1"]])

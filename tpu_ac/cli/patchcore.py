@@ -97,9 +97,15 @@ def _build_patchcore(backbone_name: str, layers, args) -> PatchCore:
 
     from tpu_ac.features.embedding import embed_features
 
+    # params travel as a jit ARGUMENT — a closure would inline the backbone
+    # weights (~270 MB f32 for wideresnet50) into the HLO, which the remote
+    # compile service rejects and which defeats the compile cache
     @jax.jit
-    def embed(images):
-        return embed_features(family, params, images, cfg, ecfg)
+    def _embed(p, images):
+        return embed_features(family, p, images, cfg, ecfg)
+
+    device_params = jax.device_put(dict(params))
+    embed = lambda images: _embed(device_params, images)  # noqa: E731
 
     return PatchCore(
         embed, featuresampler=_make_sampler(args.sampler_name,
@@ -132,8 +138,13 @@ def run(args) -> list[dict]:
                                split=DatasetSplit.TEST)
         test_images = test_ds.load_all_images()
         labels = np.asarray([it.is_anomaly for it in test_ds.items])
-        masks = np.stack([test_ds[i]["mask"][0] > 0.5
-                          for i in range(len(test_ds))])
+        # decode just the masks — test_ds[i] would re-decode every full
+        # image a second time only to discard it
+        from tpu_ac.data.mvtec import load_mask
+
+        masks = np.stack([
+            load_mask(it.mask_path, args.resize, args.imagesize)[0] > 0.5
+            for it in test_ds.items])
 
         all_scores, all_segs = [], []
         for backbone_name in backbones:

@@ -100,7 +100,12 @@ def _model_config(cfg) -> SCANModelConfig:
 
 
 def _epoch_batches(n: int, batch_size: int, seed: int):
+    """Shuffled drop-last batches; datasets smaller than one batch yield
+    the whole (shuffled) set as a single batch instead of zero steps."""
     order = np.random.default_rng(seed).permutation(n)
+    if n < batch_size:
+        yield order
+        return
     end = n // batch_size * batch_size
     for i in range(0, end, batch_size):
         yield order[i:i + batch_size]
@@ -139,12 +144,18 @@ def run_simclr(cfg) -> None:
         save_checkpoint(cfg.pretext_dir, "checkpoint", state, step=epoch,
                         extra={"epoch": epoch}, keep=1)
 
-    # final: fill memory bank with weak-transform features, mine neighbors
+    # final: fill memory bank with weak-transform features, mine neighbors.
+    # SEQUENTIAL dataset order (like utils.fill_memory_bank): the bank's
+    # row r must hold image r, because the mined neighbor indices are
+    # consumed by run_scan as dataset indices — a shuffled / tail-dropping
+    # fill would silently pair every anchor with a different image's
+    # neighbors.
     weak = WeakAugmentation(size=size, seed=0)
     bank = MemoryBank(len(ds), mcfg.feature_dim,
                       num_classes=cfg.get("num_classes", 10))
-    for idxs in _epoch_batches(len(ds), bs, seed=0):
-        imgs = np.stack([weak(ds.get_pil(int(i))) for i in idxs])
+    for i in range(0, len(ds), bs):
+        idxs = np.arange(i, min(i + bs, len(ds)))
+        imgs = np.stack([weak(ds.get_pil(int(j))) for j in idxs])
         emb, _, _ = contrastive_forward(state.params, state.bn_state,
                                         jnp.asarray(imgs), mcfg)
         bank.update(np.asarray(emb), ds.labels[idxs])
@@ -258,6 +269,10 @@ def run_scan(cfg) -> None:
     head_losses = None
     for epoch in range(cfg.get("epochs", 10)):
         totals = []
+        # per-head losses ACCUMULATE over the epoch (evaluate_utils.py
+        # scan_evaluate sums over the dataset) — a single final batch
+        # could rank the wrong head
+        head_losses = None
         for idxs in _epoch_batches(len(ds), bs, epoch):
             nbr = neighbors[idxs, :][
                 np.arange(len(idxs)), rng.integers(0, neighbors.shape[1],
@@ -267,7 +282,9 @@ def run_scan(cfg) -> None:
             state, metrics = step(state, jnp.asarray(anchors),
                                   jnp.asarray(nbrs))
             totals.append(float(metrics["total"]))
-            head_losses = np.asarray(metrics["head_losses"])
+            batch_head = np.asarray(metrics["head_losses"])
+            head_losses = (batch_head if head_losses is None
+                           else head_losses + batch_head)
         print(f"scan epoch {epoch}: loss {np.mean(totals):.4f}")
     best = scan_evaluate_heads(head_losses)
     save_checkpoint(cfg.scan_dir, "model", state, step=0,

@@ -21,12 +21,6 @@ import jax
 import numpy as np
 
 
-def _flatten(tree, prefix=""):
-    """Flatten an arbitrary pytree of arrays into {path: array}."""
-    flat, treedef = jax.tree.flatten(tree)
-    return flat, treedef
-
-
 def save_checkpoint(directory: str, name: str, state, *, step: int = 0,
                     extra: dict | None = None, keep: int | None = None
                     ) -> str:

@@ -207,9 +207,12 @@ def attention_maps(params, image_chw: np.ndarray, vit_cfg,
     from tpu_ac.ops.interpolate import interpolate_nearest
 
     attn = vit_last_selfattention(params, jnp.asarray(image_chw[None]),
-                                  vit_cfg)  # [1, nh, N+1, N+1]
+                                  vit_cfg)  # [1, nh, N+p, N+p]
     nh = attn.shape[1]
-    cls_attn = attn[0, :, 0, 1:]  # [nh, N]
+    # drop ALL prefix tokens (DeiT-distilled carries CLS + dist), like
+    # the embed path (features/embedding.py)
+    skip = getattr(vit_cfg, "num_prefix_tokens", 1)
+    cls_attn = attn[0, :, 0, skip:]  # [nh, N]
     g = int(math.isqrt(cls_attn.shape[-1]))
     maps = cls_attn.reshape(nh, g, g)
     h, w = image_chw.shape[1:]
