@@ -66,8 +66,6 @@ def measure_tpu(images: np.ndarray, precision: str = "bfloat16") -> float:
     mode, ~2x slower).  Override with ``TPU_AC_BENCH_PRECISION=f32``.
     """
     _setup_jax()
-    import numpy as _np
-
     from tpu_ac.pipeline import (
         CategoryEmbedder,
         PipelineConfig,
@@ -87,7 +85,7 @@ def measure_tpu(images: np.ndarray, precision: str = "bfloat16") -> float:
                                    precision=cfg.resolved_alpha_precision)
         # fetch to host — what the real pipeline does with (alpha, X), and
         # the only reliable completion barrier over the remote tunnel
-        return _np.asarray(alpha), _np.asarray(x)
+        return np.asarray(alpha), np.asarray(x)
 
     run_once()  # warmup / compile
     # median of 9: the remote-tunnel link varies +-20% run to run, so a

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpu_ac.ops.pooling import tf_same_pads as _same_pads
+
 Params = Mapping[str, jnp.ndarray]
 
 # base B0 stage layout: (expand_ratio, channels, repeats, stride, kernel)
@@ -126,12 +128,6 @@ def init_efficientnet_params(seed: int, cfg: EfficientNetConfig
     return {k2: jnp.asarray(v) for k2, v in p.items()}
 
 
-def _same_pads(size: int, k: int, s: int) -> tuple[int, int]:
-    """TensorFlow SAME padding (lo, hi) for one spatial dim — asymmetric,
-    bottom/right-heavy for even inputs (e.g. k=3, s=2, even size -> (0, 1)
-    where symmetric k//2 pads (1, 1))."""
-    total = max((-(-size // s) - 1) * s + k - size, 0)
-    return total // 2, total - total // 2
 
 
 def _conv(x, w, stride=1, padding=0, groups=1, tf_same=False):
@@ -174,7 +170,7 @@ def efficientnet_forward(params: Params, images: jnp.ndarray,
     """Run the trunk, returning tapped stage outputs [B, C, H, W]."""
     taps = tuple(taps)
     deepest = max(int(t[-1]) for t in taps)
-    same = getattr(cfg, "tf_same", False)
+    same = cfg.tf_same
     x = jax.nn.silu(_bn(params, "bn1",
                         _conv(images, params["conv_stem.weight"], stride=2,
                               padding=1, tf_same=same), cfg.bn_eps))
@@ -467,7 +463,7 @@ def efficientnetv2_forward(params: Params, images: jnp.ndarray,
     """Run the trunk, returning tapped stage outputs [B, C, H, W]."""
     taps = tuple(taps)
     deepest = max(int(t[-1]) for t in taps)
-    same = getattr(cfg, "tf_same", False)
+    same = cfg.tf_same
     x = jax.nn.silu(_bn(params, "bn1",
                         _conv(images, params["conv_stem.weight"], stride=2,
                               padding=1, tf_same=same), cfg.bn_eps))

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpu_ac.ops.pooling import tf_same_pads
+
 Params = Mapping[str, jnp.ndarray]
 
 
@@ -119,11 +121,9 @@ def _std_conv(x, w, stride=1, padding=0, eps=1e-8, tf_same=False,
         var = jnp.var(w, axis=(1, 2, 3), keepdims=True)
         w = (w - mean) * jax.lax.rsqrt(var + eps)
     if tf_same:
-        from tpu_ac.models.efficientnet import _same_pads
-
         k = w.shape[2]
-        pads = (_same_pads(x.shape[2], k, stride),
-                _same_pads(x.shape[3], k, stride))
+        pads = (tf_same_pads(x.shape[2], k, stride),
+                tf_same_pads(x.shape[3], k, stride))
     else:
         pads = ((padding, padding), (padding, padding))
     return jax.lax.conv_general_dilated(
@@ -191,10 +191,8 @@ def resnetv2_forward(params: Params, images: jnp.ndarray,
         x = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
         pool_pads = ((0, 0), (0, 0))
     elif cfg.stem_pool == "same":
-        from tpu_ac.models.efficientnet import _same_pads
-
-        pool_pads = (_same_pads(x.shape[2], 3, 2),
-                     _same_pads(x.shape[3], 3, 2))
+        pool_pads = (tf_same_pads(x.shape[2], 3, 2),
+                     tf_same_pads(x.shape[3], 3, 2))
     else:  # "standard": MaxPool2d(3, 2, padding=1)
         pool_pads = ((1, 1), (1, 1))
     x = jax.lax.reduce_window(

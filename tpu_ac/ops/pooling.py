@@ -30,6 +30,15 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=64)
+def tf_same_pads(size: int, k: int, s: int) -> tuple[int, int]:
+    """TensorFlow SAME padding (lo, hi) for one spatial dim — asymmetric,
+    bottom/right-heavy for even inputs (e.g. k=3, s=2, even size -> (0, 1)
+    where symmetric k//2 pads (1, 1)).  Shared by the tf_-port backbones
+    (EfficientNet/V2, the StdConv2dSame hybrid trunk)."""
+    total = max((-(-size // s) - 1) * s + k - size, 0)
+    return total // 2, total - total // 2
+
+
 def _adaptive_pool_tables(length: int, out: int) -> tuple[np.ndarray, np.ndarray]:
     """Static gather indices + weights for torch adaptive_avg_pool1d.
 
