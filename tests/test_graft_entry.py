@@ -23,8 +23,12 @@ class TestGraftEntry:
         assert len(jax.devices()) >= 8
         ge.dryrun_multichip(8)
 
-    def test_dryrun_multichip_odd(self):
-        """Odd device counts fall back to mp=1."""
+    def test_dryrun_multichip_subset(self):
+        """Device subsets work: 1 device (mp=1 fallback; regression for
+        the embed/alpha meshes disagreeing on the device set) and 6 of 8
+        (dp=3 x mp=2 on a strict subset).  The dryrun asserts internally
+        (device count, finite loss, finite alpha/X)."""
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(1)
+        ge.dryrun_multichip(6)
