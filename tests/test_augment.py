@@ -73,6 +73,9 @@ class TestSCANAugmentations:
     def test_strong_has_cutout(self, img):
         out = StrongAugmentation(size=32, seed=0)(img)
         assert out.shape == (3, 32, 32)
+        # cutout zeroes a square region after normalization; a strong
+        # pipeline that dropped it would have no exact zeros
+        assert (np.asarray(out) == 0.0).any()
 
     def test_weak_shape(self, img):
         out = WeakAugmentation(size=32, seed=0)(img)

@@ -135,7 +135,7 @@ class TestImageNetMmapCache:
         files = os.listdir(cache)
         ds_again = load_imagenet(str(root), "train", size=32,
                                  mmap_cache=cache)
-        assert os.listdir(cache) == files
+        assert sorted(os.listdir(cache)) == sorted(files)
         np.testing.assert_array_equal(np.asarray(ds_again.images),
                                       ds_mem.images)
 

@@ -80,7 +80,6 @@ def _evaluate(category: str, mode: str) -> dict[str, float]:
 @pytest.mark.parametrize("mode", ["unsupervised", "supervised"])
 @pytest.mark.parametrize("category", _CATEGORIES)
 def test_golden_csv_parity(mode, category):
-    os.environ.setdefault("OMP_NUM_THREADS", "1")
     want = _golden_csv_rows(mode).get(category)
     if want is None:
         pytest.skip(f"no golden row for {category}/{mode}")

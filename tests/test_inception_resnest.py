@@ -77,8 +77,11 @@ class TestBNInception:
         assert ch["3c"] == 320
         assert ch["4a"] == 576
         assert ch["5a"] == 1056
-        # final output (5b): 352+320+224+128 = 1024
-        assert 352 + 320 + 224 + 128 == 1024
+        # final output (5b) = 1x1 + 3x3 + double3x3 + pool_proj widths
+        from tpu_ac.models.inception import _BNI_MODULES
+
+        c1, _cr3, c3, _crd, _cd1, cd2, cp, _s, _pool = _BNI_MODULES["5b"]
+        assert c1 + c3 + cd2 + cp == 1024
 
     def test_forward_shapes(self, params, rng):
         x = rng.standard_normal((1, 3, 128, 128)).astype(np.float32)

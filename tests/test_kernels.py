@@ -63,7 +63,10 @@ class TestMinDistsKernel:
 class TestPrecisionModes:
     """bf16c (compensated hi/lo split) and bf16 vs the f32 kernel."""
 
-    def _data(self, rng, scale=1.0):
+    def _data(self, _rng, scale=1.0):
+        # hermetic rng: the margin asserts below (error-ratio, tolerance
+        # bands) must not depend on the shared session stream's position
+        rng = np.random.default_rng(7)
         Z = (scale * rng.standard_normal((4, 24, 128))).astype(np.float32)
         bank = (scale * rng.standard_normal((3, 16, 128))).astype(np.float32)
         return jnp.asarray(Z), jnp.asarray(bank)
@@ -115,7 +118,7 @@ class TestAlphaWithKernel:
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
 
     @pytest.mark.parametrize("precision", ["bf16c", "bf16"])
-    def test_alpha_precision_modes_cluster_identically(self, rng, precision):
+    def test_alpha_precision_modes_cluster_identically(self, precision):
         """Reduced-precision alpha weights keep the per-row ordering (and
         hence the downstream argmax/softmax structure) on separated data."""
         from tpu_ac.cluster.alpha import (
@@ -123,7 +126,9 @@ class TestAlphaWithKernel:
             weight_distance_unsupervised,
         )
 
-        # two separated clusters of images
+        # two separated clusters of images; hermetic rng — the >0.9 argmax
+        # margin must not depend on the shared stream's position
+        rng = np.random.default_rng(11)
         Z = rng.standard_normal((8, 16, 64)).astype(np.float32)
         Z[4:] += 8.0
         zj = jnp.asarray(Z)

@@ -297,8 +297,6 @@ def test_full_embed_parity_vs_reference_core(ref, ref_vit):
     imgs = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
     torch.manual_seed(0)  # the ad-hoc LayerNorm is constructed per call
     want = np.stack(core._embed(torch.from_numpy(imgs), "unsupervised"))
-    # reference flattens batch into [B*P, D]
-    want = want.reshape(2, -1, 128) if want.ndim == 2 else want
 
     params = _to_jax_params(ref_vit)
     ecfg = EmbedConfig(layers=("blocks.2", "blocks.3"),

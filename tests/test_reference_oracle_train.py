@@ -217,7 +217,7 @@ class TestDINOHeadStateDict:
         head = ref_vits.DINOHead(32, 48, hidden_dim=24, bottleneck_dim=16,
                                  norm_last_layer=False)
         state = {k: torch.from_numpy(np.asarray(v)) for k, v in p.items()}
-        missing, unexpected = head.load_state_dict(state, strict=True), None
+        head.load_state_dict(state, strict=True)
         x = rng.standard_normal((4, 32)).astype(np.float32)
         with torch.no_grad():
             want = head(torch.from_numpy(x)).numpy()

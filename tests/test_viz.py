@@ -63,7 +63,7 @@ class TestViz:
         maps = attention_maps(params, img, cfg, save_dir=str(tmp_path))
         assert maps.shape == (2, 32, 32)
         assert os.path.exists(tmp_path / "attn-head0.png")
-        np.testing.assert_allclose(maps.sum(), maps.sum())  # finite
+        assert np.isfinite(maps).all()
 
 
 class TestVideo:
