@@ -223,3 +223,85 @@ class TestDINOHeadStateDict:
             want = head(torch.from_numpy(x)).numpy()
         got = np.asarray(dino_head_forward(p, x))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_evaluate_utils():
+    """Load the reference's evaluate_utils.py with its project imports
+    stubbed (only the hungarian path is exercised — common_config /
+    NeighborsDataset / entropy are untouched by it)."""
+    path = ("/root/reference/Unsupervised-Classification-master/"
+            "utils/evaluate_utils.py")
+    saved = {k: sys.modules.get(k)
+             for k in ("utils", "utils.common_config", "utils.utils",
+                       "data", "data.custom_dataset", "losses",
+                       "losses.losses")}
+    try:
+        utils_pkg = types.ModuleType("utils")
+        utils_pkg.__path__ = []
+        common_config = types.ModuleType("utils.common_config")
+        common_config.get_feature_dimensions_backbone = lambda p: 512
+        utils_utils = types.ModuleType("utils.utils")
+        utils_utils.AverageMeter = object
+        utils_utils.confusion_matrix = lambda *a, **k: None
+        utils_pkg.common_config = common_config
+        utils_pkg.utils = utils_utils
+        data_pkg = types.ModuleType("data")
+        data_pkg.__path__ = []
+        custom_dataset = types.ModuleType("data.custom_dataset")
+        custom_dataset.NeighborsDataset = object
+        losses_pkg = types.ModuleType("losses")
+        losses_pkg.__path__ = []
+        losses_mod = types.ModuleType("losses.losses")
+        losses_mod.entropy = lambda *a, **k: torch.tensor(0.0)
+        sys.modules.update({
+            "utils": utils_pkg, "utils.common_config": common_config,
+            "utils.utils": utils_utils, "data": data_pkg,
+            "data.custom_dataset": custom_dataset, "losses": losses_pkg,
+            "losses.losses": losses_mod,
+        })
+        orig_cuda = torch.Tensor.cuda
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        try:
+            yield _load("ref_evaluate_utils", path)
+        finally:
+            torch.Tensor.cuda = orig_cuda
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+class TestHungarianEvaluateOracle:
+    @pytest.mark.parametrize("n_classes", [5, 10])
+    def test_matches_reference(self, rng, ref_evaluate_utils, n_classes):
+        """hungarian_evaluate ACC / NMI / ARI / Top-5 + match vs the
+        reference's own hungarian_evaluate (evaluate_utils.py:122-159)."""
+        from tpu_ac.cluster.metrics import hungarian_evaluate
+
+        n = 200
+        targets = rng.integers(0, n_classes, n)
+        # correlated (not pure-noise) probabilities so the match is
+        # non-trivial: shift mass toward a permuted version of the target
+        logits = rng.standard_normal((n, n_classes)).astype(np.float32)
+        perm = rng.permutation(n_classes)
+        logits[np.arange(n), perm[targets]] += 1.5
+        probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+
+        head = {
+            "targets": torch.from_numpy(targets),
+            "predictions": torch.from_numpy(probs.argmax(1)),
+            "probabilities": torch.from_numpy(probs),
+        }
+        want = ref_evaluate_utils.hungarian_evaluate(
+            0, [head], compute_confusion_matrix=False)
+        got = hungarian_evaluate(probs, targets)
+        assert got["ACC"] == pytest.approx(want["ACC"], abs=1e-12)
+        assert got["NMI"] == pytest.approx(want["NMI"], rel=1e-9)
+        assert got["ARI"] == pytest.approx(want["ARI"], rel=1e-9)
+        assert got["ACC Top-5"] == pytest.approx(want["ACC Top-5"],
+                                                 abs=1e-12)
+        assert sorted(map(tuple, got["hungarian_match"])) == \
+            sorted(map(tuple, want["hungarian_match"]))

@@ -8,6 +8,17 @@ backbone, and installs it under the checkpoint cache so
 
     python -m tpu_ac.cli.convert dino_vitbase8_pretrain.pth \
         --backbone dino_vitbase8 [--checkpoint_key teacher] [--install]
+
+``--verify`` diffs the checkpoint against the FROZEN per-model manifest
+(tpu_ac/models/manifests.json — the expected state_dict key+shape
+inventory of every registry name, see tpu_ac.models.manifest) and exits
+non-zero on any mismatch, so a conversion that would silently drop or
+misshape tensors fails loudly BEFORE anything is installed.
+
+``--update_manifests`` (no checkpoint argument needed) regenerates the
+frozen manifests from the current architectures — run it after an
+intentional architecture change; ``tests/test_manifests.py`` guards
+against accidental drift.
 """
 
 from __future__ import annotations
@@ -15,6 +26,7 @@ from __future__ import annotations
 import argparse
 import os
 import shutil
+import sys
 
 from tpu_ac.models.convert import (
     load_torch_checkpoint,
@@ -25,20 +37,61 @@ from tpu_ac.models.registry import BACKBONE_CONFIGS
 
 def main(argv=None) -> dict:
     p = argparse.ArgumentParser("tpu_ac checkpoint converter")
-    p.add_argument("checkpoint", help="path to the torch .pth file")
-    p.add_argument("--backbone", required=True,
-                   choices=sorted(BACKBONE_CONFIGS))
+    p.add_argument("checkpoint", nargs="?",
+                   help="path to the torch .pth file")
+    p.add_argument("--backbone", choices=sorted(BACKBONE_CONFIGS))
     p.add_argument("--checkpoint_key", default=None,
                    help="sub-dict key, e.g. 'teacher' for DINO training "
                         "checkpoints")
     p.add_argument("--install", action="store_true",
                    help="copy into the checkpoint cache under the expected "
                         "filename for load_backbone")
+    p.add_argument("--verify", action="store_true",
+                   help="diff the checkpoint against the frozen per-model "
+                        "manifest; non-zero exit on mismatch")
+    p.add_argument("--update_manifests", nargs="*", metavar="NAME",
+                   default=None,
+                   help="regenerate tpu_ac/models/manifests.json (all "
+                        "registry names, or just the listed ones)")
     p.add_argument("--cache_dir",
                    default=os.path.expanduser("~/.cache/tpu_ac/checkpoints"))
     args = p.parse_args(argv)
 
+    if args.update_manifests is not None:
+        from tpu_ac.models import manifest
+
+        names = args.update_manifests or None
+        manifests = manifest.load_manifests() if names else {}
+        manifests.update(manifest.generate_all(names))
+        manifest.save_manifests(manifests)
+        print(f"manifests written: {len(manifests)} models -> "
+              f"{manifest.MANIFEST_PATH}")
+        return {}
+
+    if args.checkpoint is None or args.backbone is None:
+        p.error("checkpoint and --backbone are required "
+                "(unless --update_manifests)")
+
     params = load_torch_checkpoint(args.checkpoint, args.checkpoint_key)
+
+    if args.verify:
+        from tpu_ac.models import manifest
+
+        report = manifest.verify_checkpoint(params, args.backbone)
+        bad = (report["missing"] or report["unexpected"]
+               or report["shape_mismatch"])
+        print(f"{args.checkpoint}: {len(params)} tensors vs frozen manifest "
+              f"'{args.backbone}'")
+        for kind in ("missing", "unexpected", "shape_mismatch"):
+            vals = report[kind]
+            if vals:
+                print(f"  {kind} ({len(vals)}): {vals[:8]}"
+                      f"{' ...' if len(vals) > 8 else ''}")
+        if bad:
+            print("FAIL — checkpoint does not match the frozen manifest")
+            sys.exit(1)
+        print("VERIFIED — checkpoint matches the frozen manifest exactly")
+
     report = validate_params_against_backbone(params, args.backbone)
     n_ok = len(params) - len(report["unexpected"])
     print(f"{args.checkpoint}: {len(params)} tensors, {n_ok} map onto "

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import optax
 
 from tpu_ac.config import create_config
-from tpu_ac.cluster.metrics import clustering_scores, hungarian_accuracy
+from tpu_ac.cluster.metrics import clustering_scores, hungarian_evaluate
 from tpu_ac.data.augment import (
     SimCLRAugmentation,
     StrongAugmentation,
@@ -289,13 +289,18 @@ def run_scan(cfg) -> None:
     best = scan_evaluate_heads(head_losses)
     save_checkpoint(cfg.scan_dir, "model", state, step=0,
                     extra={"best_head": best})
-    # hungarian eval on train labels (scan.py:118-120)
-    preds = _predict(state, ds, mcfg, size)
-    acc = hungarian_accuracy(ds.labels, preds[best])
-    print(f"scan best head {best}: hungarian ACC {acc:.4f}")
+    # hungarian eval on train labels incl. Top-5 (scan.py:118-120,
+    # evaluate_utils.py:122-159)
+    probs = _predict_probs(state, ds, mcfg, size)
+    ev = hungarian_evaluate(probs[best], ds.labels)
+    print(f"scan best head {best}: hungarian ACC {ev['ACC']:.4f} "
+          f"Top-5 {ev['ACC Top-5']:.4f} NMI {ev['NMI']:.4f} "
+          f"ARI {ev['ARI']:.4f}")
 
 
-def _predict(state, ds, mcfg, size, batch_size: int = 256) -> np.ndarray:
+def _predict_probs(state, ds, mcfg, size, batch_size: int = 256) -> np.ndarray:
+    """[heads, N, C] softmax class probabilities under weak augmentation
+    (get_predictions, evaluate_utils.py:34-84)."""
     weak = WeakAugmentation(size=size, seed=0)
     all_logits = []
     for i in range(0, len(ds), batch_size):
@@ -303,9 +308,12 @@ def _predict(state, ds, mcfg, size, batch_size: int = 256) -> np.ndarray:
                          for j in range(i, min(i + batch_size, len(ds)))])
         logits, _, _ = clustering_forward(state.params, state.bn_state,
                                           jnp.asarray(imgs), mcfg)
-        all_logits.append(np.asarray(logits))
-    logits = np.concatenate(all_logits, axis=1)  # [heads, N, C]
-    return logits.argmax(-1)
+        all_logits.append(np.asarray(jax.nn.softmax(logits, axis=-1)))
+    return np.concatenate(all_logits, axis=1)  # [heads, N, C]
+
+
+def _predict(state, ds, mcfg, size, batch_size: int = 256) -> np.ndarray:
+    return _predict_probs(state, ds, mcfg, size, batch_size).argmax(-1)
 
 
 def run_selflabel(cfg) -> None:
@@ -349,9 +357,10 @@ def run_selflabel(cfg) -> None:
             losses.append(float(loss))
         print(f"selflabel epoch {epoch}: loss {np.mean(losses):.4f}")
     save_checkpoint(cfg.selflabel_dir, "model", state, step=0)
-    preds = _predict(state, ds, mcfg, size)
-    acc = hungarian_accuracy(ds.labels, preds[0])
-    print(f"selflabel hungarian ACC: {acc:.4f}")
+    probs = _predict_probs(state, ds, mcfg, size)
+    ev = hungarian_evaluate(probs[0], ds.labels)
+    print(f"selflabel hungarian ACC: {ev['ACC']:.4f} "
+          f"Top-5 {ev['ACC Top-5']:.4f}")
 
 
 def run_eval(cfg) -> dict:
@@ -368,9 +377,11 @@ def run_eval(cfg) -> dict:
     if ckpt is None:
         raise FileNotFoundError("no selflabel model; run selflabel first")
     state, _ = restore_checkpoint(ckpt, template)
-    preds = _predict(state, ds, mcfg, size)[0]
-    scores = clustering_scores(ds.labels, preds)
-    scores["ACC"] = hungarian_accuracy(ds.labels, preds)
+    probs = _predict_probs(state, ds, mcfg, size)[0]
+    scores = clustering_scores(ds.labels, probs.argmax(-1))
+    ev = hungarian_evaluate(probs, ds.labels)
+    scores["ACC"] = ev["ACC"]
+    scores["ACC Top-5"] = ev["ACC Top-5"]
     print(f"eval: {scores}")
     return scores
 

@@ -65,6 +65,70 @@ def hungarian_accuracy(labels: np.ndarray, preds: np.ndarray) -> float:
     return float(np.mean(remapped == np.asarray(labels)))
 
 
+def hungarian_match(preds: np.ndarray, targets: np.ndarray,
+                    num_k: int) -> list[tuple[int, int]]:
+    """IIC-style one-to-one cluster->class match (_hungarian_match,
+    Unsupervised-Classification-master/utils/evaluate_utils.py:162-186).
+
+    Returns [(pred_cluster, target_class), ...] maximizing vote agreement.
+    """
+    preds = np.asarray(preds)
+    targets = np.asarray(targets)
+    num_correct = np.zeros((num_k, num_k))
+    for c1 in range(num_k):
+        for c2 in range(num_k):
+            num_correct[c1, c2] = int(((preds == c1) & (targets == c2)).sum())
+    rows, cols = linear_sum_assignment(len(targets) - num_correct)
+    return list(zip(rows.tolist(), cols.tolist()))
+
+
+def hungarian_evaluate(probs: np.ndarray, targets: np.ndarray,
+                       compute_confusion_matrix: bool = False
+                       ) -> dict[str, object]:
+    """SCAN's full hungarian evaluation incl. Top-5 (hungarian_evaluate,
+    Unsupervised-Classification-master/utils/evaluate_utils.py:122-159).
+
+    Args:
+        probs: [N, C] class probabilities of one subhead.
+        targets: [N] int ground-truth classes.
+    Returns:
+        {'ACC', 'NMI', 'ARI', 'ACC Top-5', 'hungarian_match'} — ACC and
+        Top-5 use match-remapped cluster ids; NMI/ARI use the raw
+        predictions (both are permutation-invariant), exactly as the
+        reference does.
+    """
+    probs = np.asarray(probs)
+    targets = np.asarray(targets)
+    preds = probs.argmax(axis=1)
+    num_classes = len(np.unique(targets))
+    match = hungarian_match(preds, targets, num_classes)
+
+    remap = np.zeros(max(num_classes, probs.shape[1]), dtype=np.int64)
+    for pred_i, target_i in match:
+        remap[pred_i] = target_i
+    reordered = remap[preds]
+    acc = float(np.mean(reordered == targets))
+
+    from sklearn import metrics as skm
+
+    nmi = float(skm.normalized_mutual_info_score(targets, preds))
+    ari = float(skm.adjusted_rand_score(targets, preds))
+
+    # Top-5 over match-remapped class probabilities (evaluate_utils.py:146-151;
+    # the reference topk(5) assumes >= 5 clusters — clamp for tiny setups).
+    k = min(5, probs.shape[1])
+    top_k = np.argsort(-probs, axis=1)[:, :k]
+    reordered_top_k = remap[top_k]
+    top5 = float(np.mean((reordered_top_k == targets[:, None]).any(axis=1)))
+
+    out: dict[str, object] = {"ACC": acc, "NMI": nmi, "ARI": ari,
+                              "ACC Top-5": top5, "hungarian_match": match}
+    if compute_confusion_matrix:
+        out["confusion_matrix"] = confusion_matrix(reordered, targets,
+                                                   n_classes=num_classes)
+    return out
+
+
 def clustering_scores(labels: np.ndarray, preds: np.ndarray) -> dict[str, float]:
     """NMI / ARI / micro-F1 of best-mapped predictions (test.py:196,218-220)."""
     from sklearn import metrics as skm

@@ -204,7 +204,8 @@ def embed_vit_features(params: Mapping[str, jnp.ndarray], images: jnp.ndarray,
                        vit_cfg: ViTConfig, cfg: EmbedConfig,
                        *, precision=jax.lax.Precision.HIGHEST,
                        attention_impl=None,
-                       scan_blocks: bool = True) -> jnp.ndarray:
+                       scan_blocks: bool = True,
+                       seq_pad: bool = False) -> jnp.ndarray:
     """Full _embed pipeline for a ViT backbone.
 
     Args:
@@ -218,7 +219,7 @@ def embed_vit_features(params: Mapping[str, jnp.ndarray], images: jnp.ndarray,
     taps = cfg.tap_indices
     outs = vit_forward(params, images, vit_cfg, taps=taps,
                        precision=precision, attention_impl=attention_impl,
-                       scan_blocks=scan_blocks)
+                       scan_blocks=scan_blocks, seq_pad=seq_pad)
     # DeiT-distilled carries an extra prefix (dist) token; keep exactly one
     # prefix so the shared CLS-drop path (patchcore.py:377-383) applies.
     skip = vit_cfg.num_prefix_tokens - 1

@@ -1,0 +1,60 @@
+"""Flash (streaming-softmax) attention for the ViT trunk.
+
+XLA's dense attention materializes the [B, H, S, S] probability tensor in
+HBM — at the flagship embed shape (B=32, H=12, S=785, bf16) that is
+~470 MB written + read back per block, and the measured 33 ms of
+attention time per ViT-B forward is bandwidth, not FLOPs (the two
+S x S x 64 matmuls are only ~60 GFLOP per block).  The Pallas TPU flash
+kernel (jax.experimental.pallas.ops.tpu.flash_attention) keeps the
+probability tiles in VMEM with an online softmax, so attention becomes
+compute-bound.
+
+Usage: pair with ``vit_forward(..., seq_pad=True)`` — the kernel tiles the
+sequence in 128-wide blocks, so S must be a multiple of 128 (785 -> 896).
+The padding mask arrives as the trunk's additive ``attn_bias`` and is
+translated to the kernel's segment-id mask here.  Head dim 64 is padded to
+the 128-lane width with zeros: QK^T and the output are unchanged (zero
+columns contribute nothing), and the MXU runs 64-deep contractions at half
+utilization anyway, so the padding costs no extra time.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def flash_attention_impl(q, k, v, scale, attn_bias=None):
+    """softmax(QK^T * scale)V via the Pallas TPU flash kernel.
+
+    Args:
+        q, k, v: [B, H, S, Dh] with S a multiple of 128.
+        scale: softmax scale (head_dim ** -0.5).
+        attn_bias: optional [..., S] additive key mask from the trunk's
+            seq_pad (finite = valid, very-negative = padding); converted to
+            the kernel's segment-id mask.
+    Returns:
+        [B, H, S, Dh]
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, h, s, d = q.shape
+    segment_ids = None
+    if attn_bias is not None:
+        ids = (attn_bias.reshape(-1)[-s:] < -1.0).astype(jnp.int32)  # [S]
+        ids = jnp.broadcast_to(ids, (b, s))
+        segment_ids = SegmentIds(q=ids, kv=ids)
+
+    d_pad = (-d) % 128
+    if d_pad:
+        pad = ((0, 0), (0, 0), (0, 0), (0, d_pad))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+    out = flash_attention(q, k, v, segment_ids=segment_ids,
+                          sm_scale=float(scale))
+    return out[..., :d] if d_pad else out
+
+
+flash_attention_impl.handles_mask = True

@@ -66,9 +66,14 @@ def _min_dists_kernel(*refs, n_k: int, d_tile: int, q_valid: int,
     def _():
         acc[:] = jnp.zeros_like(acc)
 
+    # bank blocks arrive pre-transposed as [d_tile, Q] so BOTH operands sit
+    # in the MXU-native orientation (lhs [M, K] x rhs [K, N]): contracting
+    # the [Q, d] layout instead forced Mosaic to transpose every bank tile
+    # inside the loop, which — not the matmul — dominated the kernel
+    # (measured: f32 and bf16 ran at the same speed).
     def dot(a, b):
         return jax.lax.dot_general(
-            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     # zi rows are VMEM-resident across the whole (j, k) sweep (their block
@@ -100,7 +105,7 @@ def _min_dists_padded(zi_parts, bank_parts, a2, b2, *, d_tile: int,
                       q_valid: int, compensated: bool, ti: int,
                       interpret: bool):
     n_i, p_pad, d_pad = zi_parts[0].shape
-    n_j, q_pad, _ = bank_parts[0].shape
+    n_j, _, q_pad = bank_parts[0].shape  # bank pre-transposed to [N, D, Q]
     n_k = d_pad // d_tile
     kernel = functools.partial(_min_dists_kernel, n_k=n_k, d_tile=d_tile,
                                q_valid=q_valid, compensated=compensated,
@@ -113,7 +118,8 @@ def _min_dists_padded(zi_parts, bank_parts, a2, b2, *, d_tile: int,
                             memory_space=pltpu.VMEM)
 
     def bank_spec():
-        return pl.BlockSpec((1, q_pad, d_tile), lambda i, j, k: (j, 0, k),
+        # [N, D_pad, Q_pad] layout: the k-th [d_tile, Q] slice per step
+        return pl.BlockSpec((1, d_tile, q_pad), lambda i, j, k: (j, k, 0),
                             memory_space=pltpu.VMEM)
 
     # norm vectors carry a singleton middle axis so each block's trailing
@@ -155,7 +161,7 @@ def _split_hi_lo(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 def min_dists_all_pairs(Z: jnp.ndarray, bank: jnp.ndarray,
                         *, d_tile: int = 1024, precision: str = "f32",
-                        ti: int = 2,
+                        ti: int | None = None,
                         interpret: bool | None = None) -> jnp.ndarray:
     """mins[i, j, p] = min_q ||Z[i, p] - bank[j, q]|| in one fused launch.
 
@@ -170,8 +176,8 @@ def min_dists_all_pairs(Z: jnp.ndarray, bank: jnp.ndarray,
         ti: query rows processed per grid step.  Each step holds ti full
             [P, D] query rows resident in VMEM, so the bank HBM stream
             (the dominant traffic, N_j * D * Q bytes per query) is shared
-            by ti queries.  2 fits comfortably in VMEM at the flagship
-            shape (P=784, D=4096); raise to 4 for smaller D.
+            by ti queries.  None = auto: 4 at bf16 (half-size resident
+            blocks fit 4 rows in the VMEM budget), else 2.
     Returns:
         [I, N, P] float32 min-distances.
     """
@@ -179,9 +185,16 @@ def min_dists_all_pairs(Z: jnp.ndarray, bank: jnp.ndarray,
         interpret = jax.default_backend() != "tpu"
     if precision not in PRECISIONS:
         raise ValueError(f"precision {precision!r}; want one of {PRECISIONS}")
+    if ti is None:
+        ti = 2  # measured best at the flagship shape for all precisions
     n_i, p, d = Z.shape
     n_j, q, _ = bank.shape
-    p_pad = _round_up(p, 128)
+    # P is the query-row (sublane) axis of every block it appears in, so it
+    # only needs 16-alignment (bf16 sublane tile), NOT 128: at the flagship
+    # P=784 this saves the 896/784 = 14% of FLOPs the old lane-aligned pad
+    # burned on dead rows.  Q stays 128-aligned (it is the lane axis of the
+    # [P, Q] distance tile and of the min reduction).
+    p_pad = _round_up(p, 16)
     q_pad = _round_up(q, 128)
     d_pad = _round_up(d, d_tile)
     ti = max(1, min(ti, n_i))
@@ -192,19 +205,22 @@ def min_dists_all_pairs(Z: jnp.ndarray, bank: jnp.ndarray,
     bank_p = jnp.pad(bank.astype(jnp.float32),
                      ((0, 0), (0, q_pad - q), (0, d_pad - d)))
 
+    # bank operands transpose ONCE here to [N, D, Q] (a cheap one-shot XLA
+    # relayout) so the kernel's per-step dot needs no Mosaic transpose.
     if precision == "f32":
-        zi_parts, bank_parts = (z_p,), (bank_p,)
+        zi_parts, bank_parts = (z_p,), (jnp.swapaxes(bank_p, 1, 2),)
         a2 = jnp.sum(jnp.square(z_p), axis=-1)[:, None, :]
         b2 = jnp.sum(jnp.square(bank_p), axis=-1)[:, None, :]
     elif precision == "bf16c":
         zi_parts = _split_hi_lo(z_p)
-        bank_parts = _split_hi_lo(bank_p)
+        bank_parts = tuple(jnp.swapaxes(x, 1, 2)
+                           for x in _split_hi_lo(bank_p))
         a2 = jnp.sum(jnp.square(z_p), axis=-1)[:, None, :]
         b2 = jnp.sum(jnp.square(bank_p), axis=-1)[:, None, :]
     else:  # "bf16": norms from the rounded values keep d2 >= 0 exactly
         z_hi = z_p.astype(jnp.bfloat16)
         bank_hi = bank_p.astype(jnp.bfloat16)
-        zi_parts, bank_parts = (z_hi,), (bank_hi,)
+        zi_parts, bank_parts = (z_hi,), (jnp.swapaxes(bank_hi, 1, 2),)
         a2 = jnp.sum(jnp.square(z_hi.astype(jnp.float32)),
                      axis=-1)[:, None, :]
         b2 = jnp.sum(jnp.square(bank_hi.astype(jnp.float32)),

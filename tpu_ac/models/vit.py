@@ -186,11 +186,18 @@ def prepare_tokens(params: Params, images: jnp.ndarray, cfg: ViTConfig,
         params, x.shape[1] - cfg.num_prefix_tokens, w, h, cfg)
 
 
-def _attention_xla(q, k, v, scale, precision):
-    """Dense softmax(QK^T)V — XLA fuses this well at ViT sequence lengths."""
+def _attention_xla(q, k, v, scale, precision, attn_bias=None):
+    """Dense softmax(QK^T)V — XLA fuses this well at ViT sequence lengths.
+
+    ``attn_bias`` (broadcastable to the [B, H, N, N] logits, typically
+    [1, 1, 1, N] with -1e9 over padded keys) masks dead tokens when the
+    sequence is padded to a lane-aligned length.
+    """
     attn = jax.lax.dot_general(
         q, k, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
         precision=precision) * scale
+    if attn_bias is not None:
+        attn = attn + attn_bias
     attn = jax.nn.softmax(attn, axis=-1)
     out = jax.lax.dot_general(
         attn, v, dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
@@ -201,7 +208,8 @@ def _attention_xla(q, k, v, scale, precision):
 def block_forward(params: Params, i: int, x: jnp.ndarray, cfg: ViTConfig,
                   precision=jax.lax.Precision.HIGHEST,
                   attention_impl: Callable | None = None,
-                  return_attention: bool = False) -> jnp.ndarray:
+                  return_attention: bool = False,
+                  attn_bias: jnp.ndarray | None = None) -> jnp.ndarray:
     """One pre-LN transformer block (vision_transformer.py:95-113)."""
     pre = f"blocks.{i}."
     b, n, d = x.shape
@@ -214,11 +222,16 @@ def block_forward(params: Params, i: int, x: jnp.ndarray, cfg: ViTConfig,
     qkv = qkv.reshape(b, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]  # each [B, nh, N, hd]
 
-    if attention_impl is not None and not return_attention:
-        out = attention_impl(q, k, v, cfg.scale)
+    if attention_impl is not None and not return_attention and (
+            attn_bias is None
+            or getattr(attention_impl, "handles_mask", False)):
+        if getattr(attention_impl, "handles_mask", False):
+            out = attention_impl(q, k, v, cfg.scale, attn_bias)
+        else:
+            out = attention_impl(q, k, v, cfg.scale)
         attn = None
     else:
-        out, attn = _attention_xla(q, k, v, cfg.scale, precision)
+        out, attn = _attention_xla(q, k, v, cfg.scale, precision, attn_bias)
     if return_attention:
         return attn
     out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
@@ -247,6 +260,7 @@ def vit_forward(
     max_depth: int | None = None,
     remat: bool = False,
     scan_blocks: bool = False,
+    seq_pad: bool = False,
 ) -> dict[int, jnp.ndarray]:
     """Run the ViT trunk, returning raw block outputs for each tapped index.
 
@@ -260,9 +274,25 @@ def vit_forward(
     recomputed in the backward pass, trading ~1/3 more FLOPs for O(depth)
     less live memory — the HBM lever for large-batch multi-crop training.
 
+    ``seq_pad=True`` pads the token stream to the next lane-aligned length
+    (multiple of 128) with masked attention: at the flagship S=785
+    (6x128+17 — ragged on both the sublane and lane axis of every
+    attention tile) the trunk runs on S=896 instead, trading ~14% more
+    FLOPs for clean MXU tiling.  Padded keys carry a -1e9 logit bias so
+    real-token outputs are EXACTLY those of the unpadded forward; tapped
+    outputs are sliced back to the true length.
+
     Returns {tap_index: [B, N+1, D]}.
     """
     x = prepare_tokens(params, images, cfg, precision)
+    n0 = x.shape[1]
+    attn_bias = None
+    if seq_pad:
+        s_pad = -(-n0 // 128) * 128
+        if s_pad != n0:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - n0), (0, 0)))
+            attn_bias = jnp.where(jnp.arange(s_pad) < n0, 0.0, -1e9).astype(
+                x.dtype)[None, None, None, :]
     taps = tuple(taps)
     depth = max_depth
     if depth is None:
@@ -270,7 +300,8 @@ def vit_forward(
     out: dict[int, jnp.ndarray] = {}
 
     def run_block(i, x):
-        return block_forward(params, i, x, cfg, precision, attention_impl)
+        return block_forward(params, i, x, cfg, precision, attention_impl,
+                             attn_bias=attn_bias)
 
     if remat:
         run_block = jax.checkpoint(run_block, static_argnums=(0,))
@@ -289,7 +320,7 @@ def vit_forward(
                 merged = {**params, **{
                     f"blocks.0.{k}": v for k, v in layer_params.items()}}
                 y = block_forward(merged, 0, x, cfg, precision,
-                                  attention_impl)
+                                  attention_impl, attn_bias=attn_bias)
                 return y, None
 
             body = (jax.checkpoint(scan_body) if remat else scan_body)
@@ -299,8 +330,9 @@ def vit_forward(
     for i in range(start, depth):
         x = run_block(i, x)
         if i in taps:
-            out[i] = x
-    out[-1] = x  # last computed block output
+            out[i] = x[:, :n0] if x.shape[1] != n0 else x
+    last = x[:, :n0] if x.shape[1] != n0 else x
+    out[-1] = last  # last computed block output
     return out
 
 

@@ -99,12 +99,27 @@ class CategoryEmbedder:
                 from tpu_ac.distributed import get_mesh
 
                 mesh = get_mesh()
-        if attention_impl == "auto":
-            # Measured on v5e at ViT-B/8 scale (S=785): XLA's fused dense
-            # attention beat a hand-written Pallas kernel in both f32 and
-            # bf16, so the (since removed) kernel never earned the slot;
-            # "auto" = XLA.  A custom callable can still be passed through.
-            attention_impl = None
+        seq_pad = False
+        if attention_impl == "flash":
+            # Streaming-softmax Pallas kernel (tpu_ac.kernels.attention):
+            # needs the 128-aligned padded sequence, masked via seq_pad.
+            from tpu_ac.kernels.attention import flash_attention_impl
+
+            attention_impl = flash_attention_impl
+            seq_pad = True
+        elif attention_impl == "auto":
+            if jax.default_backend() == "tpu" and family == "vit":
+                # v5e, ViT-B/8 embed shape: XLA's dense attention spends
+                # ~33 ms/fwd streaming the [B,H,S,S] probabilities through
+                # HBM; the flash kernel at S 785->896 (masked) avoids the
+                # round trip and wins end-to-end.  Elsewhere (CPU tests,
+                # conv families) the XLA formulation stays.
+                from tpu_ac.kernels.attention import flash_attention_impl
+
+                attention_impl = flash_attention_impl
+                seq_pad = True
+            else:
+                attention_impl = None
         cast_dtype = None
         if precision is None:
             precision = {
@@ -141,7 +156,8 @@ class CategoryEmbedder:
         from tpu_ac.features.embedding import embed_features
 
         vit_kwargs = ({"precision": precision,
-                       "attention_impl": attention_impl}
+                       "attention_impl": attention_impl,
+                       "seq_pad": seq_pad}
                       if family == "vit" else {})
 
         @jax.jit
@@ -213,9 +229,10 @@ def _pad_bucket(Z: jnp.ndarray, bucket: int) -> jnp.ndarray:
 # whole category sweep — category sizes differ but the n_bucket-padded
 # shape and program do not.
 @functools.partial(
-    jax.jit, static_argnames=("supervised", "tau", "precision"))
+    jax.jit, static_argnames=("supervised", "tau", "precision", "packed"))
 def _alpha_x_program(Z, Z_train, n_valid, n_train_valid, *,
-                     supervised: str, tau: float, precision: str):
+                     supervised: str, tau: float, precision: str,
+                     packed: bool = False):
     if supervised == "supervised":
         w = weight_distance_supervised(
             Z, Z_train, n_train_valid=n_train_valid, precision=precision)
@@ -223,15 +240,24 @@ def _alpha_x_program(Z, Z_train, n_valid, n_train_valid, *,
         w = weight_distance_unsupervised(
             Z, n_valid=n_valid, precision=precision)
     alpha = alpha_from_weights(w, tau)
-    return alpha, weighted_embedding(alpha, Z)
+    x = weighted_embedding(alpha, Z)
+    if packed:
+        # one [N, P+D] output => ONE device->host fetch; over remote links
+        # each separate fetch pays a ~30 ms round trip
+        return jnp.concatenate([alpha, x], axis=1)
+    return alpha, x
 
 
 def compute_alpha_X(Z: jnp.ndarray, supervised: str, tau: float,
                     Z_train: jnp.ndarray | None = None,
                     n_bucket: int = 32, use_mesh: bool | None = None,
-                    precision: str = "f32", mesh=None
+                    precision: str = "f32", mesh=None, packed: bool = False
                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(alpha [N, P], X [N, D]) per the selected mode (examples/main.py:270-296).
+
+    ``packed=True`` (single-device modes only) returns one [N, P+D] array
+    (alpha and X concatenated) so the caller fetches the category result in
+    a single device->host transfer.
 
     N is padded up to a multiple of ``n_bucket`` (masked inside the weight
     computations) so one compiled alpha program serves every category in a
@@ -272,16 +298,22 @@ def compute_alpha_X(Z: jnp.ndarray, supervised: str, tau: float,
     if supervised == "supervised":
         if Z_train is None:
             raise ValueError("supervised mode requires Z_train")
-        alpha, X = _alpha_x_program(
+        out = _alpha_x_program(
             _pad_bucket(Z, n_bucket), _pad_bucket(Z_train, n_bucket),
             np.int32(n), np.int32(Z_train.shape[0]),
-            supervised="supervised", tau=float(tau), precision=precision)
-        return alpha[:n], X[:n]
+            supervised="supervised", tau=float(tau), precision=precision,
+            packed=packed)
+        if packed:
+            return out[:n]
+        return out[0][:n], out[1][:n]
     if supervised == "unsupervised":
-        alpha, X = _alpha_x_program(
+        out = _alpha_x_program(
             _pad_bucket(Z, n_bucket), None, np.int32(n), None,
-            supervised="unsupervised", tau=float(tau), precision=precision)
-        return alpha[:n], X[:n]
+            supervised="unsupervised", tau=float(tau), precision=precision,
+            packed=packed)
+        if packed:
+            return out[:n]
+        return out[0][:n], out[1][:n]
     # "average"
     alpha = matrix_alpha_average(Z)
     return alpha, weighted_embedding(alpha, Z)

@@ -239,6 +239,31 @@ def retrieval_ranks(query_features: np.ndarray,
     return np.argsort(-sims, axis=0)
 
 
+def revisited_retrieval_eval(query_features: np.ndarray,
+                             db_features: np.ndarray, gnd: list[dict],
+                             kappas=(1, 5, 10)) -> dict:
+    """Revisited-Oxford/Paris Medium + Hard evaluation
+    (dino-main/eval_image_retrieval.py:169-200).
+
+    Features are L2-normalized here (the reference normalizes before the
+    similarity matmul); ``gnd`` is the raw per-query ground truth with
+    easy/hard/junk index arrays from the gnd pickle.
+    Returns {"mAP_M", "mAP_H", "mP@k_M", "mP@k_H"} (fractions, not %).
+    """
+    from tpu_ac.data.oxford_paris import revisited_splits
+
+    def l2n(x):
+        x = np.asarray(x, np.float64)
+        return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+    ranks = retrieval_ranks(l2n(query_features), l2n(db_features))
+    gnd_m, gnd_h = revisited_splits(gnd)
+    map_m, _, pr_m, _ = compute_map(ranks, gnd_m, kappas)
+    map_h, _, pr_h, _ = compute_map(ranks, gnd_h, kappas)
+    return {"mAP_M": float(map_m), "mAP_H": float(map_h),
+            "mP@k_M": np.asarray(pr_m), "mP@k_H": np.asarray(pr_h)}
+
+
 def image_retrieval_eval(query_features: np.ndarray,
                          db_features: np.ndarray, gnd: list[dict],
                          kappas=(1, 5, 10)) -> dict:
