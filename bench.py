@@ -12,14 +12,16 @@ here: batched jitted XLA programs).
 
 vs_baseline compares against the PyTorch reference implementation measured
 locally on CPU (the reference publishes no throughput numbers — SURVEY.md
-section 6).  Baseline derivation: the reference embeds images one at a time
-(batch_size=1, examples/main.py:211-217) and computes alpha with a Python
-double loop over image pairs (utils.py:222-257), so its cost is
-N * t_embed_per_image + N^2 * t_alpha_per_pair.  We time 8 single-image
-embeds and a 4x4 alpha block with the torch oracle, then extrapolate to
-N=32 with that formula.  The measurement is cached in
-~/.cache/tpu_ac/bench_baseline.json for at most 24 hours (it costs minutes
-of CPU), then re-measured.
+section 6).  Baseline derivation: the baseline times the REFERENCE'S OWN
+CODE, imported from /root/reference with dependency stubs (timm/faiss/
+torchvision are unused on this path): ``AnomalyClusteringCore._embed``
+(patchcore.py:355-431) per image at batch_size=1 — exactly
+examples/main.py:211-217 — and ``Matrix_Alpha_Unsupervised``
+(utils.py:240-257) on a small image subset.  The reference's cost model is
+N * t_embed_per_image + N^2 * t_alpha_per_pair (serial loop + Python
+double loop), so we extrapolate the measured per-image / per-pair costs to
+N=32.  The measurement is cached in ~/.cache/tpu_ac/bench_baseline.json
+for at most 24 hours (it costs minutes of CPU), then re-measured.
 
 Both sides run the same randomly initialized ViT-B/8 weights when no
 converted dino_vitbase8 checkpoint is present (zero-egress environment) —
@@ -98,50 +100,98 @@ def measure_tpu(images: np.ndarray, precision: str = "bfloat16") -> float:
     return N_IMAGES / sorted(times)[len(times) // 2]
 
 
-def measure_torch_baseline() -> float:
-    """Reference-faithful torch CPU pipeline, per-image extrapolated.
+_REF_MODELS_DIR = "/root/reference/Anomaly-Clustering/models"
+_BASELINE_VERSION = 2  # v2: reference's own modules as the baseline
 
-    Embeds ``n_base`` images one by one (the reference uses batch_size=1,
-    examples/main.py:211-217) and runs the alpha double loop on a subset,
-    then scales the alpha cost quadratically to N_IMAGES (see module
-    docstring for the derivation).  Cached for at most 24h.
+
+def _import_reference_patchcore():
+    """Import the reference `patchcore` package with dependency stubs
+    (timm/faiss/torchvision are untouched by the clustering path — same
+    machinery as tests/test_reference_oracle.py)."""
+    import types
+
+    def stub(name, **attrs):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[name] = mod
+
+    stub("timm")
+    stub("faiss", omp_set_num_threads=lambda n: None,
+         GpuClonerOptions=object, IndexFlatL2=object)
+    stub("torchvision")
+    stub("torchvision.models")
+    sys.modules["torchvision"].models = sys.modules["torchvision.models"]
+    if _REF_MODELS_DIR not in sys.path:
+        sys.path.insert(0, _REF_MODELS_DIR)
+    import patchcore.patchcore as ref_patchcore
+    import patchcore.utils as ref_utils
+    import patchcore.vision_transformer as ref_vits
+
+    return ref_patchcore, ref_utils, ref_vits
+
+
+def measure_torch_baseline() -> float:
+    """Reference-code torch CPU pipeline, per-image extrapolated.
+
+    Times the reference's OWN ``AnomalyClusteringCore._embed`` image by
+    image (the reference uses batch_size=1, examples/main.py:211-217) and
+    its ``Matrix_Alpha_Unsupervised`` double loop on a subset, then scales
+    to N_IMAGES with the serial cost model (see module docstring).
+    Cached for at most 24h.
     """
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)
         age = time.time() - cached.get("measured_at", 0.0)
-        if "torch_images_per_sec" in cached and age < 24 * 3600:
+        if (cached.get("version") == _BASELINE_VERSION
+                and "torch_images_per_sec" in cached and age < 24 * 3600):
             return cached["torch_images_per_sec"]
 
+    import contextlib
     import torch
 
     torch.manual_seed(0)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from tests.torch_ref import (
-        torch_vit_blocks,
-        torch_embed_pipeline,
-        torch_alpha_unsupervised,
-    )
-    from tpu_ac.models.registry import load_backbone
+    ref_patchcore, ref_utils, ref_vits = _import_reference_patchcore()
 
-    params, vit_cfg, _ = load_backbone("dino_vitbase8")
-    rng = np.random.default_rng(0)
+    # the reference prints banners/tqdm to stdout; the bench contract is
+    # ONE JSON line on stdout
+    with contextlib.redirect_stdout(sys.stderr):
+        backbone = ref_vits.vit_base(patch_size=8)  # dino_vitbase8 arch,
+        backbone.eval()                             # random weights (both
+        core = ref_patchcore.AnomalyClusteringCore(  # sides unweighted)
+            torch.device("cpu"))
+        core.load(
+            backbone=backbone,
+            layers_to_extract_from=["blocks.10", "blocks.11"],
+            device=torch.device("cpu"),
+            input_shape=(3, IMG, IMG),
+            pretrain_embed_dimension=2048,
+            target_embed_dimension=4096,
+            patchsize=3,
+            patchstride=1,
+        )
+        rng = np.random.default_rng(0)
 
-    n_base = 8
-    imgs = rng.standard_normal((n_base, 3, IMG, IMG)).astype(np.float32)
-    t0 = time.perf_counter()
-    zs = []
-    for i in range(n_base):
-        blocks = torch_vit_blocks(params, imgs[i:i + 1], vit_cfg, (10, 11))
-        zs.append(torch_embed_pipeline([blocks[10], blocks[11]], 2048, 4096))
-    t_embed_per_img = (time.perf_counter() - t0) / n_base
+        n_base = 3
+        imgs = rng.standard_normal((n_base, 3, IMG, IMG)).astype(np.float32)
+        with torch.no_grad():
+            core._embed(torch.from_numpy(imgs[:1]), "unsupervised")  # warmup
+            t0 = time.perf_counter()
+            for i in range(n_base):
+                core._embed(torch.from_numpy(imgs[i:i + 1]), "unsupervised")
+            t_embed_per_img = (time.perf_counter() - t0) / n_base
 
-    n_alpha = 4
-    z_small = rng.standard_normal((n_alpha, 784, 4096)).astype(np.float32)
-    t0 = time.perf_counter()
-    torch_alpha_unsupervised(z_small, tau=1.0)
-    t_alpha = time.perf_counter() - t0
-    t_alpha_per_pair = t_alpha / (n_alpha * n_alpha)
+        n_alpha = 4
+        z_small = torch.from_numpy(
+            rng.standard_normal((n_alpha, 784, 4096)).astype(np.float32))
+        t0 = time.perf_counter()
+        ref_utils.Matrix_Alpha_Unsupervised(1.0, 1, z_small,
+                                            torch.device("cpu"))
+        t_alpha = time.perf_counter() - t0
+        t_alpha_per_pair = t_alpha / (n_alpha * n_alpha)
 
     total = N_IMAGES * t_embed_per_img + N_IMAGES * N_IMAGES * t_alpha_per_pair
     ips = N_IMAGES / total
@@ -151,6 +201,9 @@ def measure_torch_baseline() -> float:
                    "t_embed_per_img": t_embed_per_img,
                    "t_alpha_per_pair": t_alpha_per_pair,
                    "n_base": n_base,
+                   "version": _BASELINE_VERSION,
+                   "source": "reference modules patchcore.{patchcore,utils,"
+                             "vision_transformer} from /root/reference",
                    "measured_at": time.time()}, f)
     return ips
 

@@ -147,3 +147,61 @@ class TestAttentionMapsDistilled:
         maps = attention_maps(params, img, cfg)
         assert maps.shape == (2, 32, 32)
         assert np.isfinite(maps).all()
+
+
+class TestVideoInputPath:
+    """Video-FILE input side of video_generation (video_generation.py:40-117)."""
+
+    def _write_clip(self, path, n_frames=4, size=32, fps=8.0):
+        import cv2
+
+        rng = np.random.default_rng(3)
+        writer = cv2.VideoWriter(str(path),
+                                 cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                                 (size, size))
+        assert writer.isOpened()
+        frames = rng.integers(0, 255, (n_frames, size, size, 3))
+        for f in frames:
+            writer.write(f.astype(np.uint8))
+        writer.release()
+        return frames
+
+    def test_extract_frames_roundtrip(self, tmp_path):
+        from tpu_ac.viz.video import extract_frames_from_video
+
+        clip = tmp_path / "clip.mp4"
+        self._write_clip(clip, n_frames=5, fps=8.0)
+        frames, fps = extract_frames_from_video(
+            str(clip), out_dir=str(tmp_path / "frames"))
+        assert len(frames) == 5
+        assert frames[0].shape == (32, 32, 3)
+        assert fps == pytest.approx(8.0, rel=0.01)
+        assert len(os.listdir(tmp_path / "frames")) == 5
+
+    def test_preprocess_crops_to_patch_multiple(self):
+        from tpu_ac.viz.video import preprocess_frames
+
+        frames = [np.zeros((37, 45, 3), np.uint8)]
+        x = preprocess_frames(frames, patch_size=8)
+        assert x.shape == (1, 3, 32, 40)  # floored to patch multiples
+        x = preprocess_frames(frames, patch_size=8, resize=24)
+        assert x.shape[2] % 8 == 0 and x.shape[3] % 8 == 0
+        assert min(x.shape[2], x.shape[3]) == 24
+
+    def test_cli_video_file_end_to_end(self, tmp_path):
+        from tpu_ac.cli.video_generation import main
+        from tpu_ac.models.registry import BackboneSpec, register_backbone
+        from tpu_ac.models.vit import ViTConfig
+
+        clip = tmp_path / "clip.mp4"
+        self._write_clip(clip, n_frames=3)
+        register_backbone("tiny_video_test", BackboneSpec(
+            "vit", ViTConfig(patch_size=8, embed_dim=32, depth=2,
+                             num_heads=2, img_size=32), None))
+        out = main(["--input_path", str(clip),
+                    "--output_path", str(tmp_path / "out"),
+                    "--arch", "tiny_video_test", "--video_format", "gif"])
+        assert os.path.exists(out)
+        from PIL import Image
+
+        assert Image.open(out).n_frames == 3

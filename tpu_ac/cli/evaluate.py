@@ -39,6 +39,25 @@ def category_labels(source: str, category: str) -> list[str]:
     return [it.anomaly for it in ds.items]
 
 
+def export_alpha_heatmaps(pickle_path: str, source: str, category: str,
+                          args, supervised: str, tau) -> list[str]:
+    """--visualize: per-anomaly-type alpha heatmaps during the sweep
+    (examples/test.py:158-174); saved under
+    <output_dir>/<dataset>/visualize/<run-name>/."""
+    from tpu_ac.viz.plots import visualize_sweep_alpha
+
+    alpha, _x = load_alpha_X(pickle_path)
+    alpha = alpha[:, 0] if alpha.ndim == 3 else alpha
+    ds = MVTecDataset(source, classname=category, split=DatasetSplit.TEST)
+    run_name = (f"{args.backbone_names[0]}_{args.pretrain_embed_dimension}_"
+                f"{args.target_embed_dimension}_"
+                + "_".join(args.layers_to_extract_from)
+                + f"_{float(tau)}_{supervised}")
+    out_dir = os.path.join(args.output_dir, args.dataset, "visualize",
+                           run_name)
+    return visualize_sweep_alpha(alpha, ds.items, out_dir)
+
+
 def evaluate_category(pickle_path: str, anomaly_labels: list[str]) -> tuple[dict, int]:
     """One calculate_metrics call (test.py:134-226): returns (scores, n_kept)."""
     _alpha, X = load_alpha_X(pickle_path)
@@ -91,6 +110,11 @@ def run_sweep(args) -> None:
                         if category not in label_cache:  # one walk/category
                             label_cache[category] = category_labels(
                                 args.path, category)
+                        if getattr(args, "visualize", False):
+                            for fp in export_alpha_heatmaps(
+                                    p, args.path, category, args,
+                                    supervised, tau):
+                                print(f"{fp} saved.")
                         scores, n = evaluate_category(
                             p, label_cache[category])
                         print(f"{category} tau={tau} {supervised}: {scores}")
@@ -129,6 +153,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--categories", nargs="+", default=None)
     p.add_argument("--gbk", action="store_true",
                    help="Write the CSV GBK-encoded like the reference.")
+    p.add_argument("--visualize", action="store_true",
+                   help="Export per-anomaly-type alpha heatmap figures "
+                        "during the sweep (examples/test.py:158-174).")
     return p
 
 

@@ -108,6 +108,56 @@ def visualize_alpha_on_image(image_chw: np.ndarray, alpha_row: np.ndarray,
     return fig
 
 
+def visualize_sweep_alpha(alpha: np.ndarray, items, out_dir: str,
+                          resize: int = 256, imagesize: int = 224) -> list[str]:
+    """Per-anomaly-type alpha heatmap export during the stage-2 sweep
+    (examples/test.py:158-174 + visualize test.py:71-105).
+
+    For the FIRST image of each anomaly type: a figure with the source
+    image, the ground-truth mask (anomalous types), and the max-normalized
+    8x nearest-upsampled alpha heat map, saved as
+    ``<out_dir>/<classname>_<anomaly>.png``.  Returns the saved paths.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from PIL import Image
+
+    def load(path, gray=False):
+        img = Image.open(path)
+        img = img.convert("L" if gray else "RGB")
+        img = img.resize((resize, resize), Image.BILINEAR)
+        left = (resize - imagesize) // 2
+        return np.asarray(
+            img.crop((left, left, left + imagesize, left + imagesize)))
+
+    os.makedirs(out_dir, exist_ok=True)
+    saved = []
+    label_current = "start"  # test.py:159 — first image of each type only
+    for i, it in enumerate(items):
+        if it.anomaly == label_current:
+            continue
+        label_current = it.anomaly
+        heat = alpha_heatmap(np.asarray(alpha[i]).reshape(-1))
+        fig = plt.figure(figsize=(12, 4))
+        ax1 = fig.add_subplot(131)
+        ax1.imshow(load(it.image_path))
+        ax1.axis("off")
+        if it.mask_path:
+            ax2 = fig.add_subplot(132)
+            ax2.imshow(load(it.mask_path, gray=True), cmap="gray")
+            ax2.axis("off")
+        ax3 = fig.add_subplot(133)
+        ax3.imshow(heat, cmap="viridis")
+        ax3.axis("off")
+        fname = os.path.join(out_dir, f"{it.classname}_{it.anomaly}.png")
+        fig.savefig(fname, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        saved.append(fname)
+    return saved
+
+
 def feature_map_grid(z_i: np.ndarray) -> np.ndarray:
     """[P, D] patch embeddings -> min-max-normalized [G, G] intensity map
     (examples/main.py:165-175: per-patch mean over the embedding dim,
