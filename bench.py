@@ -3,12 +3,16 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": R}
 
-Workload (mirrors BASELINE.json's north star): embed a 32-image MVTec-sized
-category with DINO ViT-B/8 (blocks.10+11 taps, 2048->4096 patch embeddings,
-224x224 inputs) and compute the unsupervised alpha matrix + weighted
-embeddings — the end-to-end device work of examples/main.py's
-make_category_data (reference: batch_size=1 torch loop;
-here: batched jitted XLA programs).
+Workload (mirrors BASELINE.json's north star): embed 32-image MVTec-sized
+categories with DINO ViT-B/8 (blocks.10+11 taps, 2048->4096 patch
+embeddings, 224x224 inputs) and compute the unsupervised alpha matrix +
+weighted embeddings — the end-to-end device work of examples/main.py's
+make_category_data.  The measurement is the per-category STEADY STATE of a
+SWEEP of categories (the production workload: examples/main.py:348-366
+iterates 15 categories x 2 modes; our pipeline overlaps category c+1's
+uint8 uploads and c-1's result download with category c's compute, exactly
+as run_category_sweep does).  The reference is a serial batch_size=1 torch
+loop with no overlap.
 
 vs_baseline compares against the PyTorch reference implementation measured
 locally on CPU (the reference publishes no throughput numbers — SURVEY.md
@@ -39,9 +43,13 @@ import time
 import numpy as np
 
 N_IMAGES = 32
-# batches of 8 pipeline best over the remote link: uploads double-buffer
-# under compute (CategoryEmbedder prefetch) while keeping dispatch count low
-BATCH = 8
+# batch-8 measured best in the pipelined sweep (212.6 img/s vs 183.2 at
+# 16, 113.9 at 32 on v5e): device_put blocks the host for the transfer
+# over the tunnel, so small batches interleave upload slices between
+# compute dispatches while big ones stall a whole category's upload
+# up front (override: TPU_AC_BENCH_BATCH)
+BATCH = int(os.environ.get("TPU_AC_BENCH_BATCH", "8"))
+SWEEP = 4  # categories per measured sweep (steady-state amortization)
 IMG = 224
 BASELINE_CACHE = os.path.expanduser("~/.cache/tpu_ac/bench_baseline.json")
 
@@ -53,19 +61,25 @@ def _setup_jax():
     return ensure_backend()
 
 
-def measure_tpu(images: np.ndarray, precision: str = "bfloat16") -> float:
-    """images/sec of embed(blocks.10+11 -> 4096) + unsupervised alpha + X.
+def measure_tpu(categories: list[np.ndarray],
+                precision: str = "bfloat16") -> float:
+    """images/sec of embed(blocks.10+11 -> 4096) + unsupervised alpha + X,
+    per-category steady state over a pipelined category sweep.
 
-    Runs the PRODUCTION pipeline path: ``CategoryEmbedder`` (batched jitted
-    embed with double-buffered uint8 uploads — batch i+1 streams to the
-    device while batch i computes) followed by ``compute_alpha_X`` (the
-    fused Pallas all-pairs distance kernel).
+    Runs the PRODUCTION pipeline path per category: ``CategoryEmbedder``
+    (batched jitted embed with double-buffered uint8 uploads) followed by
+    ``compute_alpha_X(packed=True)`` (fused Pallas all-pairs kernel; alpha
+    and X leave the device as ONE array).  All category programs are
+    dispatched asynchronously and each packed result starts its
+    device->host copy early (``copy_to_host_async``), so category c+1's
+    uploads and c-1's download overlap category c's compute — the same
+    overlap ``run_category_sweep`` gives the real 15-category workload.
 
     ``precision``: "bfloat16" (default — bf16 embed + single-pass bf16
-    distance kernel; clustering metrics validated identical to f32 on
-    synthetic separable data, alpha argmax agreement >90%, and the golden
-    stage-2 artifacts are precision-independent) or "f32" (strict parity
-    mode, ~2x slower).  Override with ``TPU_AC_BENCH_PRECISION=f32``.
+    distance kernel; clustering metrics validated against f32 on both
+    separable synthetic data and realistic near-tie embeddings, see
+    PERF.md) or "f32" (strict parity mode).  Override with
+    ``TPU_AC_BENCH_PRECISION=f32``.
     """
     _setup_jax()
     from tpu_ac.pipeline import (
@@ -79,25 +93,38 @@ def measure_tpu(images: np.ndarray, precision: str = "bfloat16") -> float:
         precision="bfloat16" if precision == "bfloat16" else "default",
         batch_size=BATCH)
     params, vit_cfg, family = load_backbone("dino_vitbase8")
-    embedder = CategoryEmbedder(params, vit_cfg, cfg, family=family)
+    attn = os.environ.get("TPU_AC_BENCH_ATTN", "auto")
+    embedder = CategoryEmbedder(
+        params, vit_cfg, cfg, family=family,
+        attention_impl=None if attn == "xla" else attn)
 
-    def run_once():
-        z = embedder(images)
-        alpha, x = compute_alpha_X(z, "unsupervised", tau=1.0,
-                                   precision=cfg.resolved_alpha_precision)
-        # fetch to host — what the real pipeline does with (alpha, X), and
-        # the only reliable completion barrier over the remote tunnel
-        return np.asarray(alpha), np.asarray(x)
+    def run_sweep():
+        outs = []
+        for images in categories:
+            z = embedder(images)
+            packed = compute_alpha_X(z, "unsupervised", tau=1.0,
+                                     precision=cfg.resolved_alpha_precision,
+                                     packed=True)
+            try:
+                packed.copy_to_host_async()
+            except AttributeError:
+                pass
+            outs.append(packed)
+        # resolve to host (alpha, X) per category — what the real pipeline
+        # pickles; np.asarray is the completion barrier.  packed = [N, P+D]
+        # with D = target_embed_dimension (4096).
+        return [(np.asarray(p)[:, :-4096], np.asarray(p)[:, -4096:])
+                for p in outs]
 
-    run_once()  # warmup / compile
-    # median of 9: the remote-tunnel link varies +-20% run to run, so a
-    # small-sample mean is noisy; the median is robust to degraded reps
+    run_sweep()  # warmup / compile
+    # median of 5 sweeps: the remote-tunnel link varies +-20% run to run
     times = []
-    for _ in range(9):
+    for _ in range(5):
         t0 = time.perf_counter()
-        run_once()
+        run_sweep()
         times.append(time.perf_counter() - t0)
-    return N_IMAGES / sorted(times)[len(times) // 2]
+    per_category = sorted(times)[len(times) // 2] / len(categories)
+    return N_IMAGES / per_category
 
 
 _REF_MODELS_DIR = "/root/reference/Anomaly-Clustering/models"
@@ -210,10 +237,13 @@ def measure_torch_baseline() -> float:
 
 def main() -> None:
     rng = np.random.default_rng(0)
-    images = rng.integers(0, 255, (N_IMAGES, 3, IMG, IMG)).astype(np.uint8)
+    categories = [
+        rng.integers(0, 255, (N_IMAGES, 3, IMG, IMG)).astype(np.uint8)
+        for _ in range(SWEEP)
+    ]
 
     precision = os.environ.get("TPU_AC_BENCH_PRECISION", "bfloat16")
-    tpu_ips = measure_tpu(images, precision=precision)
+    tpu_ips = measure_tpu(categories, precision=precision)
     try:
         torch_ips = measure_torch_baseline()
     except Exception as e:  # noqa: BLE001 — baseline failure shouldn't kill bench
@@ -221,7 +251,8 @@ def main() -> None:
         torch_ips = None
 
     out = {
-        "metric": "images/sec ViT-B/8 feature+alpha extraction (N=32, 224x224)",
+        "metric": "images/sec ViT-B/8 feature+alpha extraction "
+                  "(N=32/category, 224x224, pipelined category sweep)",
         "value": round(tpu_ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(tpu_ips / torch_ips, 2) if torch_ips else None,

@@ -17,6 +17,8 @@ from tpu_ac.cluster.alpha import (
 from tpu_ac.cluster.metrics import (
     best_map,
     hungarian_accuracy,
+    hungarian_evaluate,
+    hungarian_match,
     clustering_scores,
     agglomerative_cluster,
     encode_labels,
@@ -32,6 +34,8 @@ __all__ = [
     "weighted_embedding",
     "best_map",
     "hungarian_accuracy",
+    "hungarian_evaluate",
+    "hungarian_match",
     "clustering_scores",
     "agglomerative_cluster",
     "encode_labels",

@@ -75,8 +75,11 @@ def weight_distance_unsupervised(Z: jnp.ndarray, impl: str = "auto",
     Returns:
         W: [N, P]; W[i,p] = mean over j != i of min_q ||Z[i,p]-Z[j,q]||.
 
-    The j == i term of the sum is exactly 0 (min over q includes q = p), so
-    the masked mean is sum_j / (n_valid-1) without masking the diagonal.
+    The j == i term of the sum is ~0 (min over q includes q = p; the mm
+    formulation leaves a cancellation floor — ~1e-3 in XLA f32, ~|z|*2^-9
+    in the kernel's compensated f32 mode — both ~5e-4 relative to real
+    distances), so the masked mean is sum_j / (n_valid-1) without masking
+    the diagonal, exactly like the reference's torch.cdist mm path.
     """
     n, p, d = Z.shape
     nv = n if n_valid is None else n_valid

@@ -35,12 +35,23 @@ def flash_attention_impl(q, k, v, scale, attn_bias=None):
     Returns:
         [B, H, S, Dh]
     """
+    import os
+
     from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
         SegmentIds,
         flash_attention,
     )
 
     b, h, s, d = q.shape
+    block_sizes = None
+    bq = int(os.environ.get("TPU_AC_FLASH_BLOCK_Q", "0"))
+    bk = int(os.environ.get("TPU_AC_FLASH_BLOCK_K", "0"))
+    if bq or bk:
+        bq = min(bq or 128, s)
+        bk = min(bk or 128, s)
+        block_sizes = BlockSizes(block_q=bq, block_k_major=bk, block_k=bk,
+                                 block_b=1)
     segment_ids = None
     if attn_bias is not None:
         ids = (attn_bias.reshape(-1)[-s:] < -1.0).astype(jnp.int32)  # [S]
@@ -53,7 +64,7 @@ def flash_attention_impl(q, k, v, scale, attn_bias=None):
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
 
     out = flash_attention(q, k, v, segment_ids=segment_ids,
-                          sm_scale=float(scale))
+                          sm_scale=float(scale), block_sizes=block_sizes)
     return out[..., :d] if d_pad else out
 
 

@@ -19,17 +19,20 @@ bank block.  Each step keeps TI full [P, D] query rows resident in VMEM
 I*P*D bytes total and the dominant bank stream (N*Q*D bytes per i-block)
 is amortized over TI queries.
 
-Precision modes (the MXU multiplies bf16; f32 multiplication is emulated
-by multi-pass decomposition, so the lever is how many passes we pay):
+Precision modes.  The MXU multiplies bf16, and a Mosaic-lowered dot
+computes SINGLE-PASS bf16 products regardless of the ``precision=``
+request (measured on v5e: passing f32 operands with either DEFAULT or
+HIGHEST gives identical ~2e-2 absolute distance error vs an f64 oracle at
+the flagship magnitudes, where true f32 products give ~1e-5).  f32-class
+accuracy therefore comes from the explicit compensated decomposition:
 
-- "f32":   f32 operands, full-precision accumulation (Mosaic multi-pass).
-           Bitwise-stable parity mode.
-- "bf16c": compensated bf16 — operands are split z = hi + lo into two
-           bf16 halves (~f32 mantissa coverage); the cross term
-           hi.hi' + hi.lo' + lo.hi' recovers the f32 product to ~2^-16
-           relative (the dropped lo.lo' term), while the norm terms
-           |z|^2 are computed in f32 outside the kernel.  3 single-pass
-           matmuls + half the DMA traffic of f32.
+- "f32" / "bf16c" (same computation): operands split z = hi + lo into two
+           bf16 halves (~f32 mantissa coverage); the kernel accumulates
+           hi.hi' + hi.lo' + lo.hi' — recovering the f32 product to
+           ~2^-16 relative (the dropped lo.lo' term) — while the norm
+           terms |z|^2 are computed in f32 outside.  Validated at ~1e-5
+           absolute vs an f64 oracle, i.e. true-f32-class.  3 single-pass
+           matmuls, same operand bytes as f32.  Parity mode.
 - "bf16":  single-pass bf16 of the *rounded* vectors with norms computed
            from the same rounded values, so d2 = |hi_p - hi_q|^2 exactly
            (>= 0, no cancellation garbage).  Fastest; distances carry the
@@ -66,11 +69,13 @@ def _min_dists_kernel(*refs, n_k: int, d_tile: int, q_valid: int,
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    # bank blocks arrive pre-transposed as [d_tile, Q] so BOTH operands sit
-    # in the MXU-native orientation (lhs [M, K] x rhs [K, N]): contracting
-    # the [Q, d] layout instead forced Mosaic to transpose every bank tile
-    # inside the loop, which — not the matmul — dominated the kernel
-    # (measured: f32 and bf16 ran at the same speed).
+    # bank blocks arrive pre-transposed as [d_tile, Q] so both operands
+    # sit in the MXU-native orientation (lhs [M, K] x rhs [K, N]).  NOTE:
+    # inside Mosaic a dot computes single-pass bf16 products regardless of
+    # the `precision=` request (measured on v5e: identical 2e-2 absolute
+    # distance error with DEFAULT and HIGHEST vs an f64 oracle, where true
+    # f32 products give ~1e-5) — f32-accurate modes therefore use the
+    # explicit hi/lo compensated decomposition below, never `precision`.
     def dot(a, b):
         return jax.lax.dot_general(
             a, b, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -207,11 +212,7 @@ def min_dists_all_pairs(Z: jnp.ndarray, bank: jnp.ndarray,
 
     # bank operands transpose ONCE here to [N, D, Q] (a cheap one-shot XLA
     # relayout) so the kernel's per-step dot needs no Mosaic transpose.
-    if precision == "f32":
-        zi_parts, bank_parts = (z_p,), (jnp.swapaxes(bank_p, 1, 2),)
-        a2 = jnp.sum(jnp.square(z_p), axis=-1)[:, None, :]
-        b2 = jnp.sum(jnp.square(bank_p), axis=-1)[:, None, :]
-    elif precision == "bf16c":
+    if precision in ("f32", "bf16c"):
         zi_parts = _split_hi_lo(z_p)
         bank_parts = tuple(jnp.swapaxes(x, 1, 2)
                            for x in _split_hi_lo(bank_p))
@@ -227,7 +228,7 @@ def min_dists_all_pairs(Z: jnp.ndarray, bank: jnp.ndarray,
                      axis=-1)[:, None, :]
 
     out = _min_dists_padded(zi_parts, bank_parts, a2, b2, d_tile=d_tile,
-                            q_valid=q, compensated=(precision == "bf16c"),
+                            q_valid=q, compensated=(precision != "bf16"),
                             ti=ti, interpret=interpret)
     return out[:n_i, :, :p]
 

@@ -108,18 +108,14 @@ class CategoryEmbedder:
             attention_impl = flash_attention_impl
             seq_pad = True
         elif attention_impl == "auto":
-            if jax.default_backend() == "tpu" and family == "vit":
-                # v5e, ViT-B/8 embed shape: XLA's dense attention spends
-                # ~33 ms/fwd streaming the [B,H,S,S] probabilities through
-                # HBM; the flash kernel at S 785->896 (masked) avoids the
-                # round trip and wins end-to-end.  Elsewhere (CPU tests,
-                # conv families) the XLA formulation stays.
-                from tpu_ac.kernels.attention import flash_attention_impl
-
-                attention_impl = flash_attention_impl
-                seq_pad = True
-            else:
-                attention_impl = None
+            # Measured on v5e at the ViT-B/8 embed shape (batch 32,
+            # S=785): XLA's fused dense attention beats both a hand-
+            # written Pallas kernel (round 2) and the stock Pallas flash
+            # kernel at S 896 masked (round 3: 123 vs 231 ms embed, 202
+            # vs 285 ms e2e) — the [B,H,S,S] HBM round trip is cheaper
+            # here than the flash kernel's grid overhead at Dh=64.
+            # "flash" stays available as an explicit opt-in.
+            attention_impl = None
         cast_dtype = None
         if precision is None:
             precision = {
