@@ -27,7 +27,10 @@ class TestShardedAlpha:
             sharded_weight_distance_unsupervised(mesh, z_sh, n_valid=n))[:n]
         want = np.asarray(weight_distance_unsupervised(jnp.asarray(Z),
                                                        impl="xla"))
-        np.testing.assert_allclose(w, want, rtol=2e-4, atol=2e-5)
+        # kernel "f32" = compensated decomposition: the j == i self-term
+        # carries a ~|z|*2^-9 floor the XLA oracle cancels away, diluted
+        # by 1/(n-1) in the mean (see kernels/distances.py)
+        np.testing.assert_allclose(w, want, rtol=1e-3, atol=5e-4)
 
     def test_supervised_matches_single_device(self, rng):
         Z = rng.standard_normal((9, 16, 64)).astype(np.float32)
@@ -71,10 +74,13 @@ class TestPipelineMeshPath:
                                          use_mesh=True)
         a_one, x_one = compute_alpha_X(Z, "unsupervised", 1.0,
                                        use_mesh=False)
+        # mesh path runs the Pallas kernel (compensated f32 self-floor);
+        # single-device on CPU runs the XLA formulation — see
+        # kernels/distances.py precision notes
         np.testing.assert_allclose(np.asarray(a_mesh), np.asarray(a_one),
-                                   rtol=5e-4, atol=1e-6)
+                                   rtol=2e-3, atol=5e-4)
         np.testing.assert_allclose(np.asarray(x_mesh), np.asarray(x_one),
-                                   rtol=5e-4, atol=1e-5)
+                                   rtol=2e-3, atol=1e-3)
 
     def test_supervised_mesh_matches_single(self, rng):
         import jax.numpy as jnp

@@ -312,10 +312,6 @@ def _predict_probs(state, ds, mcfg, size, batch_size: int = 256) -> np.ndarray:
     return np.concatenate(all_logits, axis=1)  # [heads, N, C]
 
 
-def _predict(state, ds, mcfg, size, batch_size: int = 256) -> np.ndarray:
-    return _predict_probs(state, ds, mcfg, size, batch_size).argmax(-1)
-
-
 def run_selflabel(cfg) -> None:
     """Self-labeling stage (selflabel.py:28-110)."""
     ds = _load_dataset(cfg, "train")

@@ -27,10 +27,9 @@ import pickle
 
 import numpy as np
 
-DATASETS = ("roxford5k", "rparis6k")
+from tpu_ac.data.mvtec import IMAGENET_MEAN, IMAGENET_STD
 
-_IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
-_IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+DATASETS = ("roxford5k", "rparis6k")
 
 
 class OxfordParisDataset:
@@ -74,7 +73,7 @@ class OxfordParisDataset:
         if self.imsize is not None:
             img.thumbnail((self.imsize, self.imsize), Image.LANCZOS)
         x = np.asarray(img, np.float32) / 255.0
-        x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD
         return x.transpose(2, 0, 1)
 
 

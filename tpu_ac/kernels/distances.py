@@ -181,8 +181,8 @@ def min_dists_all_pairs(Z: jnp.ndarray, bank: jnp.ndarray,
         ti: query rows processed per grid step.  Each step holds ti full
             [P, D] query rows resident in VMEM, so the bank HBM stream
             (the dominant traffic, N_j * D * Q bytes per query) is shared
-            by ti queries.  None = auto: 4 at bf16 (half-size resident
-            blocks fit 4 rows in the VMEM budget), else 2.
+            by ti queries.  None = 2 (ti swept over {1, 2, 4} on v5e at
+            the flagship shape: all within measurement noise, 2 kept).
     Returns:
         [I, N, P] float32 min-distances.
     """

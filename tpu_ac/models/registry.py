@@ -287,6 +287,12 @@ def _register_resnets() -> None:
 _register_resnets()
 
 
+# the shipped registry, snapshotted before any runtime register_backbone
+# calls (tests register tiny throwaway architectures) — the frozen
+# checkpoint manifests cover exactly this set
+BUILTIN_BACKBONES = frozenset(BACKBONE_CONFIGS)
+
+
 def register_backbone(name: str, spec: BackboneSpec) -> None:
     BACKBONE_CONFIGS[name] = spec
 

@@ -289,7 +289,10 @@ def compute_alpha_X(Z: jnp.ndarray, supervised: str, tau: float,
             w = sharded_weight_distance_unsupervised(
                 mesh, z_sh, n_valid=n, precision=precision)[:n]
         alpha = alpha_from_weights(w, tau)
-        return alpha, weighted_embedding(alpha, Z)
+        x = weighted_embedding(alpha, Z)
+        if packed:
+            return jnp.concatenate([alpha, x], axis=1)
+        return alpha, x
 
     if supervised == "supervised":
         if Z_train is None:
@@ -312,7 +315,11 @@ def compute_alpha_X(Z: jnp.ndarray, supervised: str, tau: float,
         return out[0][:n], out[1][:n]
     # "average"
     alpha = matrix_alpha_average(Z)
-    return alpha, weighted_embedding(alpha, Z)
+    x = weighted_embedding(alpha, Z)
+    if packed:
+        return jnp.concatenate([alpha.astype(jnp.float32),
+                                x.astype(jnp.float32)], axis=1)
+    return alpha, x
 
 
 def artifact_dir(output_dir: str, dataset: str, backbone: str, supervised: str,
@@ -367,9 +374,17 @@ def run_category(source: str, category: str, cfg: PipelineConfig,
                                 embedder, output_dir, dataset_name, seed)
 
 
-def _run_category_loaded(source: str, category: str, test_ds, images,
-                         cfg: PipelineConfig, embedder: CategoryEmbedder,
-                         output_dir, dataset_name: str, seed: int) -> dict:
+def _dispatch_category(source: str, category: str, test_ds, images,
+                       cfg: PipelineConfig, embedder: CategoryEmbedder,
+                       seed: int) -> dict:
+    """Queue one category's device work WITHOUT blocking on the result.
+
+    Embedding + alpha + X are dispatched asynchronously and the packed
+    [N, P+D] result starts its device->host copy early
+    (``copy_to_host_async``); the caller resolves it later — which is how
+    ``run_category_sweep`` overlaps category c+1's uploads and compute
+    with category c's download.
+    """
     from tpu_ac.utils.profiling import step_annotation
 
     with step_annotation(f"category:{category}:{cfg.supervised}"):
@@ -398,10 +413,25 @@ def _run_category_loaded(source: str, category: str, test_ds, images,
                     keep)))
             Z_train = embedder(train_imgs)
 
-        alpha, X = compute_alpha_X(Z, cfg.supervised, cfg.tau, Z_train,
-                                   precision=cfg.resolved_alpha_precision)
-        alpha_np, x_np = np.asarray(alpha), np.asarray(X)
+        packed = compute_alpha_X(Z, cfg.supervised, cfg.tau, Z_train,
+                                 precision=cfg.resolved_alpha_precision,
+                                 packed=True)
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:  # sharded/global arrays: resolve blocks
+            pass
 
+    return {"category": category, "test_ds": test_ds, "packed": packed,
+            "n_patches": int(Z.shape[1])}
+
+
+def _resolve_category(pending: dict, cfg: PipelineConfig, output_dir,
+                      dataset_name: str) -> dict:
+    """Block on a dispatched category's packed result and materialize it."""
+    arr = np.asarray(pending["packed"])
+    p = pending["n_patches"]
+    alpha_np, x_np = arr[:, :p], arr[:, p:]
+    test_ds = pending["test_ds"]
     result = {
         "alpha": alpha_np,
         "X": x_np,
@@ -412,8 +442,16 @@ def _run_category_loaded(source: str, category: str, test_ds, images,
         d = artifact_dir(output_dir, dataset_name, cfg.backbone_name,
                          cfg.supervised, cfg)
         result["artifact_path"] = save_alpha_X(
-            d, category, cfg.supervised, alpha_np, x_np)
+            d, pending["category"], cfg.supervised, alpha_np, x_np)
     return result
+
+
+def _run_category_loaded(source: str, category: str, test_ds, images,
+                         cfg: PipelineConfig, embedder: CategoryEmbedder,
+                         output_dir, dataset_name: str, seed: int) -> dict:
+    pending = _dispatch_category(source, category, test_ds, images, cfg,
+                                 embedder, seed)
+    return _resolve_category(pending, cfg, output_dir, dataset_name)
 
 
 def run_category_sweep(source: str, categories: list[str],
@@ -421,13 +459,15 @@ def run_category_sweep(source: str, categories: list[str],
                        output_dir: str | None = None,
                        dataset_name: str = "mvtec_ad",
                        seed: int = 2023):
-    """Generator over categories with host/device pipelining.
+    """Generator over categories with host/device/transfer pipelining.
 
     The reference's category loop (examples/main.py:348-366) is fully
-    serial: decode category c, embed c, alpha c, repeat.  Here the test
-    split of category c+1 decodes on host threads WHILE category c's
-    embed+alpha run on the device, so the host IO rides under device
-    compute.  Yields (category, result) in order.
+    serial: decode category c, embed c, alpha c, fetch c, repeat.  Here
+    THREE stages overlap: the test split of category c+1 decodes on host
+    threads while category c's device work is queued, and category c+1's
+    uploads + compute are DISPATCHED before category c's packed (alpha, X)
+    download is resolved (bench.py measures exactly this steady state).
+    Yields (category, result) in order.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -441,13 +481,19 @@ def run_category_sweep(source: str, categories: list[str],
 
     with ThreadPoolExecutor(1) as prefetcher:
         nxt = prefetcher.submit(load_test_images, categories[0])
+        pending = None
         for i, category in enumerate(categories):
             test_ds, images = nxt.result()
             if i + 1 < len(categories):
                 nxt = prefetcher.submit(load_test_images, categories[i + 1])
-            yield category, _run_category_loaded(
-                source, category, test_ds, images, cfg, embedder,
-                output_dir, dataset_name, seed)
+            cur = _dispatch_category(source, category, test_ds, images,
+                                     cfg, embedder, seed)
+            if pending is not None:
+                yield pending["category"], _resolve_category(
+                    pending, cfg, output_dir, dataset_name)
+            pending = cur
+        yield pending["category"], _resolve_category(
+            pending, cfg, output_dir, dataset_name)
 
 
 def category_metrics(X: np.ndarray, anomaly_labels: list[str]) -> dict[str, float]:

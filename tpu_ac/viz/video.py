@@ -15,6 +15,8 @@ import subprocess
 import numpy as np
 from PIL import Image
 
+from tpu_ac.data.mvtec import IMAGENET_MEAN, IMAGENET_STD
+
 
 def render_attention_frames(params, frames_chw: np.ndarray, vit_cfg,
                             head: int | str = "mean") -> list[np.ndarray]:
@@ -110,10 +112,6 @@ def extract_frames_from_video(video_path: str,
     return frames, float(fps)
 
 
-_IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
-_IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
-
-
 def preprocess_frames(frames_hwc: list[np.ndarray], patch_size: int,
                       resize: int | None = None) -> np.ndarray:
     """uint8 RGB frames -> [T, 3, H', W'] normalized, cropped to a patch
@@ -132,7 +130,7 @@ def preprocess_frames(frames_hwc: list[np.ndarray], patch_size: int,
                 nw, nh = int(round(w * resize / h)), resize
             img = img.resize((nw, nh), PILImage.BILINEAR)
         x = np.asarray(img, np.float32) / 255.0
-        x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD
         x = x.transpose(2, 0, 1)
         h2 = x.shape[1] - x.shape[1] % patch_size
         w2 = x.shape[2] - x.shape[2] % patch_size
