@@ -141,3 +141,30 @@ class TestFlashWrapperLogic:
         q = jnp.asarray(rng.standard_normal((1, 2, 128, 64)), jnp.float32)
         attn_mod.flash_attention_impl(q, q, q, 0.5, None)
         assert captured["segment_ids"] is None
+
+
+class TestRaggedAttentionPad:
+    def test_exactness_and_attn_shape(self, rng, tiny_vit):
+        """ATTENTION_PAD_RAGGED pads q-rows/key-lanes inside attention
+        only; outputs and returned attention maps must match the unpadded
+        graph exactly (masked keys get zero softmax mass)."""
+        import tpu_ac.models.vit as V
+
+        cfg, params = tiny_vit
+        imgs = jnp.asarray(rng.standard_normal((2, 3, 40, 40)), jnp.float32)
+        old = V.ATTENTION_PAD_RAGGED
+        try:
+            V.ATTENTION_PAD_RAGGED = False
+            ref = V.vit_forward(params, imgs, cfg, taps=(2,))
+            ref_attn = V.vit_selfattention(params, imgs, cfg, block_idx=1)
+            V.ATTENTION_PAD_RAGGED = True
+            pad = V.vit_forward(params, imgs, cfg, taps=(2,))
+            pad_attn = V.vit_selfattention(params, imgs, cfg, block_idx=1)
+        finally:
+            V.ATTENTION_PAD_RAGGED = old
+        np.testing.assert_allclose(np.asarray(pad[2]), np.asarray(ref[2]),
+                                   rtol=2e-5, atol=2e-6)
+        assert pad_attn.shape == ref_attn.shape  # sliced back to [.., S, S]
+        np.testing.assert_allclose(np.asarray(pad_attn),
+                                   np.asarray(ref_attn),
+                                   rtol=2e-5, atol=1e-7)

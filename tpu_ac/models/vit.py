@@ -186,6 +186,19 @@ def prepare_tokens(params: Params, images: jnp.ndarray, cfg: ViTConfig,
         params, x.shape[1] - cfg.num_prefix_tokens, w, h, cfg)
 
 
+# Pad ragged sequence lengths inside attention only: q rows to a sublane
+# multiple (8) and keys/values to a lane multiple (128), with -1e9 bias on
+# padded keys (exact — softmax assigns them zero mass) and the padded q
+# rows sliced back off.  Unlike vit_forward(seq_pad=True) it does NOT
+# inflate the (much larger) QKV/MLP matmuls.  MEASURED A WASH on v5e at
+# the flagship shape (batch-32 ViT-B/8 embed: 127.6 ms padded vs 126.1
+# unpadded — XLA's emitter already handles the ragged S=785, and the
+# attention cost is the [B,H,S,S] HBM round trip, not tiling), so the
+# default stays off; the path is exactness-tested and available for
+# other shapes.
+ATTENTION_PAD_RAGGED = False
+
+
 def _attention_xla(q, k, v, scale, precision, attn_bias=None):
     """Dense softmax(QK^T)V — XLA fuses this well at ViT sequence lengths.
 
@@ -193,6 +206,21 @@ def _attention_xla(q, k, v, scale, precision, attn_bias=None):
     [1, 1, 1, N] with -1e9 over padded keys) masks dead tokens when the
     sequence is padded to a lane-aligned length.
     """
+    s_q = q.shape[2]
+    s_kv = k.shape[2]
+    pad_q = (-s_q) % 8 if ATTENTION_PAD_RAGGED else 0
+    pad_kv = (-s_kv) % 128 if ATTENTION_PAD_RAGGED else 0
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    if pad_kv:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
+        kv_bias = jnp.where(jnp.arange(s_kv + pad_kv) < s_kv, 0.0,
+                            -1e9).astype(q.dtype)[None, None, None, :]
+        if attn_bias is not None:  # align an incoming key mask first
+            attn_bias = jnp.pad(
+                attn_bias, [(0, 0)] * (attn_bias.ndim - 1) + [(0, pad_kv)])
+        attn_bias = kv_bias if attn_bias is None else attn_bias + kv_bias
     attn = jax.lax.dot_general(
         q, k, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
         precision=precision) * scale
@@ -202,6 +230,9 @@ def _attention_xla(q, k, v, scale, precision, attn_bias=None):
     out = jax.lax.dot_general(
         attn, v, dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
         precision=precision)
+    if pad_q or pad_kv:
+        out = out[:, :, :s_q]
+        attn = attn[:, :, :s_q, :s_kv]
     return out, attn
 
 
