@@ -47,11 +47,12 @@ def flash_attention_impl(q, k, v, scale, attn_bias=None):
     block_sizes = None
     bq = int(os.environ.get("TPU_AC_FLASH_BLOCK_Q", "0"))
     bk = int(os.environ.get("TPU_AC_FLASH_BLOCK_K", "0"))
-    if bq or bk:
+    bb = int(os.environ.get("TPU_AC_FLASH_BLOCK_B", "1"))
+    if bq or bk or bb > 1:
         bq = min(bq or 128, s)
         bk = min(bk or 128, s)
         block_sizes = BlockSizes(block_q=bq, block_k_major=bk, block_k=bk,
-                                 block_b=1)
+                                 block_b=max(1, bb))
     segment_ids = None
     if attn_bias is not None:
         ids = (attn_bias.reshape(-1)[-s:] < -1.0).astype(jnp.int32)  # [S]

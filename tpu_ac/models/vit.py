@@ -198,6 +198,13 @@ def prepare_tokens(params: Params, images: jnp.ndarray, cfg: ViTConfig,
 # other shapes.
 ATTENTION_PAD_RAGGED = False
 
+# Compute q/k/v as three sliced projections instead of one packed matmul +
+# 5-D transpose: identical math (the weight slices constant-fold), but XLA
+# fuses the three [B,N,nh,hd]->[B,nh,N,hd] transposes instead of
+# materializing a [B,N,3D] layout copy of the packed output.  Measured on
+# v5e, batch-32 ViT-B/8 bf16 embed: 119.6 vs 125.5 ms.
+QKV_SPLIT = True
+
 
 def _attention_xla(q, k, v, scale, precision, attn_bias=None):
     """Dense softmax(QK^T)V — XLA fuses this well at ViT sequence lengths.
@@ -248,10 +255,27 @@ def block_forward(params: Params, i: int, x: jnp.ndarray, cfg: ViTConfig,
 
     y = layernorm(x, params[pre + "norm1.weight"], params[pre + "norm1.bias"],
                   cfg.ln_eps)
-    qkv = _linear(y, params[pre + "attn.qkv.weight"],
-                  params.get(pre + "attn.qkv.bias"), precision)
-    qkv = qkv.reshape(b, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0], qkv[1], qkv[2]  # each [B, nh, N, hd]
+    if QKV_SPLIT:
+        # three per-tensor projections from slices of the packed qkv
+        # weight (identical math; the slices constant-fold at trace time):
+        # gives XLA one [B,N,nh,hd]->[B,nh,N,hd] transpose per tensor to
+        # fuse instead of the 5-D reshape+transpose of the packed output,
+        # which materialized an extra [B,N,3D] layout copy in the profile
+        w = params[pre + "attn.qkv.weight"]
+        bias = params.get(pre + "attn.qkv.bias")
+
+        def proj(idx):
+            out = _linear(y, w[idx * d:(idx + 1) * d],
+                          None if bias is None else bias[idx * d:(idx + 1) * d],
+                          precision)
+            return out.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = proj(0), proj(1), proj(2)  # each [B, nh, N, hd]
+    else:
+        qkv = _linear(y, params[pre + "attn.qkv.weight"],
+                      params.get(pre + "attn.qkv.bias"), precision)
+        qkv = qkv.reshape(b, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # each [B, nh, N, hd]
 
     if attention_impl is not None and not return_attention and (
             attn_bias is None
