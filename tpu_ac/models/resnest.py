@@ -149,7 +149,12 @@ def _rsoftmax(x: jnp.ndarray, radix: int, cardinality: int) -> jnp.ndarray:
     transpose to radix-major, softmax over radix, and flatten WITHOUT
     transposing back — the flattened gates are radix-major so that
     chunk r of the output aligns with radix-split r of the conv features.
+    radix == 1 uses a sigmoid gate like the official module (no registry
+    config hits it — resnest50d_4s2x40d is radix 4 — but the unit keeps
+    the upstream semantics).
     """
+    if radix == 1:
+        return jax.nn.sigmoid(x)
     b = x.shape[0]
     x = x.reshape(b, cardinality, radix, -1).transpose(0, 2, 1, 3)
     x = jax.nn.softmax(x, axis=1)
