@@ -52,7 +52,7 @@ def flash_attention_impl(q, k, v, scale, attn_bias=None):
         bq = min(bq or 128, s)
         bk = min(bk or 128, s)
         block_sizes = BlockSizes(block_q=bq, block_k_major=bk, block_k=bk,
-                                 block_b=max(1, bb))
+                                 block_b=max(1, min(bb, b)))
     segment_ids = None
     if attn_bias is not None:
         ids = (attn_bias.reshape(-1)[-s:] < -1.0).astype(jnp.int32)  # [S]

@@ -195,15 +195,25 @@ def prepare_tokens(params: Params, images: jnp.ndarray, cfg: ViTConfig,
 # unpadded — XLA's emitter already handles the ragged S=785, and the
 # attention cost is the [B,H,S,S] HBM round trip, not tiling), so the
 # default stays off; the path is exactness-tested and available for
-# other shapes.
-ATTENTION_PAD_RAGGED = False
+# other shapes.  Like the other perf toggles this reads an env var at
+# import (TPU_AC_ATTENTION_PAD_RAGGED=1); NOTE both flags are read at
+# TRACE time — flipping them after a function has jit-compiled keeps the
+# old graph for already-seen shapes.
+import os as _os
+
+ATTENTION_PAD_RAGGED = _os.environ.get(
+    "TPU_AC_ATTENTION_PAD_RAGGED", "0") == "1"
 
 # Compute q/k/v as three sliced projections instead of one packed matmul +
-# 5-D transpose: identical math (the weight slices constant-fold), but XLA
-# fuses the three [B,N,nh,hd]->[B,nh,N,hd] transposes instead of
-# materializing a [B,N,3D] layout copy of the packed output.  Measured on
-# v5e, batch-32 ViT-B/8 bf16 embed: 119.6 vs 125.5 ms.
-QKV_SPLIT = True
+# 5-D transpose: identical math, but XLA fuses the three
+# [B,N,nh,hd]->[B,nh,N,hd] transposes instead of materializing a [B,N,3D]
+# layout copy of the packed output.  The weight slices are static-index
+# views: constants on the unrolled path, per-iteration slices of the
+# scan-carried stacked weight under scan_blocks (where the measured win
+# was taken — batch-32 ViT-B/8 bf16 embed: 119.6 vs 125.5 ms on v5e).
+# Disable with TPU_AC_QKV_SPLIT=0 (read at import; trace-time caveat as
+# above).
+QKV_SPLIT = _os.environ.get("TPU_AC_QKV_SPLIT", "1") != "0"
 
 
 def _attention_xla(q, k, v, scale, precision, attn_bias=None):
