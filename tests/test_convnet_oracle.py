@@ -195,3 +195,88 @@ class TestResNetV2Units:
         want = want * np.asarray(p["n.weight"])[None, :, None, None] \
             + np.asarray(p["n.bias"])[None, :, None, None]
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+def naive_efficientnetv2(x, p, cfg, n_stages):
+    """One image [3, H, W] through the V2 stem + first ``n_stages`` stages.
+
+    Covers the three timm block kinds (efficientnet.py:364-369): "cn"
+    ConvBnAct, "er" EdgeResidual (fused-MBConv: kxk expand conv + 1x1
+    project, no depthwise/SE), and "ir" MBConv with SE sized from block
+    INPUT channels.  SiLU throughout, incl. the SE reduce activation.
+    """
+    eps = cfg.bn_eps
+    x = _silu(naive_bn(_padded_conv(x, p, "conv_stem", 3, 2, cfg.tf_same),
+                       p, "bn1", eps))
+    for si, (kind, _e, _oc, repeats, stride, k, se) in enumerate(cfg.stages):
+        if si >= n_stages:
+            break
+        for bi in range(repeats):
+            pre = f"blocks.{si}.{bi}."
+            s = stride if bi == 0 else 1
+            identity = x
+            if kind == "cn":
+                h = _silu(naive_bn(
+                    _padded_conv(x, p, pre + "conv", k, s, cfg.tf_same),
+                    p, pre + "bn1", eps))
+            elif kind == "er":
+                h = _silu(naive_bn(
+                    _padded_conv(x, p, pre + "conv_exp", k, s, cfg.tf_same),
+                    p, pre + "bn1", eps))
+                h = naive_bn(naive_conv(h, p[pre + "conv_pwl.weight"]),
+                             p, pre + "bn2", eps)
+            else:
+                h = _silu(naive_bn(
+                    naive_conv(x, p[pre + "conv_pw.weight"]),
+                    p, pre + "bn1", eps))
+                mid = h.shape[0]
+                h = _silu(naive_bn(
+                    _padded_conv(h, p, pre + "conv_dw", k, s, cfg.tf_same,
+                                 groups=mid), p, pre + "bn2", eps))
+                if se:
+                    h = naive_se(h, p, pre)
+                h = naive_bn(naive_conv(h, p[pre + "conv_pwl.weight"]),
+                             p, pre + "bn3", eps)
+            if s == 1 and identity.shape[0] == h.shape[0]:
+                h = h + identity
+            x = h
+    return x
+
+
+class TestEfficientNetV2Oracle:
+    @pytest.mark.parametrize("tf_same", [True, False])
+    def test_all_three_block_kinds(self, tf_same):
+        """Tiny custom stage spec exercising cn (with residual on repeat 2),
+        er, and ir+SE, against the float64 naive-loop oracle."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from tpu_ac.models.efficientnet import EFFICIENTNETV2_M, \
+            efficientnetv2_forward, init_efficientnetv2_params
+
+        stages = (
+            ("cn", 1, 8, 2, 1, 3, False),
+            ("er", 2, 12, 2, 2, 3, False),
+            ("ir", 2, 16, 2, 2, 3, True),
+        )
+        cfg = dataclasses.replace(EFFICIENTNETV2_M, stages=stages,
+                                  stem_channels=8, tf_same=tf_same)
+        params = init_efficientnetv2_params(0, cfg)
+        rng = np.random.default_rng(23)
+        params = {k: (jnp.asarray(np.asarray(v)
+                                  + 0.1 * rng.standard_normal(v.shape),
+                                  jnp.float32)
+                      if "running" in k or k.endswith(
+                          ("bn1.weight", "bn2.weight", "bn3.weight"))
+                      else v)
+                  for k, v in params.items()}
+        x = rng.standard_normal((2, 3, 33, 33)).astype(np.float32)  # odd
+        got = np.asarray(efficientnetv2_forward(
+            params, jnp.asarray(x), cfg,
+            taps=("stage1", "stage2", "stage3"))["stage3"])
+        p64 = {k: np.asarray(v, np.float64) for k, v in params.items()}
+        want = np.stack([
+            naive_efficientnetv2(x[i].astype(np.float64), p64, cfg, 3)
+            for i in range(2)])
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)

@@ -176,14 +176,27 @@ class CategoryEmbedder:
             self._device_params = jax.device_put(dict(params))
         self.mesh = mesh
         self._embed = lambda images: _embed(self._device_params, images)
+        # All host->device transfers go through ONE background thread:
+        # device_put blocks the calling thread for the whole transfer on
+        # this backend but RELEASES the GIL (measured: ~500 compute
+        # dispatches issue on the main thread during one in-flight 4.8 MB
+        # upload), so a dedicated uploader keeps the dispatch path free and
+        # lets ``stage`` pre-upload the next work item under the current
+        # one's compute.  One thread suffices — transfers serialize on the
+        # link anyway (two threaded uploads measured no faster than two
+        # serial ones).
+        from concurrent.futures import ThreadPoolExecutor
 
-    def __call__(self, images: np.ndarray) -> jnp.ndarray:
-        """[N, 3, H, W] host images -> [N, P, D] device embeddings.
+        self._uploader = ThreadPoolExecutor(1)
 
-        Pads N up to a multiple of batch_size so only one program shape is
-        ever compiled, then trims the padding.  Batch i+1 is device_put
-        while batch i computes (double-buffered device-side prefetch —
-        dispatch is async, so the upload rides under the compute).
+    def stage(self, images: np.ndarray) -> "_StagedUpload":
+        """Begin uploading ``images`` in the background.
+
+        Returns a token that ``__call__`` accepts in place of the array;
+        callers that know their next work item (e.g. ``run_category_sweep``'s
+        prefetcher) stage it while the current item computes, so even a
+        whole-category single-batch upload rides under compute instead of
+        blocking the dispatch thread.
         """
         n = images.shape[0]
         bs = self._cfg.batch_size
@@ -191,22 +204,40 @@ class CategoryEmbedder:
         if pad:
             images = np.concatenate(
                 [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
-        starts = list(range(0, images.shape[0], bs))
-        chunks = []
 
-        def upload(s):
-            batch = images[s:s + bs]
+        def put(batch):
             if self._batch_sharding is not None:
                 return jax.device_put(batch, self._batch_sharding)
             return jax.device_put(batch)
 
-        next_buf = upload(starts[0])
-        for i, s in enumerate(starts):
-            buf = next_buf
-            if i + 1 < len(starts):
-                next_buf = upload(starts[i + 1])
-            chunks.append(self._embed(buf))
-        return jnp.concatenate(chunks)[:n]
+        futures = [self._uploader.submit(put, images[s:s + bs])
+                   for s in range(0, images.shape[0], bs)]
+        return _StagedUpload(futures, n)
+
+    def __call__(self, images) -> jnp.ndarray:
+        """[N, 3, H, W] host images (or a ``stage()`` token) -> [N, P, D]
+        device embeddings.
+
+        N pads up to a multiple of batch_size so only one program shape is
+        ever compiled, then the padding is trimmed.  Uploads run on the
+        background uploader thread; each batch's embed dispatches as soon
+        as its upload lands, so batch i+1's transfer overlaps batch i's
+        compute without blocking the host.
+        """
+        staged = images if isinstance(images, _StagedUpload) \
+            else self.stage(images)
+        chunks = [self._embed(f.result()) for f in staged.futures]
+        return jnp.concatenate(chunks)[:staged.n]
+
+
+class _StagedUpload:
+    """In-flight host->device upload: per-batch futures + the true N."""
+
+    __slots__ = ("futures", "n")
+
+    def __init__(self, futures, n: int):
+        self.futures = futures
+        self.n = n
 
 
 def _pad_bucket(Z: jnp.ndarray, bucket: int) -> jnp.ndarray:
@@ -464,17 +495,18 @@ def run_category_sweep(source: str, categories: list[str],
     The reference's category loop (examples/main.py:348-366) is fully
     serial: decode category c, embed c, alpha c, fetch c, repeat.  Here
     THREE stages overlap: the test split of category c+1 decodes on host
-    threads while category c's device work is queued, and category c+1's
-    uploads + compute are DISPATCHED before category c's packed (alpha, X)
-    download is resolved (bench.py measures exactly this steady state).
-    Yields (category, result) in order.
+    threads AND starts uploading (``embedder.stage``) while category c's
+    device work is queued, and category c+1's uploads + compute are
+    DISPATCHED before category c's packed (alpha, X) download is resolved
+    (bench.py measures exactly this steady state).  Yields
+    (category, result) in order.
     """
     from concurrent.futures import ThreadPoolExecutor
 
     def load_test_images(category: str):
         ds = MVTecDataset(source, classname=category, resize=cfg.resize,
                           imagesize=cfg.imagesize, split=DatasetSplit.TEST)
-        return ds, ds.load_all_images(uint8=True)
+        return ds, embedder.stage(ds.load_all_images(uint8=True))
 
     if not categories:
         return
