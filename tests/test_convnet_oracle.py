@@ -280,3 +280,85 @@ class TestEfficientNetV2Oracle:
             for i in range(2)])
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
+
+def naive_mnasnet(x, p, cfg, n_stages):
+    """One image [3, H, W] through the MnasNet stem + first ``n_stages``
+    stages (efficientnet.py:221-361): "ds" depthwise-separable first stage
+    (conv_dw + conv_pw, no expansion), "ir" MBConv with per-stage SE.
+    ReLU activations everywhere, incl. the SE reduce."""
+    eps = cfg.bn_eps
+    relu = lambda v: np.maximum(v, 0.0)
+    x = relu(naive_bn(_padded_conv(x, p, "conv_stem", 3, 2, False),
+                      p, "bn1", eps))
+    for si, (kind, _e, _oc, repeats, stride, k, se) in enumerate(cfg.stages):
+        if si >= n_stages:
+            break
+        for bi in range(repeats):
+            pre = f"blocks.{si}.{bi}."
+            s = stride if bi == 0 else 1
+            identity = x
+            if kind == "ds":
+                h = relu(naive_bn(
+                    _padded_conv(x, p, pre + "conv_dw", k, s, False,
+                                 groups=x.shape[0]), p, pre + "bn1", eps))
+                h = naive_bn(naive_conv(h, p[pre + "conv_pw.weight"]),
+                             p, pre + "bn2", eps)
+            else:
+                h = relu(naive_bn(
+                    naive_conv(x, p[pre + "conv_pw.weight"]),
+                    p, pre + "bn1", eps))
+                mid = h.shape[0]
+                h = relu(naive_bn(
+                    _padded_conv(h, p, pre + "conv_dw", k, s, False,
+                                 groups=mid), p, pre + "bn2", eps))
+                if se:
+                    sq = h.mean(axis=(1, 2))
+                    wr = p[pre + "se.conv_reduce.weight"][:, :, 0, 0]
+                    sq = relu(wr @ sq + p[pre + "se.conv_reduce.bias"])
+                    we = p[pre + "se.conv_expand.weight"][:, :, 0, 0]
+                    gate = _sigmoid(we @ sq + p[pre + "se.conv_expand.bias"])
+                    h = h * gate[:, None, None]
+                h = naive_bn(naive_conv(h, p[pre + "conv_pwl.weight"]),
+                             p, pre + "bn3", eps)
+            if s == 1 and identity.shape[0] == h.shape[0]:
+                h = h + identity
+            x = h
+    return x
+
+
+class TestMnasNetOracle:
+    def test_ds_and_ir_se_blocks(self):
+        """Tiny custom spec exercising ds, ir (5x5 kernel), and ir+SE
+        against the float64 naive-loop oracle."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from tpu_ac.models.efficientnet import MNASNET_B1, \
+            init_mnasnet_params, mnasnet_forward
+
+        stages = (
+            ("ds", 1, 8, 1, 1, 3, False),
+            ("ir", 3, 12, 2, 2, 5, False),
+            ("ir", 2, 16, 2, 2, 3, True),
+        )
+        cfg = dataclasses.replace(MNASNET_B1, stages=stages, stem_channels=8)
+        params = init_mnasnet_params(0, cfg)
+        rng = np.random.default_rng(29)
+        params = {k: (jnp.asarray(np.asarray(v)
+                                  + 0.1 * rng.standard_normal(v.shape),
+                                  jnp.float32)
+                      if "running" in k or k.endswith(
+                          ("bn1.weight", "bn2.weight", "bn3.weight"))
+                      else v)
+                  for k, v in params.items()}
+        x = rng.standard_normal((2, 3, 33, 33)).astype(np.float32)  # odd
+        got = np.asarray(mnasnet_forward(
+            params, jnp.asarray(x), cfg,
+            taps=("stage1", "stage2", "stage3"))["stage3"])
+        p64 = {k: np.asarray(v, np.float64) for k, v in params.items()}
+        want = np.stack([
+            naive_mnasnet(x[i].astype(np.float64), p64, cfg, 3)
+            for i in range(2)])
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
