@@ -14,7 +14,6 @@ frozen by tests/test_manifests.py.
 from __future__ import annotations
 
 import numpy as np
-import pytest
 
 
 # ---------------------------------------------------------------------------

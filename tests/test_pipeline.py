@@ -311,6 +311,40 @@ class TestCategorySweep:
             assert res["anomaly_labels"] == serial["anomaly_labels"]
             assert os.path.exists(res["artifact_path"])
 
+    def test_supervised_sweep_matches_serial(self, synth_root, tiny_cfg,
+                                             tiny_embedder):
+        """Supervised mode: the sweep pre-stages train-split uploads on the
+        prefetch thread; the serial path decodes them inline in
+        _dispatch_category. Same seeded truncation -> identical X."""
+        import dataclasses
+
+        from tpu_ac.pipeline import run_category, run_category_sweep
+
+        cfg = dataclasses.replace(tiny_cfg, supervised="supervised")
+        swept = list(run_category_sweep(synth_root, ["bottle"], cfg,
+                                        tiny_embedder))
+        serial = run_category(synth_root, "bottle", cfg, tiny_embedder)
+        assert [c for c, _ in swept] == ["bottle"]
+        np.testing.assert_allclose(swept[0][1]["X"], serial["X"], rtol=1e-6)
+        np.testing.assert_allclose(swept[0][1]["alpha"], serial["alpha"],
+                                   rtol=1e-6)
+
+    def test_close_stops_uploader(self, tiny_cfg):
+        """close() shuts the uploader down (new stage()s rejected) and is
+        idempotent; already-staged uploads still resolve."""
+        from tpu_ac.models import ViTConfig, init_vit_params
+        from tpu_ac.pipeline import CategoryEmbedder
+        vit_cfg = ViTConfig(patch_size=8, embed_dim=64, depth=4, num_heads=4,
+                            img_size=32)
+        emb = CategoryEmbedder(init_vit_params(0, vit_cfg), vit_cfg, tiny_cfg)
+        imgs = np.zeros((2, 3, 48, 48), np.uint8)
+        staged = emb.stage(imgs)
+        emb.close()
+        emb.close()  # idempotent
+        assert emb(staged).shape[0] == 2  # in-flight work still resolves
+        with pytest.raises(RuntimeError):
+            emb.stage(imgs)
+
 
 class TestAlphaProgramReuse:
     def test_one_compile_across_category_sizes(self, rng):

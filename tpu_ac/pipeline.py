@@ -185,9 +185,20 @@ class CategoryEmbedder:
         # one's compute.  One thread suffices — transfers serialize on the
         # link anyway (two threaded uploads measured no faster than two
         # serial ones).
+        import weakref
         from concurrent.futures import ThreadPoolExecutor
 
         self._uploader = ThreadPoolExecutor(1)
+        # Stops the worker thread and cancels any still-queued uploads when
+        # the embedder is garbage-collected or close()d — without this,
+        # abandoning a sweep mid-flight would make interpreter exit drain
+        # the queued device_puts over the tunnel.
+        self._finalizer = weakref.finalize(
+            self, self._uploader.shutdown, wait=False, cancel_futures=True)
+
+    def close(self) -> None:
+        """Stop the uploader thread, cancelling any queued uploads."""
+        self._finalizer()
 
     def stage(self, images: np.ndarray) -> "_StagedUpload":
         """Begin uploading ``images`` in the background.
@@ -197,6 +208,10 @@ class CategoryEmbedder:
         prefetcher) stage it while the current item computes, so even a
         whole-category single-batch upload rides under compute instead of
         blocking the dispatch thread.
+
+        Ownership of ``images`` transfers to the uploader until every batch
+        has landed (async-send semantics): batches are sliced as VIEWS, so
+        mutating the array after staging would corrupt in-flight uploads.
         """
         n = images.shape[0]
         bs = self._cfg.batch_size
@@ -405,16 +420,41 @@ def run_category(source: str, category: str, cfg: PipelineConfig,
                                 embedder, output_dir, dataset_name, seed)
 
 
+def _load_train_images(source: str, category: str, cfg: PipelineConfig,
+                       n_test: int, seed: int) -> np.ndarray:
+    """Decode the supervised train split as uint8 [N, 3, H, W].
+
+    Reference quirk reproduced (examples/main.py:281): the train set is
+    truncated to ``train_ratio * len(test set)``, in (shuffled) order.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tpu_ac.data.mvtec import load_image_uint8
+
+    train_ds = MVTecDataset(source, classname=category, resize=cfg.resize,
+                            imagesize=cfg.imagesize,
+                            split=DatasetSplit.TRAIN)
+    order = np.random.default_rng(seed).permutation(len(train_ds))
+    keep = order[: int(cfg.train_ratio * n_test)]
+    with ThreadPoolExecutor(min(16, os.cpu_count() or 1)) as pool:
+        return np.stack(list(pool.map(
+            lambda i: load_image_uint8(train_ds.items[int(i)].image_path,
+                                       cfg.resize, cfg.imagesize),
+            keep)))
+
+
 def _dispatch_category(source: str, category: str, test_ds, images,
                        cfg: PipelineConfig, embedder: CategoryEmbedder,
-                       seed: int) -> dict:
+                       seed: int, train_images=None) -> dict:
     """Queue one category's device work WITHOUT blocking on the result.
 
     Embedding + alpha + X are dispatched asynchronously and the packed
     [N, P+D] result starts its device->host copy early
     (``copy_to_host_async``); the caller resolves it later — which is how
     ``run_category_sweep`` overlaps category c+1's uploads and compute
-    with category c's download.
+    with category c's download.  ``train_images`` (supervised mode) may be
+    a pre-staged upload token from the sweep prefetcher; decoding happens
+    here only on the serial path.
     """
     from tpu_ac.utils.profiling import step_annotation
 
@@ -423,26 +463,10 @@ def _dispatch_category(source: str, category: str, test_ds, images,
 
         Z_train = None
         if cfg.supervised == "supervised":
-            train_ds = MVTecDataset(source, classname=category,
-                                    resize=cfg.resize,
-                                    imagesize=cfg.imagesize,
-                                    split=DatasetSplit.TRAIN)
-            # Reference quirk reproduced (examples/main.py:281): the train
-            # set is truncated to train_ratio * len(test set), in
-            # (shuffled) order.
-            from tpu_ac.data.mvtec import load_image_uint8
-
-            order = np.random.default_rng(seed).permutation(len(train_ds))
-            keep = order[: int(cfg.train_ratio * len(test_ds))]
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(min(16, os.cpu_count() or 1)) as pool:
-                train_imgs = np.stack(list(pool.map(
-                    lambda i: load_image_uint8(
-                        train_ds.items[int(i)].image_path,
-                        cfg.resize, cfg.imagesize),
-                    keep)))
-            Z_train = embedder(train_imgs)
+            if train_images is None:
+                train_images = _load_train_images(source, category, cfg,
+                                                  len(test_ds), seed)
+            Z_train = embedder(train_images)
 
         packed = compute_alpha_X(Z, cfg.supervised, cfg.tau, Z_train,
                                  precision=cfg.resolved_alpha_precision,
@@ -503,23 +527,34 @@ def run_category_sweep(source: str, categories: list[str],
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    def load_test_images(category: str):
+    def load_category_images(category: str):
+        # Stage order is load-bearing: the one-thread uploader is FIFO, so
+        # staging c's test THEN c's train here (before c+1 is prefetched)
+        # keeps every category's critical-path uploads ahead of the next
+        # category's.
         ds = MVTecDataset(source, classname=category, resize=cfg.resize,
                           imagesize=cfg.imagesize, split=DatasetSplit.TEST)
-        return ds, embedder.stage(ds.load_all_images(uint8=True))
+        staged = embedder.stage(ds.load_all_images(uint8=True))
+        train = None
+        if cfg.supervised == "supervised":
+            train = embedder.stage(_load_train_images(
+                source, category, cfg, len(ds), seed))
+        return ds, staged, train
 
     if not categories:
         return
 
     with ThreadPoolExecutor(1) as prefetcher:
-        nxt = prefetcher.submit(load_test_images, categories[0])
+        nxt = prefetcher.submit(load_category_images, categories[0])
         pending = None
         for i, category in enumerate(categories):
-            test_ds, images = nxt.result()
+            test_ds, images, train_images = nxt.result()
             if i + 1 < len(categories):
-                nxt = prefetcher.submit(load_test_images, categories[i + 1])
+                nxt = prefetcher.submit(load_category_images,
+                                        categories[i + 1])
             cur = _dispatch_category(source, category, test_ds, images,
-                                     cfg, embedder, seed)
+                                     cfg, embedder, seed,
+                                     train_images=train_images)
             if pending is not None:
                 yield pending["category"], _resolve_category(
                     pending, cfg, output_dir, dataset_name)
