@@ -315,35 +315,65 @@ class TestCategorySweep:
                                              tiny_embedder):
         """Supervised mode: the sweep pre-stages train-split uploads on the
         prefetch thread; the serial path decodes them inline in
-        _dispatch_category. Same seeded truncation -> identical X."""
+        _dispatch_category. Same seeded truncation -> identical X.  Two
+        categories so the per-category train tokens must be routed to the
+        right _dispatch_category (a token mix-up across the FIFO uploader
+        would corrupt one category's Z_train)."""
         import dataclasses
 
+        from tpu_ac.data.mvtec import make_synthetic_mvtec
         from tpu_ac.pipeline import run_category, run_category_sweep
 
+        make_synthetic_mvtec(synth_root, classname="cable", seed=3)
         cfg = dataclasses.replace(tiny_cfg, supervised="supervised")
-        swept = list(run_category_sweep(synth_root, ["bottle"], cfg,
+        cats = ["bottle", "cable"]
+        swept = list(run_category_sweep(synth_root, cats, cfg,
                                         tiny_embedder))
-        serial = run_category(synth_root, "bottle", cfg, tiny_embedder)
-        assert [c for c, _ in swept] == ["bottle"]
-        np.testing.assert_allclose(swept[0][1]["X"], serial["X"], rtol=1e-6)
-        np.testing.assert_allclose(swept[0][1]["alpha"], serial["alpha"],
-                                   rtol=1e-6)
+        assert [c for c, _ in swept] == cats
+        for (cat, res) in swept:
+            serial = run_category(synth_root, cat, cfg, tiny_embedder)
+            np.testing.assert_allclose(res["X"], serial["X"], rtol=1e-6)
+            np.testing.assert_allclose(res["alpha"], serial["alpha"],
+                                       rtol=1e-6)
 
-    def test_close_stops_uploader(self, tiny_cfg):
-        """close() shuts the uploader down (new stage()s rejected) and is
-        idempotent; already-staged uploads still resolve."""
+    def test_close_cancels_queued_uploads(self, tiny_cfg):
+        """close() cancels queued-but-unstarted uploads, is idempotent, and
+        rejects new stage()s.  The worker is pinned on a blocker task so the
+        staged uploads are deterministically still queued at close() time
+        (cancelled either by close()'s drain or, if the worker had not yet
+        dequeued the blocker, by the worker's own sentinel drain)."""
+        import threading
+        from concurrent.futures import CancelledError
+
         from tpu_ac.models import ViTConfig, init_vit_params
         from tpu_ac.pipeline import CategoryEmbedder
         vit_cfg = ViTConfig(patch_size=8, embed_dim=64, depth=4, num_heads=4,
                             img_size=32)
         emb = CategoryEmbedder(init_vit_params(0, vit_cfg), vit_cfg, tiny_cfg)
         imgs = np.zeros((2, 3, 48, 48), np.uint8)
+        release = threading.Event()
+        emb._uploader.submit(release.wait)  # pin the single worker
         staged = emb.stage(imgs)
         emb.close()
         emb.close()  # idempotent
-        assert emb(staged).shape[0] == 2  # in-flight work still resolves
+        release.set()
+        with pytest.raises(CancelledError):
+            emb(staged)
         with pytest.raises(RuntimeError):
             emb.stage(imgs)
+
+    def test_uploader_thread_is_daemon(self, tiny_cfg):
+        """Interpreter exit must ABANDON queued uploads, not drain them over
+        the tunnel — which requires a daemon worker thread (non-daemon
+        executor workers are joined by threading._shutdown BEFORE weakref
+        finalizers run, so queued device_puts would all execute at exit)."""
+        from tpu_ac.models import ViTConfig, init_vit_params
+        from tpu_ac.pipeline import CategoryEmbedder
+        vit_cfg = ViTConfig(patch_size=8, embed_dim=64, depth=4, num_heads=4,
+                            img_size=32)
+        emb = CategoryEmbedder(init_vit_params(0, vit_cfg), vit_cfg, tiny_cfg)
+        assert emb._uploader._thread.daemon
+        emb.close()
 
 
 class TestAlphaProgramReuse:

@@ -186,18 +186,15 @@ class CategoryEmbedder:
         # link anyway (two threaded uploads measured no faster than two
         # serial ones).
         import weakref
-        from concurrent.futures import ThreadPoolExecutor
 
-        self._uploader = ThreadPoolExecutor(1)
-        # Stops the worker thread and cancels any still-queued uploads when
-        # the embedder is garbage-collected or close()d — without this,
-        # abandoning a sweep mid-flight would make interpreter exit drain
-        # the queued device_puts over the tunnel.
-        self._finalizer = weakref.finalize(
-            self, self._uploader.shutdown, wait=False, cancel_futures=True)
+        self._uploader = _Uploader()
+        # Stops the worker and cancels still-queued uploads if the embedder
+        # is garbage-collected without close().
+        self._finalizer = weakref.finalize(self, self._uploader.close)
 
     def close(self) -> None:
-        """Stop the uploader thread, cancelling any queued uploads."""
+        """Stop the uploader thread, cancelling any queued (unstarted)
+        uploads; the in-flight one, if any, completes."""
         self._finalizer()
 
     def stage(self, images: np.ndarray) -> "_StagedUpload":
@@ -225,7 +222,8 @@ class CategoryEmbedder:
                 return jax.device_put(batch, self._batch_sharding)
             return jax.device_put(batch)
 
-        futures = [self._uploader.submit(put, images[s:s + bs])
+        futures = [self._uploader.submit(functools.partial(
+                       put, images[s:s + bs]))
                    for s in range(0, images.shape[0], bs)]
         return _StagedUpload(futures, n)
 
@@ -253,6 +251,81 @@ class _StagedUpload:
     def __init__(self, futures, n: int):
         self.futures = futures
         self.n = n
+
+
+class _Uploader:
+    """One background DAEMON thread that owns every ``device_put``.
+
+    A daemon thread (rather than a ``ThreadPoolExecutor``) is load-bearing
+    for shutdown semantics: executor workers are non-daemon and are joined
+    by ``threading._shutdown`` BEFORE atexit/weakref finalizers run, so a
+    process that exits with uploads still queued would first DRAIN them all
+    over the ~40-50 MB/s tunnel (measured: queued work runs to completion
+    at interpreter exit despite a ``shutdown(cancel_futures=True)``
+    finalizer).  With a daemon worker, interpreter exit simply abandons the
+    queue; ``close()`` cancels queued-but-unstarted uploads explicitly.
+    """
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q = queue.Queue()
+        self._closed = False
+        self._thread = threading.Thread(
+            target=self._run, daemon=True, name="tpu_ac-uploader")
+        self._thread.start()
+
+    def _run(self):
+        import queue
+
+        while True:
+            item = self._q.get()
+            if item is None:
+                # a submit() racing close() may have slipped items behind
+                # the sentinel — cancel them instead of leaving their
+                # futures forever pending
+                try:
+                    while True:
+                        leftover = self._q.get_nowait()
+                        if leftover is not None:
+                            leftover[0].cancel()
+                except queue.Empty:
+                    pass
+                return
+            future, fn = item
+            if not future.set_running_or_notify_cancel():
+                continue  # cancelled by close() while queued
+            try:
+                future.set_result(fn())
+            except BaseException as e:  # delivered at .result()
+                future.set_exception(e)
+
+    def submit(self, fn):
+        from concurrent.futures import Future
+
+        if self._closed:
+            raise RuntimeError("uploader is closed")
+        future = Future()
+        self._q.put((future, fn))
+        return future
+
+    def close(self):
+        """Cancel every queued (unstarted) upload and stop the worker; an
+        already-running upload completes normally."""
+        import queue
+
+        if self._closed:
+            return
+        self._closed = True
+        try:
+            while True:
+                item = self._q.get_nowait()
+                if item is not None:
+                    item[0].cancel()
+        except queue.Empty:
+            pass
+        self._q.put(None)
 
 
 def _pad_bucket(Z: jnp.ndarray, bucket: int) -> jnp.ndarray:
