@@ -133,6 +133,17 @@ class TestCdist:
         np.testing.assert_allclose(_np(d_a), _np(d_b), rtol=1e-6, atol=1e-6)
         np.testing.assert_array_equal(_np(i_a), _np(i_b))
 
+    def test_knn_ip_tiled_matches_untiled(self, rng):
+        """SCAN mines with the whole bank as queries — the tiled IP path
+        (bounding the live [tile, N] similarity matrix) must reproduce the
+        one-shot matmul exactly, including the non-divisible tail."""
+        q = rng.standard_normal((300, 16)).astype(np.float32)
+        db = rng.standard_normal((128, 16)).astype(np.float32)
+        s_a, i_a = ops.knn_ip(jnp.asarray(q), jnp.asarray(db), k=3, tile=128)
+        s_b, i_b = ops.knn_ip(jnp.asarray(q), jnp.asarray(db), k=3, tile=4096)
+        np.testing.assert_allclose(_np(s_a), _np(s_b), rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(_np(i_a), _np(i_b))
+
 
 class TestGaussianBlur:
     def test_matches_scipy(self, rng):

@@ -376,6 +376,23 @@ class TestCategorySweep:
         emb.close()
 
 
+class TestSingleImageGuard:
+    def test_unsupervised_single_image_raises(self, rng):
+        """The unsupervised weight divides by n-1 (mean over OTHER images);
+        the reference silently NaNs on a 1-image category — we fail loudly
+        instead of flowing NaN alphas into clustering."""
+        import jax.numpy as jnp
+
+        from tpu_ac.pipeline import compute_alpha_X
+
+        Z = jnp.asarray(rng.standard_normal((1, 9, 16)), jnp.float32)
+        with pytest.raises(ValueError, match=">= 2 images"):
+            compute_alpha_X(Z, "unsupervised", tau=1.0)
+        # 'average' mode has no cross-image term and must still work
+        alpha, X = compute_alpha_X(Z, "average", tau=1.0)
+        assert np.isfinite(np.asarray(alpha)).all()
+
+
 class TestAlphaProgramReuse:
     def test_one_compile_across_category_sizes(self, rng):
         """Different category sizes inside one n_bucket must reuse ONE

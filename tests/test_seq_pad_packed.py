@@ -142,6 +142,21 @@ class TestFlashWrapperLogic:
         attn_mod.flash_attention_impl(q, q, q, 0.5, None)
         assert captured["segment_ids"] is None
 
+    def test_per_batch_bias_rejected(self, rng):
+        """Per-batch masks (and genuinely additive biases) are NOT
+        representable as the kernel's batch-uniform segment-id mask —
+        collapsing them silently would misattend other batch items, so the
+        wrapper must reject anything but a [1, ..., 1, S] mask."""
+        import tpu_ac.kernels.attention as attn_mod
+
+        q = jnp.asarray(rng.standard_normal((2, 2, 128, 64)), jnp.float32)
+        per_batch = jnp.zeros((2, 1, 1, 128))
+        with pytest.raises(NotImplementedError):
+            attn_mod.flash_attention_impl(q, q, q, 0.5, per_batch)
+        wrong_s = jnp.zeros((1, 1, 1, 64))
+        with pytest.raises(NotImplementedError):
+            attn_mod.flash_attention_impl(q, q, q, 0.5, wrong_s)
+
 
 class TestRaggedAttentionPad:
     def test_exactness_and_attn_shape(self, rng, tiny_vit):

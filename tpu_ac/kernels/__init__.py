@@ -5,11 +5,13 @@
   without the [P, N*P] distance intermediate ever touching HBM.  Three
   precision modes: f32 (parity), bf16c (compensated hi/lo split), bf16.
 
-A fused Pallas attention kernel used to live here; it lost to XLA's fused
-dense attention at the flagship ViT-B/8 shape in both f32 (151 vs 164
-img/s) and bf16 (131 vs 125 ms per 32-image embed), so the XLA path is the
-only attention implementation (models/vit.py still accepts a custom
-``attention_impl`` callable for experimentation).
+- ``attention.flash_attention_impl``: opt-in wrapper over the stock Pallas
+  TPU flash kernel (``attention_impl="flash"`` + ``seq_pad=True`` on the
+  pipeline/ViT).  It MEASURES SLOWER than XLA's fused dense attention at
+  the flagship ViT-B/8 shape (135-231 vs 123 ms per batch-32 embed — see
+  PERF.md), so XLA is the default attention path; the wrapper ships for
+  experimentation on other shapes (a hand-written r2 kernel that also lost
+  was deleted).
 """
 
 from tpu_ac.kernels.distances import min_dists_all_pairs, min_dists_to_sets

@@ -29,9 +29,12 @@ def flash_attention_impl(q, k, v, scale, attn_bias=None):
     Args:
         q, k, v: [B, H, S, Dh] with S a multiple of 128.
         scale: softmax scale (head_dim ** -0.5).
-        attn_bias: optional [..., S] additive key mask from the trunk's
-            seq_pad (finite = valid, very-negative = padding); converted to
-            the kernel's segment-id mask.
+        attn_bias: optional batch-uniform additive key mask of shape
+            [1, ..., 1, S] from the trunk's seq_pad (finite = valid,
+            very-negative = padding); converted to the kernel's segment-id
+            mask.  Per-batch masks and genuinely additive biases are NOT
+            representable as segment ids and are rejected — use the XLA
+            attention path for those.
     Returns:
         [B, H, S, Dh]
     """
@@ -55,7 +58,13 @@ def flash_attention_impl(q, k, v, scale, attn_bias=None):
                                  block_b=max(1, min(bb, b)))
     segment_ids = None
     if attn_bias is not None:
-        ids = (attn_bias.reshape(-1)[-s:] < -1.0).astype(jnp.int32)  # [S]
+        if attn_bias.shape[-1] != s or \
+                any(dim != 1 for dim in attn_bias.shape[:-1]):
+            raise NotImplementedError(
+                "flash attention_impl supports only a batch-uniform "
+                f"[1, ..., 1, S] key mask; got {attn_bias.shape}. "
+                "Per-batch or truly additive biases need the XLA path.")
+        ids = (attn_bias.reshape(-1) < -1.0).astype(jnp.int32)  # [S]
         ids = jnp.broadcast_to(ids, (b, s))
         segment_ids = SegmentIds(q=ids, kv=ids)
 

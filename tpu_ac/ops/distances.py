@@ -72,16 +72,35 @@ def knn(query: jnp.ndarray, index: jnp.ndarray, k: int,
     return dists.reshape(-1, k)[:m], idxs.reshape(-1, k)[:m]
 
 
-def knn_ip(query: jnp.ndarray, index: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+def knn_ip(query: jnp.ndarray, index: jnp.ndarray, k: int,
+           *, tile: int = 4096) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact k-NN by inner product (FAISS IndexFlatIP.search) — used by
     SCAN's neighbor mining (Unsupervised-Classification-master/utils/
     memory.py:46-65) on (normalized) memory-bank features.
 
+    Query rows are tiled like :func:`knn` so the live [tile, N] similarity
+    matrix bounds HBM — SCAN mines with the whole bank as queries, where an
+    untiled [N, N] f32 matrix would be ~10 GB at N=50k.
+
     Returns (similarities [M, k], indices [M, k]), descending.
     """
-    sims = jax.lax.dot_general(
-        query, index,
-        dimension_numbers=(((query.ndim - 1,), (index.ndim - 1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return jax.lax.top_k(sims, k)
+    def sims_of(q):
+        return jax.lax.dot_general(
+            q, index,
+            dimension_numbers=(((q.ndim - 1,), (index.ndim - 1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    m = query.shape[0]
+    if m <= tile:
+        return jax.lax.top_k(sims_of(query), k)
+
+    pad = (-m) % tile
+    q = jnp.pad(query, ((0, pad), (0, 0)))
+    q = q.reshape(-1, tile, query.shape[1])
+
+    def step(_, qt):
+        return None, jax.lax.top_k(sims_of(qt), k)
+
+    _, (sims, idxs) = jax.lax.scan(step, None, q)
+    return sims.reshape(-1, k)[:m], idxs.reshape(-1, k)[:m]

@@ -39,6 +39,7 @@ def tf_same_pads(size: int, k: int, s: int) -> tuple[int, int]:
     return total // 2, total - total // 2
 
 
+@functools.lru_cache(maxsize=64)
 def _adaptive_pool_tables(length: int, out: int) -> tuple[np.ndarray, np.ndarray]:
     """Static gather indices + weights for torch adaptive_avg_pool1d.
 

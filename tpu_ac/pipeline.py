@@ -386,6 +386,13 @@ def compute_alpha_X(Z: jnp.ndarray, supervised: str, tau: float,
     import jax
 
     n = Z.shape[0]
+    if n < 2 and supervised == "unsupervised":
+        # the per-image weight is a mean over the OTHER images' distances
+        # (divides by n-1); the reference NaNs identically on a 1-image
+        # category (mean of an empty tensor) — fail loudly instead of
+        # flowing silent NaNs into clustering
+        raise ValueError(
+            f"unsupervised alpha needs >= 2 images per category, got {n}")
     if use_mesh is None:
         use_mesh = jax.device_count() > 1 and supervised != "average"
     if use_mesh and supervised in ("supervised", "unsupervised"):
