@@ -80,3 +80,36 @@ class TestSCANAugmentations:
     def test_weak_shape(self, img):
         out = WeakAugmentation(size=32, seed=0)(img)
         assert out.shape == (3, 32, 32)
+
+    def test_val_transform_matches_torchvision_semantics(self):
+        """ValTransform must be the reference's deterministic val pipeline:
+        CenterCrop(size) + ToTensor + Normalize (common_config.py:247-251)
+        — used for memory-bank fills and all SCAN predictions.  torchvision
+        is not installed here, so the oracle reimplements F.center_crop's
+        documented coordinate math (crop_top = round((h - ch) / 2), zero
+        padding when the image is smaller) directly in numpy."""
+        from tpu_ac.data.augment import ValTransform
+        from tpu_ac.data.mvtec import IMAGENET_MEAN, IMAGENET_STD
+
+        rng = np.random.default_rng(0)
+        for w, h, size in ((40, 36, 32), (33, 47, 32), (32, 32, 32),
+                           (28, 30, 32)):
+            arr = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+            padded = arr
+            if w < size or h < size:
+                pw, ph = max(size - w, 0), max(size - h, 0)
+                padded = np.pad(arr, ((ph // 2, ph - ph // 2),
+                                      (pw // 2, pw - pw // 2), (0, 0)))
+            hh, ww = padded.shape[:2]
+            top = int(round((hh - size) / 2.0))
+            left = int(round((ww - size) / 2.0))
+            crop = padded[top:top + size, left:left + size]
+            want = ((crop / 255.0 - IMAGENET_MEAN) /
+                    IMAGENET_STD).transpose(2, 0, 1)
+            got = ValTransform(size=size)(Image.fromarray(arr))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_val_transform_deterministic(self, img):
+        from tpu_ac.data.augment import ValTransform
+        t = ValTransform(size=32)
+        np.testing.assert_array_equal(t(img), t(img))

@@ -87,6 +87,7 @@ class TestMocoStage:
             "feature_dim: 16\n"
             "batch_size: 4\n"
             "num_neighbors: 2\n"
+            "epochs: 1\n"
             f"subset_file: {subset}\n")
         main(["moco", "--config_env", str(env), "--config_exp", str(exp)])
         base = os.path.join(str(out), "artifacts", "imagenet_50")
@@ -97,6 +98,11 @@ class TestMocoStage:
         assert os.path.exists(os.path.join(base, "top5-val-neighbors.npy"))
         assert os.path.isdir(os.path.join(base, "pretext",
                                           "model-00000000"))
+        # the moco -> scan handoff must restore the optimizer-free pretext
+        # model (regression: a full-train-state template hardcoding the
+        # SimCLR optimizer could not load moco-saved checkpoints)
+        main(["scan", "--config_env", str(env), "--config_exp", str(exp)])
+        assert os.path.isdir(os.path.join(base, "scan", "model-00000000"))
 
     def test_load_imagenet_subset_dataset(self, synthetic_imagenet):
         from tpu_ac.data.classification import load_imagenet

@@ -101,8 +101,12 @@ def train_dino(args) -> dict:
     vit_cfg = ViTConfig(
         **{**_ARCHS[args.arch].__dict__, "patch_size": args.patch_size,
            "img_size": args.global_size})
-    steps_per_epoch = max(1, len(dataset) // jax.process_count()
-                          // args.batch_size_per_gpu)
+    # must equal the batch count epoch_batches actually yields per shard:
+    # shards are WRAP-PADDED to ceil(n/shards) (DistributedSampler
+    # semantics), so flooring n/shards first would under-count and run the
+    # lr/wd/momentum schedules at the wrong pace on multi-host
+    per_shard = -(-len(dataset) // jax.process_count())
+    steps_per_epoch = max(1, per_shard // args.batch_size_per_gpu)
     if args.max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
     cfg = DINOConfig(

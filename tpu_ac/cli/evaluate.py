@@ -18,11 +18,6 @@ import csv
 import os
 
 
-from tpu_ac.cluster.metrics import (
-    agglomerative_cluster,
-    clustering_scores,
-    encode_labels,
-)
 from tpu_ac.data.mvtec import DatasetSplit, MVTecDataset
 from tpu_ac.pipeline import PipelineConfig, artifact_dir, load_alpha_X
 
@@ -59,13 +54,17 @@ def export_alpha_heatmaps(pickle_path: str, source: str, category: str,
 
 
 def evaluate_category(pickle_path: str, anomaly_labels: list[str]) -> tuple[dict, int]:
-    """One calculate_metrics call (test.py:134-226): returns (scores, n_kept)."""
+    """One calculate_metrics call (test.py:134-226): returns (scores, n_kept).
+
+    Delegates to ``pipeline.category_metrics`` — the 'combined'-drop /
+    encode / agglomerative / hungarian protocol is load-bearing (PARITY
+    #4) and must have exactly ONE implementation.
+    """
+    from tpu_ac.pipeline import category_metrics
+
     _alpha, X = load_alpha_X(pickle_path)
-    keep = [i for i, a in enumerate(anomaly_labels) if a != "combined"]
-    X = X[keep]
-    labels = encode_labels([anomaly_labels[i] for i in keep])
-    preds = agglomerative_cluster(X, n_clusters=len(set(labels.tolist())))
-    return clustering_scores(labels, preds), len(keep)
+    n_kept = sum(1 for a in anomaly_labels if a != "combined")
+    return category_metrics(X, anomaly_labels), n_kept
 
 
 def run_sweep(args) -> None:

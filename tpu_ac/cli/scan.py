@@ -23,6 +23,7 @@ from tpu_ac.cluster.metrics import clustering_scores, hungarian_evaluate
 from tpu_ac.data.augment import (
     SimCLRAugmentation,
     StrongAugmentation,
+    ValTransform,
     WeakAugmentation,
 )
 from tpu_ac.data.classification import (
@@ -144,18 +145,20 @@ def run_simclr(cfg) -> None:
         save_checkpoint(cfg.pretext_dir, "checkpoint", state, step=epoch,
                         extra={"epoch": epoch}, keep=1)
 
-    # final: fill memory bank with weak-transform features, mine neighbors.
-    # SEQUENTIAL dataset order (like utils.fill_memory_bank): the bank's
-    # row r must hold image r, because the mined neighbor indices are
-    # consumed by run_scan as dataset indices — a shuffled / tail-dropping
-    # fill would silently pair every anchor with a different image's
-    # neighbors.
-    weak = WeakAugmentation(size=size, seed=0)
+    # final: fill memory bank with DETERMINISTIC val-transform features
+    # (simclr.py:64,133 fills through the base/val dataloaders built on
+    # get_val_transformations — center crop, no random crop/flip), mine
+    # neighbors.  SEQUENTIAL dataset order (like utils.fill_memory_bank):
+    # the bank's row r must hold image r, because the mined neighbor
+    # indices are consumed by run_scan as dataset indices — a shuffled /
+    # tail-dropping fill would silently pair every anchor with a different
+    # image's neighbors.
+    val_t = ValTransform(size=size)
     bank = MemoryBank(len(ds), mcfg.feature_dim,
                       num_classes=cfg.get("num_classes", 10))
     for i in range(0, len(ds), bs):
         idxs = np.arange(i, min(i + bs, len(ds)))
-        imgs = np.stack([weak(ds.get_pil(int(j))) for j in idxs])
+        imgs = np.stack([val_t(ds.get_pil(int(j))) for j in idxs])
         emb, _, _ = contrastive_forward(state.params, state.bn_state,
                                         jnp.asarray(imgs), mcfg)
         bank.update(np.asarray(emb), ds.labels[idxs])
@@ -163,7 +166,11 @@ def run_simclr(cfg) -> None:
     idx, acc = bank.mine_nearest_neighbors(topk)
     print(f"neighbor mining accuracy (top-{topk}): {acc:.4f}")
     np.save(cfg.topk_neighbors_train_path, idx)
-    save_checkpoint(cfg.pretext_dir, "model", state, step=0)
+    # cross-stage "model" checkpoints carry params+bn ONLY: the consumer
+    # (scan stage, tutorial) must not need to know which pretext stage —
+    # and therefore which optimizer state structure — produced them
+    save_checkpoint(cfg.pretext_dir, "model",
+                    {"params": state.params, "bn": state.bn_state}, step=0)
 
 
 def run_moco(cfg) -> None:
@@ -204,9 +211,8 @@ def run_moco(cfg) -> None:
               "and set moco_checkpoint:; the reference downloads it, "
               "moco.py:64-66)")
 
-    opt = optax.sgd(cfg.get("lr", 0.03))
-    state = init_train_state(params, bn, opt)
-    save_checkpoint(cfg.pretext_dir, "model", state, step=0)
+    save_checkpoint(cfg.pretext_dir, "model",
+                    {"params": params, "bn": bn}, step=0)
 
     @jax.jit
     def backbone_feats(p, b, imgs):
@@ -226,8 +232,7 @@ def run_moco(cfg) -> None:
             idxs = np.arange(i, min(i + bs, len(ds)))
             imgs = np.stack([to_normalized_array(ds.get_pil(int(j)))
                              for j in idxs])
-            emb = backbone_feats(state.params, state.bn_state,
-                                 jnp.asarray(imgs))
+            emb = backbone_feats(params, bn, jnp.asarray(imgs))
             bank.update(np.asarray(emb), ds.labels[idxs])
         idx, acc = bank.mine_nearest_neighbors(topk)
         np.save(path, idx)
@@ -247,16 +252,14 @@ def run_scan(cfg) -> None:
     # transfer pretext backbone weights (common_config.py:87-94)
     pre_ckpt = latest_checkpoint(cfg.pretext_dir, "model")
     if pre_ckpt:
+        # optimizer-free template: works whether simclr or moco wrote it
         pre_params, pre_bn = init_contrastive_model(cfg.get("seed", 0), mcfg)
-        pre_opt = optax.chain(
-            optax.add_decayed_weights(cfg.get("weight_decay", 1e-4)),
-            optax.sgd(cfg.get("lr", 0.4), momentum=0.9))
-        template = init_train_state(pre_params, pre_bn, pre_opt)
-        pre_state, _ = restore_checkpoint(pre_ckpt, template)
-        for k, v in pre_state.params.items():
+        pre, _ = restore_checkpoint(pre_ckpt,
+                                    {"params": pre_params, "bn": pre_bn})
+        for k, v in pre["params"].items():
             if not k.startswith("contrastive_head") and k in params:
                 params[k] = v
-        bn = dict(pre_state.bn_state)
+        bn = dict(pre["bn"])
 
     opt = optax.adam(cfg.get("scan_lr", 1e-4))
     state = init_train_state(params, bn, opt)
@@ -287,26 +290,29 @@ def run_scan(cfg) -> None:
                            else head_losses + batch_head)
         print(f"scan epoch {epoch}: loss {np.mean(totals):.4f}")
     best = scan_evaluate_heads(head_losses)
-    save_checkpoint(cfg.scan_dir, "model", state, step=0,
+    save_checkpoint(cfg.scan_dir, "model",
+                    {"params": state.params, "bn": state.bn_state}, step=0,
                     extra={"best_head": best})
     # hungarian eval on train labels incl. Top-5 (scan.py:118-120,
     # evaluate_utils.py:122-159)
-    probs = _predict_probs(state, ds, mcfg, size)
+    probs = _predict_probs(state.params, state.bn_state, ds, mcfg, size)
     ev = hungarian_evaluate(probs[best], ds.labels)
     print(f"scan best head {best}: hungarian ACC {ev['ACC']:.4f} "
           f"Top-5 {ev['ACC Top-5']:.4f} NMI {ev['NMI']:.4f} "
           f"ARI {ev['ARI']:.4f}")
 
 
-def _predict_probs(state, ds, mcfg, size, batch_size: int = 256) -> np.ndarray:
-    """[heads, N, C] softmax class probabilities under weak augmentation
-    (get_predictions, evaluate_utils.py:34-84)."""
-    weak = WeakAugmentation(size=size, seed=0)
+def _predict_probs(params, bn_state, ds, mcfg, size,
+                   batch_size: int = 256) -> np.ndarray:
+    """[heads, N, C] softmax class probabilities under the DETERMINISTIC
+    val transform (get_predictions runs on dataloaders built with
+    get_val_transformations, evaluate_utils.py:34-84 + scan.py:66-71)."""
+    val_t = ValTransform(size=size)
     all_logits = []
     for i in range(0, len(ds), batch_size):
-        imgs = np.stack([weak(ds.get_pil(j))
+        imgs = np.stack([val_t(ds.get_pil(j))
                          for j in range(i, min(i + batch_size, len(ds)))])
-        logits, _, _ = clustering_forward(state.params, state.bn_state,
+        logits, _, _ = clustering_forward(params, bn_state,
                                           jnp.asarray(imgs), mcfg)
         all_logits.append(np.asarray(jax.nn.softmax(logits, axis=-1)))
     return np.concatenate(all_logits, axis=1)  # [heads, N, C]
@@ -323,20 +329,19 @@ def run_selflabel(cfg) -> None:
 
     # load best SCAN head only (common_config.py:95-106)
     params, bn = init_clustering_model(cfg.get("seed", 0), scan_cfg)
-    opt_t = optax.adam(1e-4)
-    template = init_train_state(params, bn, opt_t)
     scan_ckpt = latest_checkpoint(cfg.scan_dir, "model")
-    state_scan, meta = restore_checkpoint(scan_ckpt, template)
+    scan_pb, meta = restore_checkpoint(scan_ckpt,
+                                       {"params": params, "bn": bn})
     best = meta["extra"].get("best_head", 0)
-    sl_params = {k: v for k, v in state_scan.params.items()
+    sl_params = {k: v for k, v in scan_pb["params"].items()
                  if not k.startswith("cluster_head")}
-    sl_params["cluster_head.0.weight"] = state_scan.params[
+    sl_params["cluster_head.0.weight"] = scan_pb["params"][
         f"cluster_head.{best}.weight"]
-    sl_params["cluster_head.0.bias"] = state_scan.params[
+    sl_params["cluster_head.0.bias"] = scan_pb["params"][
         f"cluster_head.{best}.bias"]
 
     opt = optax.sgd(cfg.get("selflabel_lr", 0.03), momentum=0.9)
-    state = init_train_state(sl_params, state_scan.bn_state, opt)
+    state = init_train_state(sl_params, scan_pb["bn"], opt)
     step = jax.jit(make_selflabel_step(
         mcfg, opt, threshold=cfg.get("confidence_threshold", 0.99),
         apply_class_balancing=cfg.get("apply_class_balancing", True)))
@@ -352,8 +357,9 @@ def run_selflabel(cfg) -> None:
             state, loss = step(state, jnp.asarray(w), jnp.asarray(s))
             losses.append(float(loss))
         print(f"selflabel epoch {epoch}: loss {np.mean(losses):.4f}")
-    save_checkpoint(cfg.selflabel_dir, "model", state, step=0)
-    probs = _predict_probs(state, ds, mcfg, size)
+    save_checkpoint(cfg.selflabel_dir, "model",
+                    {"params": state.params, "bn": state.bn_state}, step=0)
+    probs = _predict_probs(state.params, state.bn_state, ds, mcfg, size)
     ev = hungarian_evaluate(probs[0], ds.labels)
     print(f"selflabel hungarian ACC: {ev['ACC']:.4f} "
           f"Top-5 {ev['ACC Top-5']:.4f}")
@@ -368,12 +374,11 @@ def run_eval(cfg) -> dict:
                            feature_dim=scan_cfg.feature_dim,
                            n_clusters=scan_cfg.n_clusters, n_heads=1)
     params, bn = init_clustering_model(0, mcfg)
-    template = init_train_state(params, bn, optax.sgd(0.03, momentum=0.9))
     ckpt = latest_checkpoint(cfg.selflabel_dir, "model")
     if ckpt is None:
         raise FileNotFoundError("no selflabel model; run selflabel first")
-    state, _ = restore_checkpoint(ckpt, template)
-    probs = _predict_probs(state, ds, mcfg, size)[0]
+    pb, _ = restore_checkpoint(ckpt, {"params": params, "bn": bn})
+    probs = _predict_probs(pb["params"], pb["bn"], ds, mcfg, size)[0]
     scores = clustering_scores(ds.labels, probs.argmax(-1))
     ev = hungarian_evaluate(probs, ds.labels)
     scores["ACC"] = ev["ACC"]

@@ -145,9 +145,15 @@ def _randaugment_ops(rng: random.Random) -> list[Callable]:
 def randaugment(img: Image.Image, n: int = 4,
                 rng: random.Random = random) -> Image.Image:
     """Apply n randomly-chosen ops (SCAN's strong augmentation,
-    data/augment.py Augment(n=4) in configs/selflabel*.yml)."""
-    for op in rng.sample(_randaugment_ops(rng), n):
-        img = op(img)
+    data/augment.py Augment(n=4) in configs/selflabel*.yml).
+
+    Drawn WITH replacement (``random.choices``, Augment.__call__ at
+    data/augment.py:107) — the same op can apply repeatedly, which widens
+    the strong-augmentation distribution vs sampling without replacement.
+    """
+    ops = _randaugment_ops(rng)
+    for i in rng.choices(range(len(ops)), k=n):
+        img = ops[i](img)
     return img
 
 
@@ -286,6 +292,31 @@ class WeakAugmentation:
         img = img.crop((left, top, left + self.size, top + self.size))
         if rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        return to_normalized_array(img)
+
+
+@dataclasses.dataclass
+class ValTransform:
+    """Deterministic eval transform: CenterCrop(size) + normalize
+    (get_val_transformations, common_config.py:247-251).  The reference
+    fills memory banks and computes predictions through its val/base
+    dataloaders with THIS transform — not the random weak train transform —
+    so neighbor mining and every hungarian/contrastive eval must use it.
+    Torchvision CenterCrop semantics: round-half-even coords, zero-pad when
+    the image is smaller than the crop."""
+    size: int = 32
+
+    def __call__(self, img: Image.Image) -> np.ndarray:
+        w, h = img.size
+        if w < self.size or h < self.size:
+            pw, ph = max(self.size - w, 0), max(self.size - h, 0)
+            img = ImageOps.expand(
+                img, border=(pw // 2, ph // 2, pw - pw // 2, ph - ph // 2),
+                fill=0)
+            w, h = img.size
+        left = int(round((w - self.size) / 2.0))
+        top = int(round((h - self.size) / 2.0))
+        img = img.crop((left, top, left + self.size, top + self.size))
         return to_normalized_array(img)
 
 

@@ -142,7 +142,13 @@ def load_imagenet(root: str, split: str = "train",
             return np.asarray(im, np.uint8)
 
     if mmap_cache:
-        tag = f"{split}_{len(paths)}_{size}"
+        # key on a digest of the exact ordered file list (not just the
+        # count): two different subsets/roots with coincidentally equal
+        # image counts must not silently reuse each other's decoded cache
+        import hashlib
+
+        digest = hashlib.sha1("\n".join(paths).encode()).hexdigest()[:12]
+        tag = f"{split}_{len(paths)}_{size}_{digest}"
         os.makedirs(mmap_cache, exist_ok=True)
         cache_path = os.path.join(mmap_cache, f"imagenet_{tag}.npy")
         if not os.path.exists(cache_path):

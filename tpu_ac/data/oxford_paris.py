@@ -126,6 +126,12 @@ def make_synthetic_roxford(root: str, dataset: str = "roxford5k",
                 os.path.join(d, "jpg", imlist[j] + ".jpg"))
         gnd.append({"easy": easy, "hard": hard, "junk": junk,
                     "bbx": np.asarray([0, 0, image_size, image_size])})
+    # leftover db slots when n_db % n_q != 0: plain distractors (every
+    # imlist entry must have a jpg on disk)
+    for j in range(per_q * n_q, n_db):
+        Image.fromarray(rng.integers(0, 255, base[0].shape)
+                        .astype(np.uint8)).save(
+            os.path.join(d, "jpg", imlist[j] + ".jpg"))
     with open(os.path.join(d, f"gnd_{dataset}.pkl"), "wb") as f:
         pickle.dump({"imlist": imlist, "qimlist": qimlist, "gnd": gnd}, f)
     return root

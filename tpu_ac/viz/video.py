@@ -64,6 +64,12 @@ def write_video(frames: list[np.ndarray], out_path: str, fps: float = 10
                                               cv2.COLOR_RGB2BGR))
                 writer.release()
                 return out_path
+            # encoder unavailable: release the failed writer and remove
+            # the stray empty file it may have claimed, so the fallback
+            # output is the only artifact left behind
+            writer.release()
+            if os.path.exists(out_path) and os.path.getsize(out_path) == 0:
+                os.remove(out_path)
         except ImportError:
             pass
         if shutil.which("ffmpeg"):

@@ -35,15 +35,13 @@ def main(argv=None) -> dict:
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
-    import optax
 
     from tpu_ac.cli.scan import _load_dataset, _model_config
-    from tpu_ac.data.augment import WeakAugmentation
+    from tpu_ac.data.augment import ValTransform
     from tpu_ac.train.scan import (
         MemoryBank,
         contrastive_forward,
         init_contrastive_model,
-        init_train_state,
     )
     from tpu_ac.utils.checkpoint import latest_checkpoint, restore_checkpoint
 
@@ -71,21 +69,22 @@ def main(argv=None) -> dict:
     print(f"Model is ContrastiveModel "
           f"({type(mcfg.backbone).__name__}); "
           f"parameters: {n_params / 1e6:.2f}M")
-    state = init_train_state(params, bn, optax.sgd(0.4, momentum=0.9))
-
     # ---- Checkpoint: resume the pretext model when one exists
+    # ("model" checkpoints are optimizer-free {params, bn} — loadable no
+    # matter which pretext stage, simclr or moco, produced them)
     ckpt_dir = cfg.get("pretext_dir") or out_dir
     ckpt = latest_checkpoint(ckpt_dir, "model") if ckpt_dir else None
     if ckpt is not None:
         print(f"Restart from checkpoint {ckpt}")
-        state, _ = restore_checkpoint(ckpt, state)
+        pb, _ = restore_checkpoint(ckpt, {"params": params, "bn": bn})
+        params, bn = pb["params"], pb["bn"]
     else:
         print("No pretext checkpoint found — using the randomly "
               "initialized model (synthetic demo mode).")
 
-    # ---- Datasets (val transforms = weak/center augmentation)
+    # ---- Datasets (deterministic val transforms — center crop)
     size = cfg.get("image_size", 32)
-    weak = WeakAugmentation(size=size, seed=0)
+    val_t = ValTransform(size=size)
     results = {}
     for split, topk, path_key in (("train", 20, "topk_neighbors_train_path"),
                                   ("val", 5, "topk_neighbors_val_path")):
@@ -98,8 +97,8 @@ def main(argv=None) -> dict:
         bs = cfg.get("batch_size", 32)
         for i in range(0, len(ds), bs):
             idxs = np.arange(i, min(i + bs, len(ds)))
-            imgs = np.stack([weak(ds.get_pil(int(j))) for j in idxs])
-            emb, _, _ = contrastive_forward(state.params, state.bn_state,
+            imgs = np.stack([val_t(ds.get_pil(int(j))) for j in idxs])
+            emb, _, _ = contrastive_forward(params, bn,
                                             jnp.asarray(imgs), mcfg)
             bank.update(np.asarray(emb), ds.labels[idxs])
 
