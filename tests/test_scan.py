@@ -193,18 +193,27 @@ class TestTrainSteps:
         assert np.isfinite(float(metrics["total"]))
 
     def test_scan_head_only_freezes_backbone(self, rng):
+        """Frozen means FROZEN under any optimizer — including decoupled
+        weight decay (_sgd's add_decayed_weights injects wd*p into the
+        updates even for zero gradients, so zeroing grads alone would let
+        'frozen' backbone weights decay every step)."""
         import jax
-        params, bn = init_clustering_model(0, TINY)
-        opt = optax.sgd(0.1)
-        state = init_train_state(params, bn, opt)
-        step = jax.jit(make_scan_step(TINY, opt, update_cluster_head_only=True))
-        a = jnp.asarray(rng.standard_normal((4, 3, 32, 32)).astype(np.float32))
-        s1, _ = step(state, a, a)
-        np.testing.assert_array_equal(
-            np.asarray(s1.params["conv1.weight"]),
-            np.asarray(state.params["conv1.weight"]))
-        assert not np.allclose(np.asarray(s1.params["cluster_head.0.weight"]),
-                               np.asarray(state.params["cluster_head.0.weight"]))
+
+        from tpu_ac.train.scan import _sgd
+        for opt in (optax.sgd(0.1), _sgd(0.1)):
+            params, bn = init_clustering_model(0, TINY)
+            state = init_train_state(params, bn, opt)
+            step = jax.jit(make_scan_step(TINY, opt,
+                                          update_cluster_head_only=True))
+            a = jnp.asarray(
+                rng.standard_normal((4, 3, 32, 32)).astype(np.float32))
+            s1, _ = step(state, a, a)
+            np.testing.assert_array_equal(
+                np.asarray(s1.params["conv1.weight"]),
+                np.asarray(state.params["conv1.weight"]))
+            assert not np.allclose(
+                np.asarray(s1.params["cluster_head.0.weight"]),
+                np.asarray(state.params["cluster_head.0.weight"]))
 
     def test_selflabel_step_with_ema(self, rng):
         import jax

@@ -97,7 +97,9 @@ def weight_distance_unsupervised(Z: jnp.ndarray, impl: str = "auto",
         mins = min_dists_all_pairs(Z, Z, precision=precision)  # [N, N, P]
         if valid_col is not None:
             mins = jnp.where(valid_col[None, :, None], mins, 0.0)
-        return jnp.sum(mins, axis=1) / (nv - 1)
+        # clamp defends direct callers against 0/0 NaN at nv=1 (the
+        # pipeline's compute_alpha_X raises loudly before dispatch)
+        return jnp.sum(mins, axis=1) / jnp.maximum(nv - 1, 1)
 
     z_flat = Z.reshape(n * p, d)
     xla_precision = _XLA_PRECISION[precision]
@@ -106,7 +108,7 @@ def weight_distance_unsupervised(Z: jnp.ndarray, impl: str = "auto",
         mins = _min_dists_to_set(zi, z_flat, n, xla_precision)  # [P, N]
         if valid_col is not None:
             mins = jnp.where(valid_col[None, :], mins, 0.0)
-        return jnp.sum(mins, axis=-1) / (nv - 1)
+        return jnp.sum(mins, axis=-1) / jnp.maximum(nv - 1, 1)
 
     return jax.lax.map(per_image, Z)
 

@@ -64,7 +64,8 @@ def _per_image_weights(z_local: jnp.ndarray, bank: jnp.ndarray,
                                precision=precision)  # [N_local, N_bank, P]
     if reduce_mode == "mean":
         mins = jnp.where(valid, mins, 0.0)
-        return jnp.sum(mins, axis=1) / (n_valid - 1)
+        # clamp: nv=1 would be 0/0 NaN (pipeline raises before dispatch)
+        return jnp.sum(mins, axis=1) / max(n_valid - 1, 1)
     mins = jnp.where(valid, mins, jnp.inf)
     return jnp.min(mins, axis=1)
 
@@ -117,7 +118,19 @@ def multihost_init(coordinator_address: str | None = None,
     once per host before any jax op (jax.distributed.initialize picks up
     cluster env vars when args are None).
     """
+    import os
+
     if num_processes is not None and num_processes <= 1:
+        return
+    if (coordinator_address is None and num_processes is None
+            and process_id is None
+            and not any(os.environ.get(v) for v in (
+                "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "SLURM_JOB_NUM_NODES", "CLOUD_TPU_TASK_ID",
+                "TPU_WORKER_HOSTNAMES"))):
+        # bare single-host call (no explicit topology, no cluster env):
+        # honor the documented no-op instead of letting
+        # jax.distributed.initialize raise/hang waiting for a coordinator
         return
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,

@@ -55,12 +55,12 @@ class CopydaysDataset:
         dirname = os.path.join(self.basedir, self.block_names[i])
         return [os.path.join(dirname, f)
                 for f in sorted(os.listdir(dirname))
-                if f.endswith(".jpg") or is_image_file(f)]
+                if is_image_file(f)]
 
     def get_block_filenames(self, subdir: str) -> list[str]:
         dirname = os.path.join(self.basedir, subdir)
         return [f for f in sorted(os.listdir(dirname))
-                if f.endswith(".jpg") or is_image_file(f)]
+                if is_image_file(f)]
 
     def query_paths(self) -> tuple[list[str], list[int]]:
         """All blocks concatenated + per-block sizes (queries)."""
@@ -144,6 +144,12 @@ def copydays_eval(query_features: np.ndarray,
         database = database - mean
         queries = queries - mean
         pca = PCA(dim=database.shape[-1], whit=0.5)
+        # Reference quirk reproduced deliberately
+        # (eval_copy_detection.py:277-284): the "covariance" is the
+        # UNCENTERED second moment w.T@w/n (only database/queries are
+        # centered), i.e. cov + mean*mean^T.  Looks like a bug — PCA.fit
+        # above centers — but Copydays mAP parity requires matching it;
+        # do NOT "fix" without re-checking published numbers.
         pca.train_pca(w.T @ w / len(w))
         database = pca.apply(database)
         queries = pca.apply(queries)

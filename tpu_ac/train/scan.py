@@ -333,6 +333,15 @@ def make_scan_step(cfg: SCANModelConfig, optimizer,
                          jnp.zeros_like(g)) for k, g in grads.items()}
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
+        if update_cluster_head_only:
+            # zeroed GRADS alone do not freeze under decoupled weight
+            # decay (add_decayed_weights injects wd*p into the updates
+            # regardless of the gradient); the reference freezes by
+            # giving the optimizer only the head params
+            # (common_config.py:254-266) — zeroing the UPDATES is the
+            # pytree-stable equivalent
+            updates = {k: (u if k.startswith("cluster_head") else
+                           jnp.zeros_like(u)) for k, u in updates.items()}
         params = optax.apply_updates(state.params, updates)
         return (SCANTrainState(params, new_bn, opt_state, state.step + 1),
                 {"total": loss, "head_losses": head_losses})
@@ -391,10 +400,10 @@ def contrastive_evaluate(params, bn_state, images: np.ndarray,
                          ) -> float:
     """Weighted-kNN accuracy monitor on memory-bank features
     (utils/evaluate_utils.py:16-31 contrastive_evaluate)."""
+    fwd = jax.jit(lambda p, b, x: contrastive_forward(p, b, x, cfg)[0])
     correct = 0
     for i in range(0, len(images), batch_size):
-        emb, _, _ = contrastive_forward(
-            params, bn_state, jnp.asarray(images[i:i + batch_size]), cfg)
+        emb = fwd(params, bn_state, jnp.asarray(images[i:i + batch_size]))
         pred = bank.weighted_knn(np.asarray(emb))
         correct += int(np.sum(pred == targets[i:i + batch_size]))
     return correct / len(images)
@@ -405,11 +414,12 @@ def get_prototypes(params, bn_state, images: np.ndarray,
                    batch_size: int = 256) -> np.ndarray:
     """Most-confident sample index per cluster
     (Unsupervised-Classification-master/eval.py:96-128)."""
+    fwd = jax.jit(lambda p, b, x: jax.nn.softmax(
+        clustering_forward(p, b, x, cfg)[0][head], axis=1))
     all_probs = []
     for i in range(0, len(images), batch_size):
-        logits, _, _ = clustering_forward(
-            params, bn_state, jnp.asarray(images[i:i + batch_size]), cfg)
-        all_probs.append(np.asarray(jax.nn.softmax(logits[head], axis=1)))
+        all_probs.append(np.asarray(
+            fwd(params, bn_state, jnp.asarray(images[i:i + batch_size]))))
     probs = np.concatenate(all_probs)
     preds = probs.argmax(1)
     protos = np.full(cfg.n_clusters, -1, np.int64)
