@@ -112,8 +112,9 @@ def measure_tpu(categories: list[np.ndarray],
             outs.append(packed)
         # resolve to host (alpha, X) per category — what the real pipeline
         # pickles; np.asarray is the completion barrier.  packed = [N, P+D]
-        # with D = target_embed_dimension (4096).
-        return [(np.asarray(p)[:, :-4096], np.asarray(p)[:, -4096:])
+        # with D = target_embed_dimension.
+        d = cfg.target_embed_dimension
+        return [(np.asarray(p)[:, :-d], np.asarray(p)[:, -d:])
                 for p in outs]
 
     run_sweep()  # warmup / compile
@@ -136,7 +137,7 @@ def measure_tpu(categories: list[np.ndarray],
 
 
 _REF_MODELS_DIR = "/root/reference/Anomaly-Clustering/models"
-_BASELINE_VERSION = 2  # v2: reference's own modules as the baseline
+_BASELINE_VERSION = 3  # v3: n*(n-1) alpha pair count (j==i is skipped)
 
 
 def _import_reference_patchcore():
@@ -226,9 +227,12 @@ def measure_torch_baseline() -> float:
         ref_utils.Matrix_Alpha_Unsupervised(1.0, 1, z_small,
                                             torch.device("cpu"))
         t_alpha = time.perf_counter() - t0
-        t_alpha_per_pair = t_alpha / (n_alpha * n_alpha)
+        # Weight_Distance_Unsupervised skips j == i (utils.py:224-225):
+        # n*(n-1) cdist pairs, not n^2
+        t_alpha_per_pair = t_alpha / (n_alpha * (n_alpha - 1))
 
-    total = N_IMAGES * t_embed_per_img + N_IMAGES * N_IMAGES * t_alpha_per_pair
+    total = (N_IMAGES * t_embed_per_img
+             + N_IMAGES * (N_IMAGES - 1) * t_alpha_per_pair)
     ips = N_IMAGES / total
     os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
     with open(BASELINE_CACHE, "w") as f:

@@ -39,6 +39,55 @@ class TestCheckpoint:
         with pytest.raises(ValueError):
             restore_checkpoint(path, {"a": jnp.zeros(2), "b": jnp.zeros(2)})
 
+    def test_bfloat16_leaves_roundtrip(self, tmp_path):
+        """npz alone writes ml_dtypes leaves as raw '|V2' bytes; the
+        dtype record in meta.json must restore them bit-exactly."""
+        import ml_dtypes
+
+        from tpu_ac.utils import save_checkpoint, restore_checkpoint
+
+        rng = np.random.default_rng(0)
+        state = {"w": jnp.asarray(rng.standard_normal((3, 4)),
+                                  jnp.bfloat16),
+                 "b": jnp.arange(4.0)}
+        path = save_checkpoint(str(tmp_path), "bf16", state)
+        restored, _ = restore_checkpoint(path, state)
+        assert np.asarray(restored["w"]).dtype == ml_dtypes.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(restored["w"]).view(np.uint16),
+            np.asarray(state["w"]).view(np.uint16))
+        assert np.asarray(restored["b"]).dtype == np.float64 or \
+            np.asarray(restored["b"]).dtype == np.float32
+
+    def test_same_step_overwrite_and_prev_fallback(self, tmp_path):
+        """Overwriting step S parks the old checkpoint at '.prev' during
+        the swap; if a crash leaves only the .prev, latest_checkpoint
+        falls back to it."""
+        import shutil
+
+        from tpu_ac.utils import (latest_checkpoint, restore_checkpoint,
+                                  save_checkpoint)
+
+        state1 = {"x": jnp.zeros(2)}
+        state2 = {"x": jnp.ones(2)}
+        path = save_checkpoint(str(tmp_path), "ow", state1, step=4)
+        assert save_checkpoint(str(tmp_path), "ow", state2, step=4) == path
+        restored, _ = restore_checkpoint(path, state1)
+        np.testing.assert_array_equal(np.asarray(restored["x"]), np.ones(2))
+        assert not os.path.exists(path + ".prev")  # cleaned after swap
+        # simulate the interrupted-overwrite window: only .prev remains
+        shutil.move(path, path + ".prev")
+        assert latest_checkpoint(str(tmp_path), "ow") == path + ".prev"
+        restored, _ = restore_checkpoint(path + ".prev", state1)
+        np.testing.assert_array_equal(np.asarray(restored["x"]), np.ones(2))
+
+    def test_shape_mismatch_raises(self, tmp_path):
+        from tpu_ac.utils import save_checkpoint, restore_checkpoint
+
+        path = save_checkpoint(str(tmp_path), "s", {"a": jnp.zeros((2, 3))})
+        with pytest.raises(ValueError, match="shape"):
+            restore_checkpoint(path, {"a": jnp.zeros((3, 2))})
+
     def test_dino_state_roundtrip(self, tmp_path):
         from tpu_ac.models.vit import ViTConfig
         from tpu_ac.train import DINOConfig, init_dino_state
@@ -78,6 +127,22 @@ class TestLogging:
         assert ml.meters["loss"].global_avg == pytest.approx(2.0)
         assert any("ep0" in ln for ln in lines)
         assert any("Total time" in ln for ln in lines)
+
+    def test_metric_logger_pickle_deepcopy(self):
+        """__getattr__ must not touch self.meters before __dict__ exists
+        (unpickling/deepcopy re-entered it forever)."""
+        import copy
+        import pickle
+
+        from tpu_ac.utils import MetricLogger
+
+        ml = MetricLogger()
+        ml.update(loss=1.5)
+        clone = pickle.loads(pickle.dumps(ml))
+        assert clone.meters["loss"].value == 1.5
+        assert copy.deepcopy(ml).meters["loss"].value == 1.5
+        with pytest.raises(AttributeError):
+            ml.nonexistent_meter
 
 
 class TestKnnClassifier:

@@ -55,6 +55,15 @@ class EmbedConfig:
     patchstride: int = 1
     apply_layernorm: bool = True
 
+    def __post_init__(self):
+        # the (k-1)//2-padded patchify/fused-conv preserves the grid only
+        # for odd k (even k would shrink it and crash a reshape deep
+        # inside jit) — the reference's torch.nn.Unfold path shares the
+        # same constraint (patchcore.py:439-465)
+        if self.patchsize % 2 != 1:
+            raise ValueError(
+                f"patchsize must be odd, got {self.patchsize}")
+
     @property
     def tap_indices(self) -> tuple[int, ...]:
         return tuple(int(name.split(".")[-1]) for name in self.layers)
@@ -89,12 +98,16 @@ def _align_patches(patches: jnp.ndarray, grid: tuple[int, int],
 
 
 def aggregate_layer_patches(layer_patches: Sequence[jnp.ndarray],
-                            cfg: EmbedConfig) -> jnp.ndarray:
+                            cfg: EmbedConfig,
+                            precision=jax.lax.Precision.HIGHEST
+                            ) -> jnp.ndarray:
     """Preprocessing + Aggregator (common.py:145-183), batched.
 
     Args:
         layer_patches: per layer [B, P, D_l, k, k], already grid-aligned.
         cfg: embedding config.
+        precision: matmul precision for the pooling contractions (same
+            knob the fused patchstride==1 path threads through).
     Returns:
         [B, P, target_embed_dimension]
     """
@@ -104,12 +117,12 @@ def aggregate_layer_patches(layer_patches: Sequence[jnp.ndarray],
         flat = x.reshape(b, p, -1)  # (D, k, k) flatten order = torch reshape
         pooled.append(
             adaptive_avg_pool1d(flat, cfg.pretrain_embed_dimension,
-                                use_matmul=True))
+                                use_matmul=True, precision=precision))
     stacked = jnp.stack(pooled, axis=2)  # [B, P, L, pretrain]
     b, p = stacked.shape[:2]
     flat = stacked.reshape(b, p, -1)
     return adaptive_avg_pool1d(flat, cfg.target_embed_dimension,
-                               use_matmul=True)
+                               use_matmul=True, precision=precision)
 
 
 def _fused_pool_conv_weight(d: int, k: int, out_dim: int) -> jnp.ndarray:
@@ -197,7 +210,7 @@ def embed_feature_maps(feature_maps: Sequence[jnp.ndarray],
         _align_patches(pch, g, ref_grid)
         for pch, g in zip(layer_patches, grids)
     ]
-    return aggregate_layer_patches(layer_patches, cfg)
+    return aggregate_layer_patches(layer_patches, cfg, precision=precision)
 
 
 def embed_vit_features(params: Mapping[str, jnp.ndarray], images: jnp.ndarray,

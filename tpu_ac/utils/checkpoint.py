@@ -34,14 +34,32 @@ def save_checkpoint(directory: str, name: str, state, *, step: int = 0,
     tmp = path + ".tmp"
     os.makedirs(tmp, exist_ok=True)
     leaves, _ = jax.tree.flatten(state)
-    np.savez(os.path.join(tmp, "arrays.npz"),
-             **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+    # npz can't represent ml_dtypes (bfloat16 silently round-trips as raw
+    # '|V2' bytes) — store such leaves as a bit-identical uint view and
+    # record the true dtype name in the metadata for restore
+    arrays, dtypes = {}, []
+    for i, x in enumerate(leaves):
+        a = np.asarray(x)
+        dtypes.append(a.dtype.name)
+        if a.dtype.kind == "V" or not a.dtype.isbuiltin:
+            a = a.view(np.dtype(f"u{a.dtype.itemsize}"))
+        arrays[f"leaf_{i}"] = a
+    np.savez(os.path.join(tmp, "arrays.npz"), **arrays)
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump({"step": step, "n_leaves": len(leaves),
-                   "extra": extra or {}}, f)
+                   "dtypes": dtypes, "extra": extra or {}}, f)
     if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+        # same-step overwrite: park the old good checkpoint aside FIRST
+        # (atomic rename) so a preemption between steps never leaves the
+        # path with neither the old nor the new data recoverable
+        prev = path + ".prev"
+        if os.path.exists(prev):
+            shutil.rmtree(prev)
+        os.rename(path, prev)
+        os.rename(tmp, path)
+        shutil.rmtree(prev)
+    else:
+        os.rename(tmp, path)
     if keep is not None:
         ckpts = sorted(_list_checkpoints(directory, name))
         for _step, old in ckpts[:-keep]:
@@ -50,15 +68,20 @@ def save_checkpoint(directory: str, name: str, state, *, step: int = 0,
 
 
 def _list_checkpoints(directory: str, name: str) -> list[tuple[int, str]]:
-    out = []
     if not os.path.isdir(directory):
-        return out
-    pat = re.compile(rf"^{re.escape(name)}-(\d+)$")
+        return []
+    pat = re.compile(rf"^{re.escape(name)}-(\d+)(\.prev)?$")
+    bare: dict[int, str] = {}
+    prev: dict[int, str] = {}
     for entry in os.listdir(directory):
         m = pat.match(entry)
         if m:
-            out.append((int(m.group(1)), os.path.join(directory, entry)))
-    return sorted(out)
+            dst = prev if m.group(2) else bare
+            dst[int(m.group(1))] = os.path.join(directory, entry)
+    # '.prev' is the old copy parked aside during a same-step overwrite;
+    # it only counts when the overwrite was interrupted before the new
+    # directory landed (bare entry wins otherwise)
+    return sorted({**prev, **bare}.items())
 
 
 def latest_checkpoint(directory: str, name: str) -> str | None:
@@ -79,6 +102,19 @@ def restore_checkpoint(path: str, template):
         raise ValueError(
             f"checkpoint has {meta['n_leaves']} leaves, template has "
             f"{len(leaves)} — structure mismatch")
-    restored = [data[f"leaf_{i}"] for i in range(len(leaves))]
+    dtypes = meta.get("dtypes")  # absent in pre-dtype-record checkpoints
+    restored = []
+    for i, tmpl in enumerate(leaves):
+        a = data[f"leaf_{i}"]
+        if dtypes is not None:
+            true_dtype = np.dtype(dtypes[i])
+            if a.dtype != true_dtype:  # stored as a uint bit-view
+                a = a.view(true_dtype)
+        shape = np.shape(tmpl)
+        if shape != a.shape:
+            raise ValueError(
+                f"checkpoint leaf {i} has shape {a.shape}, template "
+                f"expects {shape} — structure mismatch")
+        restored.append(a)
     state = jax.tree.unflatten(treedef, restored)
     return state, meta

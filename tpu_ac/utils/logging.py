@@ -88,8 +88,12 @@ class MetricLogger:
             self.meters[k].update(float(v))
 
     def __getattr__(self, attr):
-        if attr in self.meters:
-            return self.meters[attr]
+        # look in __dict__ directly: during unpickling/deepcopy this runs
+        # before __init__ populated the instance, and touching self.meters
+        # would re-enter __getattr__ forever
+        meters = self.__dict__.get("meters")
+        if meters is not None and attr in meters:
+            return meters[attr]
         raise AttributeError(attr)
 
     def synchronize_between_processes(self) -> None:

@@ -46,6 +46,8 @@ def ensure_backend(max_attempts: int = 12, sleep_s: float = 30.0,
                 print(f"[tpu] backend init attempt {attempt + 1}/"
                       f"{max_attempts} failed: {str(e)[:120]}",
                       file=sys.stderr)
+            if attempt + 1 == max_attempts:
+                break  # don't pay a sleep+reregister that's never probed
             time.sleep(sleep_s)
             _try_reregister(verbose)
     raise RuntimeError(
