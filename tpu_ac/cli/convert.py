@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import shutil
 import sys
 
 from tpu_ac.models.convert import (
@@ -78,8 +77,10 @@ def main(argv=None) -> dict:
         from tpu_ac.models import manifest
 
         report = manifest.verify_checkpoint(params, args.backbone)
-        bad = (report["missing"] or report["unexpected"]
-               or report["shape_mismatch"])
+        # missing/misshaped tensors break the conversion -> hard FAIL;
+        # extra tensors (classifier heads our feature-extraction archs
+        # never instantiate, EMA copies, ...) are merely unused -> warn
+        bad = report["missing"] or report["shape_mismatch"]
         print(f"{args.checkpoint}: {len(params)} tensors vs frozen manifest "
               f"'{args.backbone}'")
         for kind in ("missing", "unexpected", "shape_mismatch"):
@@ -90,7 +91,9 @@ def main(argv=None) -> dict:
         if bad:
             print("FAIL — checkpoint does not match the frozen manifest")
             sys.exit(1)
-        print("VERIFIED — checkpoint matches the frozen manifest exactly")
+        print("VERIFIED — checkpoint covers the frozen manifest"
+              + (" (extra unused tensors ignored)" if report["unexpected"]
+                 else " exactly"))
 
     report = validate_params_against_backbone(params, args.backbone)
     n_ok = len(params) - len(report["unexpected"])
@@ -106,10 +109,21 @@ def main(argv=None) -> dict:
           else "WARNING — conversion incomplete (see above)")
 
     if args.install:
+        if not ok:
+            print("NOT installed — the conversion is incomplete; fix the "
+                  "checkpoint/backbone pairing first")
+            sys.exit(1)
+        import torch
+
+        from tpu_ac.models.convert import params_to_torch_state_dict
+
         spec = BACKBONE_CONFIGS[args.backbone]
         os.makedirs(args.cache_dir, exist_ok=True)
         dest = os.path.join(args.cache_dir, spec.checkpoint)
-        shutil.copyfile(args.checkpoint, dest)
+        # write the CONVERTED flat state_dict (checkpoint_key selected,
+        # prefixes stripped) — copying the raw file would install e.g. a
+        # full DINO training checkpoint that load_backbone can't parse
+        torch.save(params_to_torch_state_dict(params), dest)
         print(f"installed -> {dest}")
     return report
 

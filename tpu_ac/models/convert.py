@@ -23,14 +23,29 @@ def strip_prefixes(state_dict: Mapping[str, Any],
         for p in prefixes:
             if k.startswith(p):
                 k = k[len(p):]
+        if k in out:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "prefix-stripped key collision: %r — the later entry wins "
+                "(checkpoint holds e.g. both 'module.%s' and '%s')",
+                k, k, k)
         out[k] = v
     return out
 
 
 def torch_state_dict_to_params(state_dict: Mapping[str, Any]) -> dict[str, jnp.ndarray]:
-    """Convert a torch state_dict (tensors or arrays) to a JAX params dict."""
+    """Convert a torch state_dict (tensors or arrays) to a JAX params dict.
+
+    ``num_batches_tracked`` BN bookkeeping counters are dropped — no
+    forward consumes them (torch's own momentum-based BN ignores them at
+    inference) and every torchvision BN checkpoint carries them, so
+    keeping them would make all such checkpoints fail manifest
+    verification spuriously."""
     params = {}
     for k, v in strip_prefixes(state_dict).items():
+        if k.endswith("num_batches_tracked"):
+            continue
         if hasattr(v, "detach"):
             v = v.detach().cpu().numpy()
         params[k] = jnp.asarray(np.asarray(v))
@@ -45,7 +60,14 @@ def load_torch_checkpoint(path: str, checkpoint_key: str | None = None) -> dict[
     """
     import torch  # host-side only
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # full training checkpoints (the very case checkpoint_key exists
+        # for) carry non-tensor entries — argparse Namespaces, loss
+        # modules — that weights_only refuses to unpickle; fall back like
+        # the reference's own torch.load (dino-main/utils.py:84)
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if checkpoint_key is not None and checkpoint_key in ckpt:
         ckpt = ckpt[checkpoint_key]
     if "state_dict" in ckpt:
@@ -63,6 +85,7 @@ def validate_params_against_backbone(params: Mapping[str, Any],
 
     Returns {"missing": [...], "unexpected": [...], "shape_mismatch": [...]}.
     """
+    from tpu_ac.models.manifest import diff_inventory, params_inventory
     from tpu_ac.models.registry import load_backbone
 
     # use_checkpoint=False: the expected structure must come from the
@@ -70,13 +93,12 @@ def validate_params_against_backbone(params: Mapping[str, Any],
     # otherwise the report compares the checkpoint against itself and is
     # vacuously clean
     expected, _cfg, _family = load_backbone(name, use_checkpoint=False)
-    missing = sorted(set(expected) - set(params))
-    unexpected = sorted(set(params) - set(expected))
-    mismatch = sorted(
-        k for k in set(expected) & set(params)
-        if tuple(np.shape(expected[k])) != tuple(np.shape(params[k])))
-    return {"missing": missing, "unexpected": unexpected,
-            "shape_mismatch": mismatch}
+    report = diff_inventory(params_inventory(expected),
+                            params_inventory(params))
+    # diff_inventory reports shape_mismatch as (key, expected, got)
+    # triples; this report's contract is bare keys
+    report["shape_mismatch"] = [k for k, *_ in report["shape_mismatch"]]
+    return report
 
 
 def params_to_torch_state_dict(params: Mapping[str, jnp.ndarray]):

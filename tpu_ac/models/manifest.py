@@ -48,9 +48,12 @@ def generate_manifest(name: str) -> dict[str, list[int]]:
 
 
 def generate_all(names=None) -> dict[str, dict[str, list[int]]]:
-    from tpu_ac.models.registry import BACKBONE_CONFIGS
+    # default to the BUILT-IN snapshot, not the mutable live registry: a
+    # process that register_backbone'd a throwaway spec (tests, notebooks)
+    # must not freeze it into manifests.json
+    from tpu_ac.models.registry import BUILTIN_BACKBONES
 
-    names = sorted(BACKBONE_CONFIGS) if names is None else names
+    names = sorted(BUILTIN_BACKBONES) if names is None else names
     return {name: generate_manifest(name) for name in names}
 
 

@@ -344,8 +344,7 @@ def load_backbone(name: str, *, checkpoint_dir: str | None = None,
 
         mod_name, attr = FAMILY_INITS[spec.family].split(":")
         init = getattr(importlib.import_module(mod_name), attr)
-        params = (init(seed) if spec.family == "alexnet"
-                  else init(seed, spec.config))
+        params = init(seed, spec.config)
     return params, spec.config, spec.family
 
 
