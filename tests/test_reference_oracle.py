@@ -144,13 +144,19 @@ def test_vit_last_selfattention_parity(ref_vit):
                                rtol=2e-4, atol=2e-5)
 
 
-def test_vit_pos_embed_interpolation_parity(ref_vit):
+@pytest.mark.parametrize("hw", [(96, 96), (64, 96), (96, 64)])
+def test_vit_pos_embed_interpolation_parity(ref_vit, hw):
     """Non-pretrain image size exercises interpolate_pos_encoding's bicubic
-    resize + 0.1 fudge (reference vision_transformer.py:174-194)."""
+    resize + 0.1 fudge (reference vision_transformer.py:174-194).  The
+    NON-SQUARE cases pin the axis orientation: the row scale must come
+    from the image height (the reference passes shape[2] through a
+    variable it calls 'w') — a transposed pos-embed matches on squares
+    and silently corrupts every rectangular input."""
     rng = np.random.default_rng(14)
     from tpu_ac.models.vit import vit_intermediate_layers
 
-    imgs = rng.standard_normal((1, 3, 96, 96)).astype(np.float32)
+    h, w = hw
+    imgs = rng.standard_normal((1, 3, h, w)).astype(np.float32)
     with torch.no_grad():
         want = ref_vit.get_intermediate_layers(torch.from_numpy(imgs), n=1)[0]
     got = vit_intermediate_layers(_to_jax_params(ref_vit), imgs,

@@ -143,12 +143,7 @@ def _conv(x, w, stride=1, padding=0, groups=1, tf_same=False):
         feature_group_count=groups)
 
 
-def _bn(params: Params, name: str, x, eps):
-    w = params[name + ".weight"][None, :, None, None]
-    b = params[name + ".bias"][None, :, None, None]
-    rm = params[name + ".running_mean"][None, :, None, None]
-    rv = params[name + ".running_var"][None, :, None, None]
-    return (x - rm) * jax.lax.rsqrt(rv + eps) * w + b
+from tpu_ac.ops.linear import bn_inference_nchw as _bn  # noqa: E402
 
 
 def _se_gate(params: Params, pre: str, h):

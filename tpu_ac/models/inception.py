@@ -50,13 +50,12 @@ def _conv(x, w, stride=(1, 1), padding=(0, 0), precision=None):
         dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=precision)
 
 
+from tpu_ac.ops.linear import bn_inference_nchw  # noqa: E402
+
+
 def _bn(params: Params, name: str, x: jnp.ndarray,
         eps: float = 1e-3) -> jnp.ndarray:
-    w = params[name + ".weight"][None, :, None, None]
-    b = params[name + ".bias"][None, :, None, None]
-    mean = params[name + ".running_mean"][None, :, None, None]
-    var = params[name + ".running_var"][None, :, None, None]
-    return (x - mean) * jax.lax.rsqrt(var + eps) * w + b
+    return bn_inference_nchw(params, name, x, eps)
 
 
 def _maxpool(x, k=3, stride=2, padding=0):

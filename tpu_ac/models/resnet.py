@@ -38,10 +38,6 @@ class ResNetConfig:
     num_classes: int = 1000
 
     @property
-    def stage_widths(self) -> tuple[int, ...]:
-        return tuple(self.width_per_group * (2 ** i) for i in range(4))
-
-    @property
     def stage_out_channels(self) -> tuple[int, ...]:
         # out channels are expansion * base planes (64,128,256,512) —
         # independent of width_per_group (torchvision wide resnet keeps
@@ -123,12 +119,7 @@ def _conv(x, w, stride=1, padding=0, groups=1):
         feature_group_count=groups)
 
 
-def _bn(params: Params, name: str, x: jnp.ndarray, eps: float) -> jnp.ndarray:
-    w = params[name + ".weight"][None, :, None, None]
-    b = params[name + ".bias"][None, :, None, None]
-    rm = params[name + ".running_mean"][None, :, None, None]
-    rv = params[name + ".running_var"][None, :, None, None]
-    return (x - rm) * jax.lax.rsqrt(rv + eps) * w + b
+from tpu_ac.ops.linear import bn_inference_nchw as _bn  # noqa: E402
 
 
 def _max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:

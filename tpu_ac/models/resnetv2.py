@@ -144,14 +144,7 @@ def _gn(params: Params, name: str, x: jnp.ndarray,
         params[name + ".bias"][None, :, None, None]
 
 
-def _bn_inf(params: Params, name: str, x: jnp.ndarray,
-            eps: float) -> jnp.ndarray:
-    """Inference BatchNorm (running stats) without the activation."""
-    w = params[name + ".weight"][None, :, None, None]
-    b = params[name + ".bias"][None, :, None, None]
-    rm = params[name + ".running_mean"][None, :, None, None]
-    rv = params[name + ".running_var"][None, :, None, None]
-    return (x - rm) * jax.lax.rsqrt(rv + eps) * w + b
+from tpu_ac.ops.linear import bn_inference_nchw as _bn_inf  # noqa: E402
 
 
 def _gn_relu(params: Params, name: str, x: jnp.ndarray,

@@ -29,6 +29,7 @@ Design notes:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Mapping, Sequence
 
@@ -109,11 +110,7 @@ def init_swin_params(seed: int, cfg: SwinConfig) -> dict[str, jnp.ndarray]:
     return {k: jnp.asarray(v) for k, v in p.items()}
 
 
-def _linear(x, w, b, precision):
-    y = jax.lax.dot_general(
-        x, w, dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
-        precision=precision)
-    return y if b is None else y + b
+from tpu_ac.ops.linear import torch_linear as _linear  # noqa: E402
 
 
 def relative_position_index(w: int) -> np.ndarray:
@@ -145,16 +142,24 @@ def _window_reverse(x: jnp.ndarray, w: int, h: int, ww: int) -> jnp.ndarray:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, ww, c)
 
 
+@functools.lru_cache(maxsize=64)
 def shifted_window_mask(h: int, ww: int, w: int, shift: int) -> np.ndarray:
     """Additive attention mask [nW, w^2, w^2] for shifted windows: tokens
-    from different pre-roll regions must not attend to each other."""
-    img = np.zeros((1, h, ww, 1), np.float32)
+    from different pre-roll regions must not attend to each other.
+
+    Pure host numpy (NOT the jnp ``_window_partition``): this runs at
+    TRACE time inside every shifted block, and an eager device dispatch +
+    blocking fetch there costs a ~30 ms remote round trip per block; the
+    lru_cache also stops rebuilding the identical mask for every shifted
+    block of a stage."""
+    img = np.zeros((h, ww), np.float32)
     cnt = 0
     for hs in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
         for ws in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
-            img[:, hs, ws, :] = cnt
+            img[hs, ws] = cnt
             cnt += 1
-    windows = np.asarray(_window_partition(jnp.asarray(img), w))[:, :, 0]
+    windows = (img.reshape(h // w, w, ww // w, w)
+               .transpose(0, 2, 1, 3).reshape(-1, w * w))
     mask = windows[:, None, :] - windows[:, :, None]
     return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
 

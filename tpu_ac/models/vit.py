@@ -85,7 +85,10 @@ def _trunc_normal_np(rng: np.random.Generator, shape, std=0.02, a=-2.0, b=2.0):
     from scipy.special import erfinv
 
     x = erfinv(x) * std * math.sqrt(2.0)
-    return np.clip(x, a * std, b * std).astype(np.float32)
+    # a/b are ABSOLUTE bounds like the reference's (utils.py:528-544):
+    # at std=0.02 the +-2.0 clamp is a no-op and the init is effectively a
+    # plain normal — clipping at a*std would censor ~4.6% at +-2 sigma
+    return np.clip(x, a, b).astype(np.float32)
 
 
 def init_vit_params(seed: int, cfg: ViTConfig) -> dict[str, jnp.ndarray]:
@@ -124,15 +127,7 @@ def init_vit_params(seed: int, cfg: ViTConfig) -> dict[str, jnp.ndarray]:
     return {k: jnp.asarray(v) for k, v in p.items()}
 
 
-def _linear(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None,
-            precision) -> jnp.ndarray:
-    """x @ W^T + b with torch-layout (out, in) weights."""
-    y = jax.lax.dot_general(
-        x, w, dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
-        precision=precision)
-    if b is not None:
-        y = y + b
-    return y
+from tpu_ac.ops.linear import torch_linear as _linear  # noqa: E402
 
 
 def patch_embed(params: Params, images: jnp.ndarray, cfg: ViTConfig,
@@ -151,10 +146,16 @@ def patch_embed(params: Params, images: jnp.ndarray, cfg: ViTConfig,
     return _linear(x, w_flat, params["patch_embed.proj.bias"], precision)
 
 
-def interpolate_pos_encoding(params: Params, npatch: int, w: int, h: int,
+def interpolate_pos_encoding(params: Params, npatch: int, h: int, w: int,
                              cfg: ViTConfig) -> jnp.ndarray:
     """Bicubic pos-embed resize for non-pretraining image sizes
-    (vision_transformer.py:174-194), incl. the +0.1 scale fudge."""
+    (vision_transformer.py:174-194), incl. the +0.1 scale fudge.
+
+    Axis orientation: the token grid is row-major (H rows of W), so the
+    interpolation's leading (row) scale comes from the image HEIGHT.  The
+    reference gets this right through misnamed variables — its
+    prepare_tokens unpacks ``B, nc, w, h = x.shape`` so the "w" it passes
+    is really shape[2], the height."""
     pos_embed = params["pos_embed"]
     n_prefix = cfg.num_prefix_tokens
     n = pos_embed.shape[1] - n_prefix
@@ -163,12 +164,12 @@ def interpolate_pos_encoding(params: Params, npatch: int, w: int, h: int,
     dim = pos_embed.shape[-1]
     class_pos = pos_embed[:, :n_prefix]
     patch_pos = pos_embed[:, n_prefix:]
-    w0 = w // cfg.patch_size + 0.1
     h0 = h // cfg.patch_size + 0.1
+    w0 = w // cfg.patch_size + 0.1
     side = int(math.sqrt(n))
     grid = patch_pos.reshape(1, side, side, dim).transpose(0, 3, 1, 2)
     grid = interpolate_bicubic(
-        grid, scale_factor=(w0 / side, h0 / side))
+        grid, scale_factor=(h0 / side, w0 / side))
     grid = grid.transpose(0, 2, 3, 1).reshape(1, -1, dim)
     return jnp.concatenate([class_pos, grid], axis=1)
 
@@ -183,7 +184,7 @@ def prepare_tokens(params: Params, images: jnp.ndarray, cfg: ViTConfig,
                                        (b, 1, cfg.embed_dim)))
     x = jnp.concatenate(prefix + [x], axis=1)
     return x + interpolate_pos_encoding(
-        params, x.shape[1] - cfg.num_prefix_tokens, w, h, cfg)
+        params, x.shape[1] - cfg.num_prefix_tokens, h, w, cfg)
 
 
 # Pad ragged sequence lengths inside attention only: q rows to a sublane

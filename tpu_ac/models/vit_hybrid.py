@@ -114,8 +114,8 @@ def hybrid_prepare_tokens(params: Params, images: jnp.ndarray,
     tokens = jnp.concatenate([cls, tokens], axis=1)
     vit_cfg = dataclasses.replace(cfg.vit, patch_size=cfg.total_stride)
     return tokens + interpolate_pos_encoding(
-        params, tokens.shape[1] - 1, gw * cfg.total_stride,
-        gh * cfg.total_stride, vit_cfg)
+        params, tokens.shape[1] - 1, gh * cfg.total_stride,
+        gw * cfg.total_stride, vit_cfg)
 
 
 def hybrid_vit_forward(params: Params, images: jnp.ndarray,

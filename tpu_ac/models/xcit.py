@@ -155,20 +155,10 @@ def init_xcit_params(seed: int, cfg: XCiTConfig) -> dict[str, jnp.ndarray]:
     return {k: jnp.asarray(v) for k, v in p.items()}
 
 
-def _linear(x, w, b, precision):
-    y = jax.lax.dot_general(
-        x, w, dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
-        precision=precision)
-    return y if b is None else y + b
-
-
-def _bn_inference(params: Params, name: str, x: jnp.ndarray,
-                  eps: float) -> jnp.ndarray:
-    w = params[name + ".weight"][None, :, None, None]
-    b = params[name + ".bias"][None, :, None, None]
-    mean = params[name + ".running_mean"][None, :, None, None]
-    var = params[name + ".running_var"][None, :, None, None]
-    return (x - mean) * jax.lax.rsqrt(var + eps) * w + b
+from tpu_ac.ops.linear import (  # noqa: E402
+    bn_inference_nchw as _bn_inference,
+    torch_linear as _linear,
+)
 
 
 def conv_patch_embed(params: Params, images: jnp.ndarray, cfg: XCiTConfig,

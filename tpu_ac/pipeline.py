@@ -308,6 +308,13 @@ class _Uploader:
             raise RuntimeError("uploader is closed")
         future = Future()
         self._q.put((future, fn))
+        if self._closed:
+            # close() ran between the check and the put, so the worker may
+            # already have drained + exited without ever seeing this item:
+            # cancel so the caller gets CancelledError instead of blocking
+            # forever on a future nothing will run (no-op if the worker
+            # did pick it up first)
+            future.cancel()
         return future
 
     def close(self):
@@ -405,7 +412,20 @@ def compute_alpha_X(Z: jnp.ndarray, supervised: str, tau: float,
 
         if mesh is None:
             mesh = get_mesh()
-        z_sh, _ = shard_batch(mesh, np.asarray(Z))
+        if isinstance(Z, jax.Array):
+            # reshard ON DEVICE: fetching the [N, P, D] embedding to host
+            # and re-uploading (shard_batch) costs tens of seconds on a
+            # 40-50 MB/s link and blocks the dispatch thread the sweep
+            # relies on being free
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            size = mesh.shape["dp"]
+            pad = (-Z.shape[0]) % size
+            z_pad = Z if pad == 0 else jnp.concatenate(
+                [Z, jnp.zeros((pad, *Z.shape[1:]), Z.dtype)])
+            z_sh = jax.device_put(z_pad, NamedSharding(mesh, P("dp")))
+        else:
+            z_sh, _ = shard_batch(mesh, np.asarray(Z))
         if supervised == "supervised":
             if Z_train is None:
                 raise ValueError("supervised mode requires Z_train")
