@@ -19,6 +19,7 @@ the functional replacement for torch's module-held running stats.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -394,13 +395,27 @@ def scan_evaluate_heads(head_losses: np.ndarray) -> int:
     return int(np.argmin(head_losses))
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_contrastive_embed(cfg: SCANModelConfig):
+    """Cached jit of the contrastive embed so repeated eval calls (one per
+    epoch in the reference loop) reuse one compiled program."""
+    return jax.jit(lambda p, b, x: contrastive_forward(p, b, x, cfg)[0])
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_head_probs(cfg: SCANModelConfig, head: int):
+    """Cached jit of per-head softmax probabilities (eval.py prototypes)."""
+    return jax.jit(lambda p, b, x: jax.nn.softmax(
+        clustering_forward(p, b, x, cfg)[0][head], axis=1))
+
+
 def contrastive_evaluate(params, bn_state, images: np.ndarray,
                          targets: np.ndarray, bank: "MemoryBank",
                          cfg: SCANModelConfig, batch_size: int = 256
                          ) -> float:
     """Weighted-kNN accuracy monitor on memory-bank features
     (utils/evaluate_utils.py:16-31 contrastive_evaluate)."""
-    fwd = jax.jit(lambda p, b, x: contrastive_forward(p, b, x, cfg)[0])
+    fwd = _jitted_contrastive_embed(cfg)
     correct = 0
     for i in range(0, len(images), batch_size):
         emb = fwd(params, bn_state, jnp.asarray(images[i:i + batch_size]))
@@ -414,8 +429,7 @@ def get_prototypes(params, bn_state, images: np.ndarray,
                    batch_size: int = 256) -> np.ndarray:
     """Most-confident sample index per cluster
     (Unsupervised-Classification-master/eval.py:96-128)."""
-    fwd = jax.jit(lambda p, b, x: jax.nn.softmax(
-        clustering_forward(p, b, x, cfg)[0][head], axis=1))
+    fwd = _jitted_head_probs(cfg, head)
     all_probs = []
     for i in range(0, len(images), batch_size):
         all_probs.append(np.asarray(
