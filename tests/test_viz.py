@@ -205,3 +205,33 @@ class TestVideoInputPath:
         from PIL import Image
 
         assert Image.open(out).n_frames == 3
+
+
+class TestDrawCLI:
+    _CSV = ("unsupervised\nCategory,NMI,ARI,F1\n---,---,---,---\n"
+            "TAU=1.0\nbottle,0.5,0.4,0.6\ncable,0.3,0.2,0.4\n"
+            "MVTec(object),0.4,0.3,0.5\n"
+            "TAU=2.0\nbottle,0.6,0.5,0.7\ncable,0.2,0.1,0.3\n"
+            "MVTec(object),0.4,0.3,0.5\n")
+
+    def test_cli_end_to_end(self, tmp_path, capsys):
+        from tpu_ac.cli.draw import main
+
+        csv_path = tmp_path / "tau_result.csv"
+        csv_path.write_text(self._CSV)
+        out = str(tmp_path / "sweep.png")
+        main([str(csv_path), "--metric", "ARI", "--out", out])
+        assert os.path.exists(out)
+        # the aggregate MVTec(...) rows are excluded from the default
+        # category set (utils/draw.py plots per-category curves)
+        assert "2 categories, 2 tau values" in capsys.readouterr().out
+
+    def test_cli_gbk_csv(self, tmp_path):
+        from tpu_ac.cli.draw import main
+
+        csv_path = tmp_path / "tau_result_gbk.csv"
+        csv_path.write_bytes(self._CSV.encode("gbk"))
+        out = str(tmp_path / "sweep_gbk.png")
+        main([str(csv_path), "--gbk", "--categories", "bottle",
+              "--out", out])
+        assert os.path.exists(out)
