@@ -299,3 +299,36 @@ class TestComputeMapTruncation:
         _map, _aps, _pr, prs = compute_map(ranks, gnd, kappas=[5])
         # kq = min(21, 5) = 5; positives <= 5: two -> 2/5
         np.testing.assert_allclose(prs[0], [2 / 5])
+
+
+class TestProfilingAndSeeding:
+    def test_maybe_profile_writes_trace(self, tmp_path):
+        import jax.numpy as jnp
+        from tpu_ac.utils.profiling import maybe_profile, step_annotation
+
+        d = str(tmp_path / "trace")
+        with maybe_profile(d):
+            with step_annotation("unit", step=0):
+                jnp.ones((4, 4)).sum().block_until_ready()
+        found = [f for root, _, fs in os.walk(d) for f in fs]
+        assert any(f.endswith((".pb", ".json.gz", ".trace.json.gz"))
+                   for f in found), found
+
+    def test_maybe_profile_none_is_noop(self, tmp_path):
+        from tpu_ac.utils.profiling import maybe_profile
+
+        with maybe_profile(None):
+            pass
+        assert not os.listdir(tmp_path)
+
+    def test_fix_seeds_reproducible(self):
+        import random
+        from tpu_ac.utils.seeding import fix_seeds
+
+        key1 = fix_seeds(7)
+        a = (random.random(), np.random.rand(3).tolist())
+        key2 = fix_seeds(7)
+        b = (random.random(), np.random.rand(3).tolist())
+        assert a == b
+        assert np.array_equal(np.asarray(key1), np.asarray(key2))
+        assert fix_seeds(7, with_jax_key=False) is None
