@@ -1,0 +1,110 @@
+"""AOT serving export (tpu_ac/utils/export.py): the serialized StableHLO
+programs must reproduce the live pipeline exactly after a bytes round-trip.
+
+The reference has no AOT story (every deployment re-traces Python); this
+is a TPU-native addition, so the oracle is our own live path.
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    from tpu_ac.models.registry import BackboneSpec, register_backbone
+    from tpu_ac.models.vit import ViTConfig
+    from tpu_ac.pipeline import PipelineConfig, build_embedder_for_config
+
+    register_backbone("tiny_test_export", BackboneSpec(
+        "vit", ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                         img_size=32), None))
+    cfg = PipelineConfig(backbone_name="tiny_test_export",
+                         layers=("blocks.0", "blocks.1"),
+                         pretrain_embed_dimension=48,
+                         target_embed_dimension=96,
+                         imagesize=32, batch_size=4, tau=1.0)
+    emb = build_embedder_for_config(cfg, mesh=None)
+    return cfg, emb
+
+
+class TestExport:
+    def test_round_trip_matches_live_pipeline(self, tiny_setup, tmp_path):
+        from tpu_ac.pipeline import compute_alpha_X
+        from tpu_ac.utils.export import (export_category_programs,
+                                         load_exported, save_exported)
+
+        cfg, emb = tiny_setup
+        blob = export_category_programs(emb, cfg, n_images=8)
+        path = save_exported(str(tmp_path / "serving.tpuac"), blob)
+        progs = load_exported(path)
+
+        assert progs["meta"]["n_images_capacity"] == 32  # 8 -> 32-bucket
+        assert progs["meta"]["supervised"] == "unsupervised"
+
+        rng = np.random.default_rng(0)
+        images = rng.integers(0, 255, (4, 3, 32, 32), dtype=np.uint8)
+
+        z_live = np.asarray(emb(images))
+        params = {k: np.asarray(v) for k, v in emb._device_params.items()}
+        z_aot = np.asarray(progs["embed"](params, images))
+        np.testing.assert_array_equal(z_aot, z_live)
+
+        n, p, d = 6, z_live.shape[1], z_live.shape[2]
+        Z = rng.standard_normal((n, p, d)).astype(np.float32)
+        packed_live = np.asarray(compute_alpha_X(
+            Z, "unsupervised", cfg.tau, use_mesh=False,
+            precision=cfg.resolved_alpha_precision, packed=True))
+        z_pad = np.zeros((32, p, d), np.float32)
+        z_pad[:n] = Z
+        packed_aot = np.asarray(
+            progs["alpha_x"](z_pad, np.int32(n)))[:n]
+        np.testing.assert_array_equal(packed_aot, packed_live)
+
+    def test_supervised_mode_exports(self, tiny_setup, tmp_path):
+        import dataclasses
+
+        from tpu_ac.pipeline import compute_alpha_X
+        from tpu_ac.utils.export import (export_category_programs,
+                                         load_exported, save_exported)
+
+        cfg, emb = tiny_setup
+        scfg = dataclasses.replace(cfg, supervised="supervised")
+        blob = export_category_programs(emb, scfg, n_images=4)
+        progs = load_exported(save_exported(
+            str(tmp_path / "sup.tpuac"), blob))
+
+        rng = np.random.default_rng(1)
+        p = progs["meta"]["n_patches"]
+        d = progs["meta"]["embed_dim"]
+        Z = rng.standard_normal((3, p, d)).astype(np.float32)
+        Zt = rng.standard_normal((2, p, d)).astype(np.float32)
+        packed_live = np.asarray(compute_alpha_X(
+            Z, "supervised", scfg.tau, Z_train=Zt, use_mesh=False,
+            precision=scfg.resolved_alpha_precision, packed=True))
+        z_pad = np.zeros((32, p, d), np.float32)
+        zt_pad = np.zeros((32, p, d), np.float32)
+        z_pad[:3], zt_pad[:2] = Z, Zt
+        packed_aot = np.asarray(progs["alpha_x"](
+            z_pad, zt_pad, np.int32(3), np.int32(2)))[:3]
+        np.testing.assert_array_equal(packed_aot, packed_live)
+
+    def test_mesh_embedder_rejected(self, tiny_setup):
+        from tpu_ac.utils.export import export_category_programs
+
+        cfg, emb = tiny_setup
+
+        class FakeMeshEmbedder:
+            mesh = object()
+
+        with pytest.raises(ValueError, match="single-device"):
+            export_category_programs(FakeMeshEmbedder(), cfg, n_images=4)
+
+    def test_version_gate(self, tiny_setup, tmp_path):
+        import pickle
+
+        from tpu_ac.utils.export import load_exported
+
+        path = tmp_path / "bad.tpuac"
+        path.write_bytes(pickle.dumps({"format_version": 999}))
+        with pytest.raises(ValueError, match="format"):
+            load_exported(str(path))

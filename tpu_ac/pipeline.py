@@ -175,6 +175,8 @@ class CategoryEmbedder:
             self._batch_sharding = None
             self._device_params = jax.device_put(dict(params))
         self.mesh = mesh
+        # the raw (params, images) jit — tpu_ac.utils.export serializes it
+        self._embed_fn = _embed
         self._embed = lambda images: _embed(self._device_params, images)
         # All host->device transfers go through ONE background thread:
         # device_put blocks the calling thread for the whole transfer on
