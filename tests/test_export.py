@@ -108,3 +108,21 @@ class TestExport:
         path.write_bytes(pickle.dumps({"format_version": 999}))
         with pytest.raises(ValueError, match="format"):
             load_exported(str(path))
+
+    def test_multi_platform_export(self, tiny_setup, tmp_path):
+        # one artifact lowered for both cpu and tpu; still runnable on the
+        # cpu host after the bytes round-trip
+        from tpu_ac.utils.export import (export_category_programs,
+                                         load_exported, save_exported)
+
+        cfg, emb = tiny_setup
+        blob = export_category_programs(emb, cfg, n_images=4,
+                                        platforms=("cpu", "tpu"))
+        assert blob["meta"]["platforms"] == ["cpu", "tpu"]
+        progs = load_exported(save_exported(
+            str(tmp_path / "mp.tpuac"), blob))
+        rng = np.random.default_rng(2)
+        images = rng.integers(0, 255, (4, 3, 32, 32), dtype=np.uint8)
+        params = {k: np.asarray(v) for k, v in emb._device_params.items()}
+        z = np.asarray(progs["embed"](params, images))
+        np.testing.assert_array_equal(z, np.asarray(emb(images)))
