@@ -126,3 +126,27 @@ class TestExport:
         params = {k: np.asarray(v) for k, v in emb._device_params.items()}
         z = np.asarray(progs["embed"](params, images))
         np.testing.assert_array_equal(z, np.asarray(emb(images)))
+
+
+class TestExportCLI:
+    def test_cli_end_to_end(self, tiny_setup, tmp_path, capsys):
+        from tpu_ac.cli.export import main
+        from tpu_ac.utils.export import load_exported
+
+        out = str(tmp_path / "cli_serving.tpuac")
+        path = main(["--backbone_name", "tiny_test_export",
+                     "--layers_to_extract_from", "blocks.0", "blocks.1",
+                     "--pretrain_embed_dimension", "48",
+                     "--target_embed_dimension", "96",
+                     "--imagesize", "32", "--batch_size", "4",
+                     "--n_images", "8", "--output", out])
+        assert path == out and out in capsys.readouterr().out
+        progs = load_exported(out)
+        assert progs["meta"]["backbone_name"] == "tiny_test_export"
+        rng = np.random.default_rng(3)
+        images = rng.integers(0, 255, (4, 3, 32, 32), dtype=np.uint8)
+        _, emb = tiny_setup
+        params = {k: np.asarray(v) for k, v in emb._device_params.items()}
+        z = np.asarray(progs["embed"](params, images))
+        assert z.shape == (4, progs["meta"]["n_patches"],
+                           progs["meta"]["embed_dim"])
