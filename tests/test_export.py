@@ -150,3 +150,13 @@ class TestExportCLI:
         z = np.asarray(progs["embed"](params, images))
         assert z.shape == (4, progs["meta"]["n_patches"],
                            progs["meta"]["embed_dim"])
+
+    def test_average_mode_rejected(self, tiny_setup):
+        import dataclasses
+
+        from tpu_ac.utils.export import export_category_programs
+
+        cfg, emb = tiny_setup
+        acfg = dataclasses.replace(cfg, supervised="average")
+        with pytest.raises(ValueError, match="not exportable"):
+            export_category_programs(emb, acfg, n_images=4)

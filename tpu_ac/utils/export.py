@@ -70,6 +70,11 @@ def export_category_programs(embedder, cfg, n_images: int, *,
     if embedder.mesh is not None:
         raise ValueError("export serializes single-device programs; "
                          "build the embedder with mesh=None")
+    if cfg.supervised not in ("unsupervised", "supervised"):
+        # "average" runs eager and unpadded in compute_alpha_X — there is
+        # no bucketed program to serialize for it
+        raise ValueError(f"mode {cfg.supervised!r} is not exportable; "
+                         "use unsupervised or supervised")
     kwargs = {"platforms": list(platforms)} if platforms else {}
 
     params_spec = jax.tree.map(_spec_like, dict(embedder._device_params))
