@@ -40,6 +40,7 @@ class TestExport:
 
         assert progs["meta"]["n_images_capacity"] == 32  # 8 -> 32-bucket
         assert progs["meta"]["supervised"] == "unsupervised"
+        assert progs["meta"]["image_dtype"] == "uint8"
 
         rng = np.random.default_rng(0)
         images = rng.integers(0, 255, (4, 3, 32, 32), dtype=np.uint8)

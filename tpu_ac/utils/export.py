@@ -117,6 +117,7 @@ def export_category_programs(embedder, cfg, n_images: int, *,
             "precision": cfg.precision,
             "alpha_precision": cfg.resolved_alpha_precision,
             "platforms": list(embed_exp.platforms),
+            "image_dtype": "uint8",  # _prep branches on dtype at trace time
             "n_patches": int(p),
             "embed_dim": int(d),
         },
