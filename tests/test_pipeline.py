@@ -272,6 +272,16 @@ class TestPatchcoreCLISegImages:
                  "--percentage", "0.5", "--save_segmentation_images"])
         seg_dir = os.path.join(out, "segmentation_images", "bottle")
         assert os.path.isdir(seg_dir) and len(os.listdir(seg_dir)) == 12
+        # results.csv carries the reference's three metric columns
+        # (run_patchcore.py:198-204) plus the Mean row
+        import csv as _csv
+        with open(os.path.join(out, "results.csv")) as f:
+            rows = list(_csv.DictReader(f))
+        assert set(rows[0]) == {"dataset_name", "instance_auroc",
+                                "full_pixel_auroc", "anomaly_pixel_auroc"}
+        assert rows[-1]["dataset_name"] == "Mean"
+        for r in rows:
+            assert 0.0 <= float(r["anomaly_pixel_auroc"]) <= 1.0
 
 
 class TestCategorySweep:

@@ -173,8 +173,14 @@ def run(args) -> list[dict]:
         if masks.any():
             pixel_metrics = compute_pixelwise_retrieval_metrics(segs, masks)
             pixel_auroc = pixel_metrics["auroc"]
+            # pixel AUROC restricted to anomalous images only
+            # (run_patchcore.py:187-196 selects masks with np.sum > 0)
+            sel = np.asarray([m.sum() > 0 for m in masks])
+            anomaly_pixel_auroc = compute_pixelwise_retrieval_metrics(
+                segs[sel], masks[sel])["auroc"]
         else:
             pixel_auroc = float("nan")
+            anomaly_pixel_auroc = float("nan")
         if args.save_segmentation_images:
             from tpu_ac.viz import plot_segmentation_images
 
@@ -186,9 +192,11 @@ def run(args) -> list[dict]:
                 mask_paths=[it.mask_path for it in test_ds.items])
         row = {"dataset_name": f"mvtec_{category}",
                "instance_auroc": image_metrics["auroc"],
-               "full_pixel_auroc": pixel_auroc}
+               "full_pixel_auroc": pixel_auroc,
+               "anomaly_pixel_auroc": anomaly_pixel_auroc}
         print(f"{category}: image AUROC {row['instance_auroc']:.4f} "
-              f"pixel AUROC {row['full_pixel_auroc']:.4f}")
+              f"pixel AUROC {row['full_pixel_auroc']:.4f} "
+              f"anomaly-pixel AUROC {row['anomaly_pixel_auroc']:.4f}")
         result_rows.append(row)
 
     _store_results(args.results_path, result_rows)
