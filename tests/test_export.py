@@ -129,6 +129,138 @@ class TestExport:
         np.testing.assert_array_equal(z, np.asarray(emb(images)))
 
 
+@pytest.fixture(scope="module")
+def sharded_setup():
+    import dataclasses
+
+    from tpu_ac.distributed import get_mesh
+    from tpu_ac.pipeline import build_embedder_for_config
+
+    # reuse the registry entry from tiny_setup's module scope is not
+    # guaranteed to have run first; register idempotently here
+    from tpu_ac.models.registry import BackboneSpec, register_backbone
+    from tpu_ac.models.vit import ViTConfig
+    from tpu_ac.pipeline import PipelineConfig
+
+    register_backbone("tiny_test_export_sh", BackboneSpec(
+        "vit", ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                         img_size=32), None))
+    cfg = PipelineConfig(backbone_name="tiny_test_export_sh",
+                         layers=("blocks.0", "blocks.1"),
+                         pretrain_embed_dimension=48,
+                         target_embed_dimension=96,
+                         imagesize=32, batch_size=8, tau=1.0)
+    mesh = get_mesh(8)
+    emb = build_embedder_for_config(cfg, mesh=mesh)
+    return cfg, emb, mesh
+
+
+class TestShardedExport:
+    def test_sharded_round_trip_matches_single_device(self, sharded_setup,
+                                                      tmp_path):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tpu_ac.pipeline import compute_alpha_X
+        from tpu_ac.utils.export import (export_sharded_category_programs,
+                                         load_exported, save_exported)
+
+        cfg, emb, mesh = sharded_setup
+        blob = export_sharded_category_programs(emb, cfg, n_images=8)
+        progs = load_exported(save_exported(
+            str(tmp_path / "sharded.tpuac"), blob))
+        meta = progs["meta"]
+        assert meta["sharded"] and meta["n_devices"] == 8
+        assert meta["n_images_capacity"] == 32  # lcm(32, 8) bucket
+
+        row_sh = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
+        rng = np.random.default_rng(0)
+        images = rng.integers(0, 255, (8, 3, 32, 32), dtype=np.uint8)
+        z_live = np.asarray(emb(images))
+        params = jax.device_put(dict(emb._device_params), repl)
+        z_aot = np.asarray(progs["embed"](
+            params, jax.device_put(images, row_sh)))
+        np.testing.assert_allclose(z_aot, z_live, rtol=1e-5, atol=1e-6)
+
+        n, p, d = 13, z_live.shape[1], z_live.shape[2]
+        Z = rng.standard_normal((n, p, d)).astype(np.float32)
+        z_pad = np.zeros((meta["n_images_capacity"], p, d), np.float32)
+        z_pad[:n] = Z
+        packed = np.asarray(progs["alpha_x"](
+            jax.device_put(z_pad, row_sh),
+            jax.device_put(np.int32(n), repl)))[:n]
+        a_one, x_one = compute_alpha_X(
+            Z, "unsupervised", cfg.tau, use_mesh=False,
+            precision=cfg.resolved_alpha_precision)
+        # cross-shard reduction order differs from the fused single-device
+        # program — same band as tests/test_distributed.py's mesh-vs-single
+        np.testing.assert_allclose(packed[:, :p], np.asarray(a_one),
+                                   rtol=2e-3, atol=5e-4)
+        np.testing.assert_allclose(packed[:, p:], np.asarray(x_one),
+                                   rtol=2e-3, atol=1e-3)
+
+    def test_sharded_supervised(self, sharded_setup, tmp_path):
+        import dataclasses
+
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tpu_ac.pipeline import compute_alpha_X
+        from tpu_ac.utils.export import (export_sharded_category_programs,
+                                         load_exported, save_exported)
+
+        cfg, emb, mesh = sharded_setup
+        scfg = dataclasses.replace(cfg, supervised="supervised")
+        blob = export_sharded_category_programs(emb, scfg, n_images=8)
+        progs = load_exported(save_exported(
+            str(tmp_path / "sharded_sup.tpuac"), blob))
+
+        row_sh = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
+        rng = np.random.default_rng(1)
+        p, d = progs["meta"]["n_patches"], progs["meta"]["embed_dim"]
+        cap = progs["meta"]["n_images_capacity"]
+        Z = rng.standard_normal((5, p, d)).astype(np.float32)
+        Zt = rng.standard_normal((3, p, d)).astype(np.float32)
+        z_pad = np.zeros((cap, p, d), np.float32)
+        zt_pad = np.zeros((cap, p, d), np.float32)
+        z_pad[:5], zt_pad[:3] = Z, Zt
+        packed = np.asarray(progs["alpha_x"](
+            jax.device_put(z_pad, row_sh),
+            jax.device_put(zt_pad, repl),
+            jax.device_put(np.int32(5), repl),
+            jax.device_put(np.int32(3), repl)))[:5]
+        a_one, x_one = compute_alpha_X(
+            Z, "supervised", scfg.tau, Z_train=Zt, use_mesh=False,
+            precision=scfg.resolved_alpha_precision)
+        np.testing.assert_allclose(packed[:, :p], np.asarray(a_one),
+                                   rtol=2e-3, atol=5e-4)
+        np.testing.assert_allclose(packed[:, p:], np.asarray(x_one),
+                                   rtol=2e-3, atol=1e-3)
+
+    def test_meshless_embedder_rejected(self, tiny_setup):
+        from tpu_ac.utils.export import export_sharded_category_programs
+
+        cfg, emb = tiny_setup
+        with pytest.raises(ValueError, match="mesh"):
+            export_sharded_category_programs(emb, cfg, n_images=4)
+
+    def test_cli_dp_flag(self, sharded_setup, tmp_path):
+        from tpu_ac.cli.export import main
+        from tpu_ac.utils.export import load_exported
+
+        out = str(tmp_path / "cli_sharded.tpuac")
+        main(["--backbone_name", "tiny_test_export_sh",
+              "--layers_to_extract_from", "blocks.0", "blocks.1",
+              "--pretrain_embed_dimension", "48",
+              "--target_embed_dimension", "96",
+              "--imagesize", "32", "--batch_size", "8",
+              "--n_images", "8", "--dp", "8", "--output", out])
+        meta = load_exported(out)["meta"]
+        assert meta["sharded"] and meta["n_devices"] == 8
+
+
 class TestExportCLI:
     def test_cli_end_to_end(self, tiny_setup, tmp_path, capsys):
         from tpu_ac.cli.export import main

@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platforms", nargs="+", default=None,
                    help="lowering platforms (e.g. tpu, or: cpu tpu); "
                         "default = the current backend")
+    p.add_argument("--dp", type=int, default=None,
+                   help="export the MULTI-CHIP programs sharded over a "
+                        "dp-axis mesh of this many devices (the serving "
+                        "host must run the artifact under a same-size "
+                        "mesh); default = single-device programs")
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--output", default="category_serving.tpuac")
     return p
@@ -57,11 +62,21 @@ def main(argv=None) -> str:
         patchsize=args.patchsize, tau=args.tau,
         supervised=args.supervised, imagesize=args.imagesize,
         batch_size=args.batch_size, precision=args.precision)
-    embedder = build_embedder_for_config(
-        cfg, checkpoint_dir=args.checkpoint_dir, mesh=None)
-    blob = export_category_programs(
-        embedder, cfg, n_images=args.n_images,
-        platforms=tuple(args.platforms) if args.platforms else None)
+    platforms = tuple(args.platforms) if args.platforms else None
+    if args.dp:
+        from tpu_ac.distributed import get_mesh
+        from tpu_ac.utils.export import export_sharded_category_programs
+
+        embedder = build_embedder_for_config(
+            cfg, checkpoint_dir=args.checkpoint_dir,
+            mesh=get_mesh(args.dp))
+        blob = export_sharded_category_programs(
+            embedder, cfg, n_images=args.n_images, platforms=platforms)
+    else:
+        embedder = build_embedder_for_config(
+            cfg, checkpoint_dir=args.checkpoint_dir, mesh=None)
+        blob = export_category_programs(
+            embedder, cfg, n_images=args.n_images, platforms=platforms)
     path = save_exported(args.output, blob)
     LOGGER.info("wrote %s (platforms=%s, capacity=%d)", path,
                 blob["meta"]["platforms"], blob["meta"]["n_images_capacity"])

@@ -53,19 +53,22 @@ def shard_batch(mesh: Mesh, array, axis_name: str = "dp"):
 
 
 def _per_image_weights(z_local: jnp.ndarray, bank: jnp.ndarray,
-                       reduce_mode: str, n_valid: int,
+                       reduce_mode: str, n_valid,
                        precision: str = "f32") -> jnp.ndarray:
     from tpu_ac.kernels.distances import min_dists_all_pairs
 
     n_bank = bank.shape[0]
-    valid = (np.arange(n_bank) < n_valid)[None, :, None]  # padded bank rows
+    # n_valid may be a TRACED scalar (the AOT serving export keeps it an
+    # argument so one artifact serves every category size); jnp ops
+    # constant-fold when it is a Python int, so the eager path is unchanged
+    valid = (jnp.arange(n_bank) < n_valid)[None, :, None]  # padded bank rows
 
     mins = min_dists_all_pairs(z_local, bank,
                                precision=precision)  # [N_local, N_bank, P]
     if reduce_mode == "mean":
         mins = jnp.where(valid, mins, 0.0)
         # clamp: nv=1 would be 0/0 NaN (pipeline raises before dispatch)
-        return jnp.sum(mins, axis=1) / max(n_valid - 1, 1)
+        return jnp.sum(mins, axis=1) / jnp.maximum(n_valid - 1, 1)
     mins = jnp.where(valid, mins, jnp.inf)
     return jnp.min(mins, axis=1)
 

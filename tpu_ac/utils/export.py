@@ -30,6 +30,7 @@ import pickle
 from typing import Any, Mapping
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 _FORMAT_VERSION = 1
@@ -124,6 +125,135 @@ def export_category_programs(embedder, cfg, n_images: int, *,
     }
 
 
+def _make_sharded_alpha_x(mesh, supervised: str, tau: float,
+                          precision: str):
+    """Jittable packed alpha+X over a dp-sharded image set.
+
+    The weight computation runs as a shard_map (each device's rows against
+    one tiled all_gather of the bank over ICI, exactly the
+    ``compute_alpha_X`` mesh path); n_valid / n_train_valid stay TRACED
+    arguments so one exported program serves every category size up to the
+    padded capacity.
+    """
+    import functools
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from tpu_ac.cluster.alpha import alpha_from_weights, weighted_embedding
+    from tpu_ac.distributed.mesh import _per_image_weights
+
+    if supervised == "supervised":
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(P("dp"), P(), P()), out_specs=P("dp"),
+                           check_rep=False)
+        def _wdist(z_local, bank, nv):
+            return _per_image_weights(z_local, bank, "min", nv, precision)
+
+        def fn(z_sh, z_train, n_valid, n_train_valid):
+            w = _wdist(z_sh, z_train, n_train_valid)
+            alpha = alpha_from_weights(w, tau)
+            x = weighted_embedding(alpha, z_sh)
+            return jnp.concatenate([alpha, x], axis=1)
+    else:
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(P("dp"), P()), out_specs=P("dp"),
+                           check_rep=False)
+        def _wdist(z_local, nv):
+            import jax as _jax
+
+            bank = _jax.lax.all_gather(z_local, "dp", axis=0, tiled=True)
+            return _per_image_weights(z_local, bank, "mean", nv, precision)
+
+        def fn(z_sh, n_valid):
+            w = _wdist(z_sh, n_valid)
+            alpha = alpha_from_weights(w, tau)
+            x = weighted_embedding(alpha, z_sh)
+            return jnp.concatenate([alpha, x], axis=1)
+    return fn
+
+
+def export_sharded_category_programs(embedder, cfg, n_images: int, *,
+                                     platforms: tuple[str, ...] | None = None
+                                     ) -> dict[str, Any]:
+    """Multi-chip variant of :func:`export_category_programs`.
+
+    Serializes the dp-sharded embed (params replicated, image batch sharded
+    over the mesh's "dp" axis) and the shard_map'd alpha+X (each device's
+    rows against a tiled all_gather of the bank). The artifact records the
+    device count; the serving host must call it under a mesh of the SAME
+    size, with inputs placed via ``NamedSharding(mesh, P("dp"))`` (params
+    and the traced valid counts replicated, ``P()``).
+
+    The reference has no multi-GPU serving story at all (its alpha is a
+    single-process torch loop); this is a TPU-native extension.
+    """
+    from jax import export as jexport
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if embedder.mesh is None:
+        raise ValueError("sharded export needs a mesh-built embedder; "
+                         "use export_category_programs for single-device")
+    if cfg.supervised not in ("unsupervised", "supervised"):
+        raise ValueError(f"mode {cfg.supervised!r} is not exportable; "
+                         "use unsupervised or supervised")
+    mesh = embedder.mesh
+    dp = mesh.shape["dp"]
+    bs = cfg.batch_size
+    if bs % dp:
+        raise ValueError(f"batch_size {bs} must divide over dp={dp}")
+    kwargs = {"platforms": list(platforms)} if platforms else {}
+
+    repl = NamedSharding(mesh, P())
+    row_sh = NamedSharding(mesh, P("dp"))
+    params_spec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype, sharding=repl),
+        dict(embedder._device_params))
+    img_spec = jax.ShapeDtypeStruct(
+        (bs, 3, cfg.imagesize, cfg.imagesize), np.uint8, sharding=row_sh)
+    embed_exp = jexport.export(embedder._embed_fn, **kwargs)(
+        params_spec, img_spec)
+
+    p = embed_exp.out_avals[0].shape[1]
+    d = embed_exp.out_avals[0].shape[2]
+    # pad the alpha capacity to the 32-bucket AND the dp axis
+    bucket = np.lcm(32, dp)
+    n_pad = int(-(-n_images // bucket) * bucket)
+    z_spec = jax.ShapeDtypeStruct((n_pad, p, d), np.float32, sharding=row_sh)
+    n_spec = jax.ShapeDtypeStruct((), np.int32, sharding=repl)
+    fn = jax.jit(_make_sharded_alpha_x(
+        mesh, cfg.supervised, float(cfg.tau), cfg.resolved_alpha_precision))
+    if cfg.supervised == "supervised":
+        alpha_exp = jexport.export(fn, **kwargs)(
+            z_spec, z_spec, n_spec, n_spec)
+    else:
+        alpha_exp = jexport.export(fn, **kwargs)(z_spec, n_spec)
+
+    return {
+        "format_version": _FORMAT_VERSION,
+        "embed": embed_exp.serialize(),
+        "alpha_x": alpha_exp.serialize(),
+        "meta": {
+            "backbone_name": cfg.backbone_name,
+            "layers": list(cfg.layers),
+            "batch_size": bs,
+            "imagesize": cfg.imagesize,
+            "n_images_capacity": n_pad,
+            "supervised": cfg.supervised,
+            "tau": float(cfg.tau),
+            "precision": cfg.precision,
+            "alpha_precision": cfg.resolved_alpha_precision,
+            "platforms": list(embed_exp.platforms),
+            "image_dtype": "uint8",
+            "n_patches": int(p),
+            "embed_dim": int(d),
+            "sharded": True,
+            "n_devices": int(dp),
+            "mesh_axis": "dp",
+        },
+    }
+
+
 def save_exported(path: str, blob: Mapping[str, Any]) -> str:
     with open(path, "wb") as f:
         pickle.dump(dict(blob), f)
@@ -146,9 +276,11 @@ def load_exported(path: str) -> dict[str, Any]:
         raise ValueError(
             f"unsupported export format {blob.get('format_version')!r}")
     alpha_call = jexport.deserialize(blob["alpha_x"]).call
-    if blob["meta"]["supervised"] != "supervised":
-        # the exported pytree carries None placeholders for the absent
-        # train-bank arguments; hide them behind the 2-arg signature
+    if (blob["meta"]["supervised"] != "supervised"
+            and not blob["meta"].get("sharded")):
+        # the single-device exported pytree carries None placeholders for
+        # the absent train-bank arguments; hide them behind the 2-arg
+        # signature (the sharded program is exported 2-arg already)
         raw = alpha_call
         alpha_call = lambda Z, n_valid: raw(Z, None, n_valid, None)  # noqa: E731
     return {
