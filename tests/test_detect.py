@@ -143,6 +143,85 @@ class TestDetectionMetrics:
         assert 0 <= m["optimal_fpr"] <= 1
 
 
+def _pro_naive(segs, masks, fpr_limit=0.3, n_thresholds=2000):
+    """Brute-force PRO: explicit threshold sweep, per-region overlap means
+    (Bergmann et al. definition), trapezoid over the clipped FPR axis."""
+    from scipy import ndimage
+
+    regions = []
+    for m in masks:
+        labels, n = ndimage.label(m.astype(bool))
+        regions.extend([(labels == r) for r in range(1, n + 1)])
+    normal = ~np.stack(masks).astype(bool)
+    thresholds = np.quantile(np.stack(segs).ravel(),
+                             np.linspace(1, 0, n_thresholds))
+    fprs, pros = [0.0], [0.0]
+    for t in thresholds:
+        pred = [s >= t for s in segs]
+        pred_all = np.stack(pred)
+        fpr = (pred_all & normal).sum() / normal.sum()
+        overlaps = []
+        for i, m in enumerate(masks):
+            labels, n = ndimage.label(m.astype(bool))
+            for r in range(1, n + 1):
+                region = labels == r
+                overlaps.append((pred[i] & region).sum() / region.sum())
+        fprs.append(fpr)
+        pros.append(np.mean(overlaps))
+    fprs, pros = np.asarray(fprs), np.asarray(pros)
+    pro_at = np.interp(fpr_limit, fprs, pros)
+    keep = fprs < fpr_limit
+    f = np.r_[fprs[keep], fpr_limit]
+    p = np.r_[pros[keep], pro_at]
+    return float(np.trapezoid(p, f) / fpr_limit)
+
+
+class TestPRO:
+    def test_matches_naive_threshold_sweep(self, rng):
+        from tpu_ac.detect import compute_pro
+
+        segs, masks = [], []
+        for i in range(3):
+            m = np.zeros((16, 16), bool)
+            m[2:5, 2:6] = True          # region 1
+            if i % 2:
+                m[10:14, 9:12] = True   # region 2 on odd images
+            s = rng.uniform(size=(16, 16))
+            s[m] += rng.uniform(0.0, 1.5, size=int(m.sum()))
+            segs.append(s)
+            masks.append(m)
+        got = compute_pro(segs, masks)
+        want = _pro_naive(segs, masks)
+        assert abs(got - want) < 2e-3, (got, want)
+
+    def test_perfect_separation_is_one(self):
+        from tpu_ac.detect import compute_pro
+
+        m = np.zeros((2, 8, 8), bool)
+        m[:, :3] = True
+        s = np.where(m, 1.0, 0.0) + np.arange(128).reshape(2, 8, 8) * 1e-6
+        assert compute_pro(s, m) > 0.999
+
+    def test_constant_scores_are_chance(self):
+        # one reachable operating point: everything predicted anomalous
+        # (FPR=1, PRO=1); linear interpolation to the limit gives ~fpr/2
+        # behavior — the score must be far below perfect
+        from tpu_ac.detect import compute_pro
+
+        m = np.zeros((1, 8, 8), bool)
+        m[0, :2] = True
+        s = np.ones((1, 8, 8))
+        assert compute_pro(s, m) < 0.2
+
+    def test_needs_regions_and_normals(self):
+        from tpu_ac.detect import compute_pro
+
+        with pytest.raises(ValueError, match="region"):
+            compute_pro(np.ones((1, 4, 4)), np.zeros((1, 4, 4)))
+        with pytest.raises(ValueError, match="normal"):
+            compute_pro(np.ones((1, 4, 4)), np.ones((1, 4, 4)))
+
+
 class TestPatchCoreEndToEnd:
     """Integration with a dummy embedder (reference test_patchcore.py:83-135)."""
 

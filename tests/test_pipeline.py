@@ -269,7 +269,8 @@ class TestPatchcoreCLISegImages:
                  "--pretrain_embed_dimension", "64",
                  "--target_embed_dimension", "64",
                  "--resize", "72", "--imagesize", "64", "--batch_size", "4",
-                 "--percentage", "0.5", "--save_segmentation_images"])
+                 "--percentage", "0.5", "--save_segmentation_images",
+                 "--compute_pro"])
         seg_dir = os.path.join(out, "segmentation_images", "bottle")
         assert os.path.isdir(seg_dir) and len(os.listdir(seg_dir)) == 12
         # results.csv carries the reference's three metric columns
@@ -278,10 +279,12 @@ class TestPatchcoreCLISegImages:
         with open(os.path.join(out, "results.csv")) as f:
             rows = list(_csv.DictReader(f))
         assert set(rows[0]) == {"dataset_name", "instance_auroc",
-                                "full_pixel_auroc", "anomaly_pixel_auroc"}
+                                "full_pixel_auroc", "anomaly_pixel_auroc",
+                                "full_pro"}
         assert rows[-1]["dataset_name"] == "Mean"
         for r in rows:
             assert 0.0 <= float(r["anomaly_pixel_auroc"]) <= 1.0
+            assert 0.0 <= float(r["full_pro"]) <= 1.0
 
 
 class TestCategorySweep:

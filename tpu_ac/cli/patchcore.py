@@ -42,6 +42,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_group", default="group")
     p.add_argument("--log_project", default="project")
     p.add_argument("--save_segmentation_images", action="store_true")
+    p.add_argument("--compute_pro", action="store_true",
+                   help="Also report the PRO score (per-region overlap AUC "
+                        "at FPR<=0.3, Bergmann et al.) as a full_pro "
+                        "column. The reference README quotes PRO but its "
+                        "code never computes it (run_patchcore.py:181 is "
+                        "a comment only); off by default to keep the "
+                        "results.csv schema reference-exact.")
     p.add_argument("--save_patchcore_model", action="store_true")
     # model options (run_patchcore.py:240-315)
     p.add_argument("--backbone", "-b", action="append", dest="backbone_names",
@@ -178,9 +185,14 @@ def run(args) -> list[dict]:
             sel = np.asarray([m.sum() > 0 for m in masks])
             anomaly_pixel_auroc = compute_pixelwise_retrieval_metrics(
                 segs[sel], masks[sel])["auroc"]
+            if args.compute_pro:
+                from tpu_ac.detect import compute_pro
+
+                full_pro = compute_pro(segs, masks)
         else:
             pixel_auroc = float("nan")
             anomaly_pixel_auroc = float("nan")
+            full_pro = float("nan")
         if args.save_segmentation_images:
             from tpu_ac.viz import plot_segmentation_images
 
@@ -194,9 +206,12 @@ def run(args) -> list[dict]:
                "instance_auroc": image_metrics["auroc"],
                "full_pixel_auroc": pixel_auroc,
                "anomaly_pixel_auroc": anomaly_pixel_auroc}
+        if args.compute_pro:
+            row["full_pro"] = full_pro
         print(f"{category}: image AUROC {row['instance_auroc']:.4f} "
               f"pixel AUROC {row['full_pixel_auroc']:.4f} "
-              f"anomaly-pixel AUROC {row['anomaly_pixel_auroc']:.4f}")
+              f"anomaly-pixel AUROC {row['anomaly_pixel_auroc']:.4f}"
+              + (f" PRO {row['full_pro']:.4f}" if args.compute_pro else ""))
         result_rows.append(row)
 
     _store_results(args.results_path, result_rows)

@@ -16,6 +16,7 @@ from tpu_ac.detect.segmentor import RescaleSegmentor
 from tpu_ac.detect.metrics import (
     compute_imagewise_retrieval_metrics,
     compute_pixelwise_retrieval_metrics,
+    compute_pro,
 )
 from tpu_ac.detect.patchcore import PatchCore
 
@@ -28,6 +29,7 @@ __all__ = [
     "RescaleSegmentor",
     "compute_imagewise_retrieval_metrics",
     "compute_pixelwise_retrieval_metrics",
+    "compute_pro",
     "PatchCore",
 ]
 
