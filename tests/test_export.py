@@ -284,6 +284,51 @@ class TestExportCLI:
         assert z.shape == (4, progs["meta"]["n_patches"],
                            progs["meta"]["embed_dim"])
 
+    def test_artifact_runs_without_tpu_ac(self, tiny_setup, tmp_path):
+        """The serving-host claim: a process that never imports tpu_ac can
+        run the artifact with raw pickle + jax.export."""
+        import os
+        import subprocess
+        import sys
+
+        from tpu_ac.utils.export import (export_category_programs,
+                                         save_exported)
+
+        cfg, emb = tiny_setup
+        path = save_exported(str(tmp_path / "standalone.tpuac"),
+                             export_category_programs(emb, cfg, n_images=4))
+        np.save(tmp_path / "params.npy",
+                {k: np.asarray(v) for k, v in emb._device_params.items()},
+                allow_pickle=True)
+        code = f"""
+import sys
+assert not any(m.startswith("tpu_ac") for m in sys.modules)
+import pickle
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from jax import export as jexport
+blob = pickle.load(open({str(path)!r}, "rb"))
+embed = jexport.deserialize(blob["embed"]).call
+alpha_x = jexport.deserialize(blob["alpha_x"]).call
+params = np.load({str(tmp_path / "params.npy")!r}, allow_pickle=True).item()
+imgs = np.zeros((4, 3, 32, 32), np.uint8)
+z = np.asarray(embed(params, imgs))
+cap = blob["meta"]["n_images_capacity"]
+z_pad = np.zeros((cap, z.shape[1], z.shape[2]), np.float32)
+z_pad[:4] = np.random.default_rng(0).standard_normal((4, *z.shape[1:]))
+packed = np.asarray(alpha_x(z_pad, None, np.int32(4), None))[:4]
+assert np.isfinite(packed).all()
+assert not any(m.startswith("tpu_ac") for m in sys.modules)
+print("STANDALONE_OK", z.shape, packed.shape)
+"""
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        env["JAX_PLATFORMS"] = "cpu"
+        proc = subprocess.run([sys.executable, "-c", code], env=env,
+                              capture_output=True, text=True, timeout=300)
+        assert proc.returncode == 0, proc.stderr
+        assert "STANDALONE_OK" in proc.stdout
+
     def test_average_mode_rejected(self, tiny_setup):
         import dataclasses
 
