@@ -1,0 +1,157 @@
+"""Standalone serving host for tpu_ac AOT artifacts — NO tpu_ac import.
+
+Demonstrates the deployment contract end to end: everything a serving
+process needs is the ``.tpuac`` artifact (StableHLO programs + meta), a
+params file, and stock jax + numpy.  The model code, the Pallas kernel
+source, and the whole tpu_ac package are NOT required at serving time.
+
+    # produce the inputs (any tpu_ac-equipped host):
+    python -m tpu_ac.cli.export --backbone_name dino_vitbase8 \
+        --n_images 32 --output serving.tpuac
+    python - <<'EOF'
+    from tpu_ac.pipeline import PipelineConfig, build_embedder_for_config
+    import numpy as np
+    cfg = PipelineConfig(backbone_name="dino_vitbase8",
+                         layers=("blocks.10", "blocks.11"),
+                         pretrain_embed_dimension=2048,
+                         target_embed_dimension=4096, batch_size=8)
+    emb = build_embedder_for_config(cfg)
+    np.save("params.npy", {k: np.asarray(v)
+                           for k, v in emb._device_params.items()},
+            allow_pickle=True)
+    EOF
+
+    # serve (this script; a different machine/venv is fine):
+    python scripts/serving_host.py serving.tpuac --params params.npy \
+        --images category_images.npy        # [N,3,H,W] uint8
+    python scripts/serving_host.py serving.tpuac --params params.npy \
+        --bench                             # synthetic-image throughput
+
+Outputs alpha ([N, P] per-image patch weights) and X ([N, D] weighted
+embeddings) — the same arrays stage 2 (clustering + metrics) consumes.
+Single-device artifacts only (for --dp artifacts the host must build the
+same-size mesh and place inputs; see tpu_ac/utils/export.py docstring).
+"""
+
+import argparse
+import pickle
+import sys
+import time
+
+import numpy as np
+
+
+def load_programs(path):
+    from jax import export as jexport
+
+    blob = pickle.load(open(path, "rb"))
+    if blob.get("meta", {}).get("sharded"):
+        raise SystemExit("sharded artifact: this example host is "
+                         "single-device; serve under a mesh instead")
+    return (jexport.deserialize(blob["embed"]).call,
+            jexport.deserialize(blob["alpha_x"]).call, blob["meta"])
+
+
+def embed_all(embed, params, images, batch_size):
+    """Embed [N,3,H,W] uint8 in the artifact's fixed batch size (pad the
+    tail batch; the programs are static-shape by design).  Returns a
+    DEVICE array — the alpha program consumes it in place, so Z
+    (~400 MB at the flagship shape) never round-trips to the host."""
+    import jax.numpy as jnp
+
+    n = images.shape[0]
+    out = []
+    for i in range(0, n, batch_size):
+        chunk = images[i:i + batch_size]
+        if chunk.shape[0] < batch_size:
+            pad = np.zeros((batch_size - chunk.shape[0], *chunk.shape[1:]),
+                           chunk.dtype)
+            chunk = np.concatenate([chunk, pad])
+        out.append(embed(params, chunk))
+    return jnp.concatenate(out)[:n]
+
+
+def serve_category(embed, alpha_x, meta, params, images):
+    """``params`` must already be device-resident (see main: one
+    jax.device_put at startup — NOT per call; the flagship params are
+    ~344 MB and re-uploading them would dominate serving latency)."""
+    import jax.numpy as jnp
+
+    n = images.shape[0]
+    cap = meta["n_images_capacity"]
+    if n > cap:
+        raise SystemExit(f"category size {n} exceeds artifact capacity "
+                         f"{cap}; re-export with a larger --n_images")
+    z = embed_all(embed, params, images, meta["batch_size"])
+    z_pad = jnp.pad(z, ((0, cap - n), (0, 0), (0, 0)))  # stays on device
+    if meta["supervised"] == "supervised":
+        raise SystemExit("supervised artifacts also need a train bank; "
+                         "extend serve_category with z_train/n_train")
+    packed = np.asarray(alpha_x(z_pad, None, np.int32(n), None))[:n]
+    p = meta["n_patches"]  # packed rows are [alpha (P patch weights), X (D)]
+    return packed[:, :p], packed[:, p:]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="serve a tpu_ac .tpuac artifact without tpu_ac")
+    ap.add_argument("artifact")
+    ap.add_argument("--params", required=True,
+                    help=".npy (allow_pickle) dict of backbone params")
+    ap.add_argument("--images", default=None,
+                    help=".npy [N,3,H,W] uint8 category images")
+    ap.add_argument("--out", default=None,
+                    help="write alpha/X to this .npz")
+    ap.add_argument("--bench", action="store_true",
+                    help="time the artifact on synthetic images")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu); needed because "
+                        "an ambient sitecustomize may claim an accelerator "
+                        "before env vars are read")
+    a = ap.parse_args(argv)
+
+    assert not any(m.startswith("tpu_ac") for m in sys.modules)
+    import jax
+
+    if a.platform:
+        jax.config.update("jax_platforms", a.platform)
+
+    embed, alpha_x, meta = load_programs(a.artifact)
+    params = jax.device_put(np.load(a.params, allow_pickle=True).item())
+    print(f"artifact: platforms={meta['platforms']} "
+          f"batch={meta['batch_size']} capacity={meta['n_images_capacity']} "
+          f"mode={meta['supervised']} tau={meta['tau']}", flush=True)
+
+    if a.images:
+        images = np.load(a.images)
+    else:
+        rng = np.random.default_rng(0)
+        images = rng.integers(
+            0, 255, (meta["n_images_capacity"], 3, meta["imagesize"],
+                     meta["imagesize"]), dtype=np.uint8)
+        print(f"(no --images: using {images.shape[0]} synthetic images)",
+              flush=True)
+
+    t0 = time.perf_counter()
+    alpha, x = serve_category(embed, alpha_x, meta, params, images)
+    t1 = time.perf_counter()
+    print(f"category served: alpha {alpha.shape} X {x.shape} "
+          f"in {t1 - t0:.2f}s (first call includes compile)", flush=True)
+
+    if a.bench:
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            serve_category(embed, alpha_x, meta, params, images)
+            times.append(time.perf_counter() - t0)
+        med = sorted(times)[len(times) // 2]
+        print(f"serving throughput: {images.shape[0] / med:.1f} images/sec "
+              f"(median of 5, N={images.shape[0]})", flush=True)
+
+    if a.out:
+        np.savez(a.out, alpha=alpha, X=x)
+        print("wrote", a.out)
+
+
+if __name__ == "__main__":
+    main()

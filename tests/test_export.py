@@ -329,6 +329,51 @@ print("STANDALONE_OK", z.shape, packed.shape)
         assert proc.returncode == 0, proc.stderr
         assert "STANDALONE_OK" in proc.stdout
 
+    def test_serving_host_script(self, tiny_setup, tmp_path):
+        """scripts/serving_host.py (the standalone example host) serves a
+        category end-to-end and matches the live pipeline exactly."""
+        import os
+        import subprocess
+        import sys
+
+        from tpu_ac.pipeline import compute_alpha_X
+        from tpu_ac.utils.export import (export_category_programs,
+                                         save_exported)
+
+        cfg, emb = tiny_setup
+        path = save_exported(str(tmp_path / "host.tpuac"),
+                             export_category_programs(emb, cfg, n_images=8))
+        np.save(tmp_path / "params.npy",
+                {k: np.asarray(v) for k, v in emb._device_params.items()},
+                allow_pickle=True)
+        rng = np.random.default_rng(7)
+        # 6 images: one full batch of 4 + a tail batch the host must pad
+        images = rng.integers(0, 255, (6, 3, 32, 32), dtype=np.uint8)
+        np.save(tmp_path / "imgs.npy", images)
+
+        script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                              "serving_host.py")
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        env["JAX_PLATFORMS"] = "cpu"
+        proc = subprocess.run(
+            [sys.executable, script, path,
+             "--params", str(tmp_path / "params.npy"),
+             "--images", str(tmp_path / "imgs.npy"),
+             "--out", str(tmp_path / "out.npz"), "--platform", "cpu"],
+            env=env, capture_output=True, text=True, timeout=300)
+        assert proc.returncode == 0, proc.stderr
+        out = np.load(tmp_path / "out.npz")
+
+        z_live = np.asarray(emb(images))
+        packed_live = np.asarray(compute_alpha_X(
+            z_live, "unsupervised", cfg.tau, use_mesh=False,
+            precision=cfg.resolved_alpha_precision, packed=True))
+        p = z_live.shape[1]
+        np.testing.assert_array_equal(out["alpha"], packed_live[:, :p])
+        np.testing.assert_array_equal(out["X"], packed_live[:, p:])
+        np.testing.assert_allclose(out["alpha"].sum(axis=1), 1.0,
+                                   atol=1e-5)
+
     def test_average_mode_rejected(self, tiny_setup):
         import dataclasses
 
