@@ -135,3 +135,49 @@ class TestPipelineMeshPath:
                                PipelineConfig(imagesize=32, batch_size=6),
                                mesh="auto")
         assert on.mesh is not None and off.mesh is None
+
+
+class TestShardedKNN:
+    """ops.distances.knn_sharded: bank row-sharded over the dp mesh,
+    per-device top-k + one all_gather merge — must be EXACTLY knn."""
+
+    def test_matches_single_device(self, rng):
+        from tpu_ac.ops.distances import knn, knn_sharded
+
+        q = rng.standard_normal((9, 24)).astype(np.float32)
+        bank = rng.standard_normal((103, 24)).astype(np.float32)  # 103 % 8 != 0
+        mesh = get_mesh(8)
+        d2_s, idx_s = knn_sharded(jnp.asarray(q), jnp.asarray(bank), 3, mesh)
+        d2, idx = knn(jnp.asarray(q), jnp.asarray(bank), 3)
+        np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx))
+        np.testing.assert_allclose(np.asarray(d2_s), np.asarray(d2),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_small_bank_falls_back(self, rng):
+        """shard_rows < k cannot satisfy a local top-k; falls back to the
+        single-device search and stays correct."""
+        from tpu_ac.ops.distances import knn, knn_sharded
+
+        q = rng.standard_normal((4, 8)).astype(np.float32)
+        bank = rng.standard_normal((10, 8)).astype(np.float32)  # 2 rows/device
+        d2_s, idx_s = knn_sharded(jnp.asarray(q), jnp.asarray(bank), 4,
+                                  get_mesh(8))
+        d2, idx = knn(jnp.asarray(q), jnp.asarray(bank), 4)
+        np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx))
+
+    def test_scorer_with_mesh(self, rng):
+        """NearestNeighbourScorer(mesh=...) reproduces the single-device
+        scorer (detect-path multi-chip search)."""
+        from tpu_ac.detect.scorer import NearestNeighbourScorer
+
+        feats = [rng.standard_normal((130, 48)).astype(np.float32)]
+        queries = [rng.standard_normal((37, 48)).astype(np.float32)]
+        plain = NearestNeighbourScorer(n_nearest_neighbours=3)
+        plain.fit(feats)
+        sharded = NearestNeighbourScorer(n_nearest_neighbours=3,
+                                         mesh=get_mesh(8))
+        sharded.fit(feats)
+        s1, d1, i1 = plain.predict(queries)
+        s8, d8, i8 = sharded.predict(queries)
+        np.testing.assert_array_equal(i8, i1)
+        np.testing.assert_allclose(s8, s1, rtol=1e-6, atol=1e-6)

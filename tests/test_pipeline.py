@@ -286,6 +286,39 @@ class TestPatchcoreCLISegImages:
             assert 0.0 <= float(r["anomaly_pixel_auroc"]) <= 1.0
             assert 0.0 <= float(r["full_pro"]) <= 1.0
 
+    def test_dp_sharded_scorer_matches(self, synth_root, tmp_path):
+        """--dp 8 (memory bank sharded over the virtual mesh, knn_sharded
+        search) must reproduce the single-device results.csv exactly."""
+        import csv as _csv
+
+        from tpu_ac.cli.patchcore import main as pc_main
+
+        common = ["--data_path", synth_root, "--subdatasets", "bottle",
+                  "--backbone", "resnet18",
+                  "--layers_to_extract_from", "layer2",
+                  "--pretrain_embed_dimension", "64",
+                  "--target_embed_dimension", "64",
+                  "--resize", "72", "--imagesize", "64",
+                  "--batch_size", "4", "--percentage", "0.5"]
+        out1, out8 = str(tmp_path / "r1"), str(tmp_path / "r8")
+        pc_main([out1] + common)
+        pc_main([out8] + common + ["--dp", "8"])
+        with open(os.path.join(out1, "results.csv")) as f:
+            rows1 = list(_csv.DictReader(f))
+        with open(os.path.join(out8, "results.csv")) as f:
+            rows8 = list(_csv.DictReader(f))
+        # the k-NN winners are identical (knn_sharded is exact); pixel
+        # AUROCs may differ in the ~7th digit because the shard-local
+        # matmul tiles reassociate the distance sums, flipping near-tie
+        # pixel ranks
+        assert [r["dataset_name"] for r in rows8] == \
+               [r["dataset_name"] for r in rows1]
+        for r1, r8 in zip(rows1, rows8):
+            for col in ("instance_auroc", "full_pixel_auroc",
+                        "anomaly_pixel_auroc"):
+                np.testing.assert_allclose(float(r8[col]), float(r1[col]),
+                                           rtol=1e-5)
+
 
 class TestCategorySweep:
     @pytest.fixture(scope="class")

@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "a comment only); off by default to keep the "
                         "results.csv schema reference-exact.")
     p.add_argument("--save_patchcore_model", action="store_true")
+    p.add_argument("--dp", type=int, default=None,
+                   help="shard the exact scorer's memory bank over a "
+                        "dp-axis mesh of this many devices (multi-chip "
+                        "k-NN search; results identical to single-device). "
+                        "TPU-native extension — the reference's faiss "
+                        "scorer is single-GPU here.")
     # model options (run_patchcore.py:240-315)
     p.add_argument("--backbone", "-b", action="append", dest="backbone_names",
                    default=None)
@@ -114,11 +120,16 @@ def _build_patchcore(backbone_name: str, layers, args) -> PatchCore:
     device_params = jax.device_put(dict(params))
     embed = lambda images: _embed(device_params, images)  # noqa: E731
 
+    mesh = None
+    if getattr(args, "dp", None):
+        from tpu_ac.distributed import get_mesh
+
+        mesh = get_mesh(args.dp)
     return PatchCore(
         embed, featuresampler=_make_sampler(args.sampler_name,
                                             args.percentage, args.seed),
         anomaly_score_num_nn=args.anomaly_scorer_num_nn,
-        nn_method=args.nn_method,
+        nn_method=args.nn_method, mesh=mesh,
         target_size=(args.imagesize, args.imagesize),
         batch_size=args.batch_size,
         config={"backbone": backbone_name, "layers": list(layers),

@@ -28,14 +28,17 @@ class PatchCore:
                  anomaly_score_num_nn: int = 1,
                  target_size=(224, 224), batch_size: int = 8,
                  config: dict | None = None,
-                 nn_method: str = "exact"):
+                 nn_method: str = "exact", mesh=None):
         """``nn_method``: "exact" = FaissNN-equivalent flat L2;
         "ivfpq" / "ivfflat" = ApproximateFaissNN-equivalent inverted-file
-        search (common.py:100-126)."""
+        search (common.py:100-126).  ``mesh``: shard the exact scorer's
+        memory bank over the mesh's "dp" axis (multi-chip search; exact
+        results, see ops.distances.knn_sharded)."""
         self.embed_fn = embed_fn
         self.featuresampler = featuresampler or IdentitySampler()
         if nn_method == "exact":
-            self.anomaly_scorer = NearestNeighbourScorer(anomaly_score_num_nn)
+            self.anomaly_scorer = NearestNeighbourScorer(
+                anomaly_score_num_nn, mesh=mesh)
         else:
             from tpu_ac.detect.approx import ApproximateNearestNeighbourScorer
 

@@ -15,12 +15,17 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from tpu_ac.ops.distances import knn
+from tpu_ac.ops.distances import knn, knn_sharded
 
 
 class NearestNeighbourScorer:
-    def __init__(self, n_nearest_neighbours: int = 1):
+    def __init__(self, n_nearest_neighbours: int = 1, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` — the memory bank is
+        row-sharded over its "dp" axis and searched with per-device
+        top-k + one tiny all_gather merge (``knn_sharded``), a multi-chip
+        capability the reference's single-GPU faiss scorer lacks."""
         self.n_nearest_neighbours = n_nearest_neighbours
+        self.mesh = mesh
         self.detection_features: np.ndarray | None = None
 
     def fit(self, detection_features: list[np.ndarray]) -> None:
@@ -42,8 +47,14 @@ class NearestNeighbourScorer:
         q = np.concatenate(
             [np.asarray(f).reshape(len(f), -1) for f in query_features],
             axis=1)
-        d2, idx = knn(jnp.asarray(q), jnp.asarray(self.detection_features),
-                      self.n_nearest_neighbours)
+        if self.mesh is not None:
+            d2, idx = knn_sharded(jnp.asarray(q),
+                                  jnp.asarray(self.detection_features),
+                                  self.n_nearest_neighbours, self.mesh)
+        else:
+            d2, idx = knn(jnp.asarray(q),
+                          jnp.asarray(self.detection_features),
+                          self.n_nearest_neighbours)
         d2, idx = np.asarray(d2), np.asarray(idx)
         return np.mean(d2, axis=-1), d2, idx
 
