@@ -181,3 +181,29 @@ class TestShardedKNN:
         s8, d8, i8 = sharded.predict(queries)
         np.testing.assert_array_equal(i8, i1)
         np.testing.assert_allclose(s8, s1, rtol=1e-6, atol=1e-6)
+
+    def test_knn_ip_sharded_matches(self, rng):
+        """knn_ip_sharded (SCAN's multi-GPU faiss IndexFlatIP equivalent)
+        is exactly knn_ip, including via MemoryBank neighbor mining."""
+        from tpu_ac.ops.distances import knn_ip, knn_ip_sharded
+        from tpu_ac.train.scan import MemoryBank
+
+        feats = rng.standard_normal((101, 32)).astype(np.float32)
+        feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+        mesh = get_mesh(8)
+        s_s, i_s = knn_ip_sharded(jnp.asarray(feats), jnp.asarray(feats),
+                                  6, mesh)
+        s_1, i_1 = knn_ip(jnp.asarray(feats), jnp.asarray(feats), 6)
+        np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_1))
+        np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_1),
+                                   rtol=1e-6, atol=1e-6)
+
+        targets = rng.integers(0, 5, 101)
+        plain = MemoryBank(101, 32, 5)
+        plain.update(feats, targets)
+        sharded = MemoryBank(101, 32, 5, mesh=mesh)
+        sharded.update(feats, targets)
+        idx1, acc1 = plain.mine_nearest_neighbors(5)
+        idx8, acc8 = sharded.mine_nearest_neighbors(5)
+        np.testing.assert_array_equal(idx8, idx1)
+        assert acc8 == acc1

@@ -84,6 +84,19 @@ def _load_dataset(cfg, split: str) -> ArrayDataset:
         seed=0)
 
 
+def _mining_mesh(cfg):
+    """Optional `mine_dp: N` config key: shard the memory bank's neighbor
+    mining over an N-device mesh (ops.distances.knn_ip_sharded) — the
+    TPU-native form of the reference's faiss.index_cpu_to_all_gpus
+    sharded IndexFlatIP (utils/memory.py:52)."""
+    dp = cfg.get("mine_dp")
+    if not dp:
+        return None
+    from tpu_ac.distributed import get_mesh
+
+    return get_mesh(int(dp))
+
+
 def _model_config(cfg) -> SCANModelConfig:
     name = cfg.get("backbone", "")
     db = cfg.get("train_db_name", "")
@@ -155,7 +168,8 @@ def run_simclr(cfg) -> None:
     # image's neighbors.
     val_t = ValTransform(size=size)
     bank = MemoryBank(len(ds), mcfg.feature_dim,
-                      num_classes=cfg.get("num_classes", 10))
+                      num_classes=cfg.get("num_classes", 10),
+                      mesh=_mining_mesh(cfg))
     for i in range(0, len(ds), bs):
         idxs = np.arange(i, min(i + bs, len(ds)))
         imgs = np.stack([val_t(ds.get_pil(int(j))) for j in idxs])
@@ -227,7 +241,8 @@ def run_moco(cfg) -> None:
              cfg.topk_neighbors_val_path)):
         ds = _load_dataset(cfg, split)
         bank = MemoryBank(len(ds), mcfg.backbone.feature_dim,
-                          num_classes=cfg.get("num_classes", 10))
+                          num_classes=cfg.get("num_classes", 10),
+                          mesh=_mining_mesh(cfg))
         for i in range(0, len(ds), bs):
             idxs = np.arange(i, min(i + bs, len(ds)))
             imgs = np.stack([to_normalized_array(ds.get_pil(int(j)))

@@ -106,6 +106,63 @@ def knn_ip(query: jnp.ndarray, index: jnp.ndarray, k: int,
     return sims.reshape(-1, k)[:m], idxs.reshape(-1, k)[:m]
 
 
+def knn_ip_sharded(query: jnp.ndarray, index: jnp.ndarray, k: int, mesh,
+                   *, axis_name: str = "dp", tile: int = 4096
+                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact inner-product k-NN with the index row-sharded over a mesh.
+
+    The TPU-native equivalent of SCAN's ``faiss.index_cpu_to_all_gpus``
+    sharded IndexFlatIP (Unsupervised-Classification-master/utils/
+    memory.py:46-65) — the reference's ONLY multi-GPU faiss use.  Same
+    merge scheme as :func:`knn_sharded` (local top-k per bank shard +
+    one [M, k]-per-device all_gather), with max-similarity semantics:
+    zero-padded bank rows are masked to -inf before the local top-k.
+
+    Returns (similarities [M, k], indices [M, k]), descending, indices
+    into the unsharded ``index``.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    dp = mesh.shape[axis_name]
+    n = index.shape[0]
+    shard_rows = -(-n // dp)
+    if dp == 1 or shard_rows < k:
+        return knn_ip(query, index, k, tile=tile)
+    bank = jnp.pad(index, ((0, shard_rows * dp - n), (0, 0)))
+
+    def local(q, bank_shard):
+        shard = jax.lax.axis_index(axis_name)
+        valid = (shard * shard_rows + jnp.arange(shard_rows)) < n
+
+        def search(qt):
+            sims = jax.lax.dot_general(
+                qt, bank_shard,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
+            return jax.lax.top_k(
+                jnp.where(valid[None, :], sims, -jnp.inf), k)
+
+        m = q.shape[0]
+        if m <= tile:
+            sims, idx = search(q)
+        else:
+            qp = jnp.pad(q, ((0, (-m) % tile), (0, 0)))
+            _, (ss, idxs) = jax.lax.scan(
+                lambda _, qt: (None, search(qt)), None,
+                qp.reshape(-1, tile, q.shape[1]))
+            sims, idx = ss.reshape(-1, k)[:m], idxs.reshape(-1, k)[:m]
+        gidx = idx + shard * shard_rows
+        all_s = jax.lax.all_gather(sims, axis_name, axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(gidx, axis_name, axis=1, tiled=True)
+        best, pos = jax.lax.top_k(all_s, k)
+        return best, jnp.take_along_axis(all_idx, pos, axis=1)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P(axis_name)),
+                   out_specs=(P(), P()), check_rep=False)
+    return fn(query, bank)
+
+
 def knn_sharded(query: jnp.ndarray, index: jnp.ndarray, k: int, mesh,
                 *, axis_name: str = "dp", tile: int = 4096
                 ) -> tuple[jnp.ndarray, jnp.ndarray]:

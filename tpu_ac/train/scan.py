@@ -205,12 +205,17 @@ class MemoryBank:
     """Feature store + kNN monitors + neighbor mining (memory.py:6-88)."""
 
     def __init__(self, n: int, dim: int, num_classes: int,
-                 temperature: float = 0.1):
+                 temperature: float = 0.1, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` — neighbor mining
+        row-shards the bank over its "dp" axis (knn_ip_sharded), the
+        TPU-native form of the reference's faiss.index_cpu_to_all_gpus
+        sharded IndexFlatIP (memory.py:52)."""
         self.features = np.zeros((n, dim), np.float32)
         self.targets = np.zeros((n,), np.int64)
         self.ptr = 0
         self.num_classes = num_classes
         self.temperature = temperature
+        self.mesh = mesh
 
     def update(self, features: np.ndarray, targets: np.ndarray) -> None:
         # circular write: a batch crossing the end of the bank wraps
@@ -229,8 +234,15 @@ class MemoryBank:
                                calculate_accuracy: bool = True):
         """faiss-IP search over the bank (memory.py:46-65): returns
         [N, topk+1] indices (self included) and neighbor label accuracy."""
-        _sims, idx = knn_ip(jnp.asarray(self.features),
-                            jnp.asarray(self.features), topk + 1)
+        if self.mesh is not None:
+            from tpu_ac.ops.distances import knn_ip_sharded
+
+            _sims, idx = knn_ip_sharded(jnp.asarray(self.features),
+                                        jnp.asarray(self.features),
+                                        topk + 1, self.mesh)
+        else:
+            _sims, idx = knn_ip(jnp.asarray(self.features),
+                                jnp.asarray(self.features), topk + 1)
         idx = np.asarray(idx)
         if calculate_accuracy:
             neighbor_targets = self.targets[idx[:, 1:]]
