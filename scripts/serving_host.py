@@ -29,8 +29,9 @@ source, and the whole tpu_ac package are NOT required at serving time.
 
 Outputs alpha ([N, P] per-image patch weights) and X ([N, D] weighted
 embeddings) — the same arrays stage 2 (clustering + metrics) consumes.
-Single-device artifacts only (for --dp artifacts the host must build the
-same-size mesh and place inputs; see tpu_ac/utils/export.py docstring).
+Sharded (--dp) artifacts are served too: the host builds a mesh of
+meta["n_devices"] devices, shards image/Z rows over its dp axis and
+replicates params (build_mesh below); everything else is identical.
 """
 
 import argparse
@@ -45,18 +46,36 @@ def load_programs(path):
     from jax import export as jexport
 
     blob = pickle.load(open(path, "rb"))
-    if blob.get("meta", {}).get("sharded"):
-        raise SystemExit("sharded artifact: this example host is "
-                         "single-device; serve under a mesh instead")
     return (jexport.deserialize(blob["embed"]).call,
             jexport.deserialize(blob["alpha_x"]).call, blob["meta"])
 
 
-def embed_all(embed, params, images, batch_size):
+def build_mesh(meta):
+    """Mesh + placement shardings for a sharded (--dp) artifact: the
+    serving host must run it under a mesh of the same device count, with
+    batch/Z rows sharded over the dp axis and params/counts replicated
+    (tpu_ac/utils/export.py export_sharded_category_programs)."""
+    import jax
+    import numpy as np_
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    n_dev = meta["n_devices"]
+    if len(jax.devices()) < n_dev:
+        raise SystemExit(
+            f"sharded artifact needs {n_dev} devices; this host has "
+            f"{len(jax.devices())} (for a CPU dry run set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n_dev})")
+    mesh = Mesh(np_.asarray(jax.devices()[:n_dev]), (meta["mesh_axis"],))
+    return (NamedSharding(mesh, P()),
+            NamedSharding(mesh, P(meta["mesh_axis"])))
+
+
+def embed_all(embed, params, images, batch_size, row_sharding=None):
     """Embed [N,3,H,W] uint8 in the artifact's fixed batch size (pad the
     tail batch; the programs are static-shape by design).  Returns a
     DEVICE array — the alpha program consumes it in place, so Z
     (~400 MB at the flagship shape) never round-trips to the host."""
+    import jax
     import jax.numpy as jnp
 
     n = images.shape[0]
@@ -67,14 +86,17 @@ def embed_all(embed, params, images, batch_size):
             pad = np.zeros((batch_size - chunk.shape[0], *chunk.shape[1:]),
                            chunk.dtype)
             chunk = np.concatenate([chunk, pad])
+        if row_sharding is not None:
+            chunk = jax.device_put(chunk, row_sharding)
         out.append(embed(params, chunk))
     return jnp.concatenate(out)[:n]
 
 
-def serve_category(embed, alpha_x, meta, params, images):
+def serve_category(embed, alpha_x, meta, params, images, row_sharding=None):
     """``params`` must already be device-resident (see main: one
     jax.device_put at startup — NOT per call; the flagship params are
     ~344 MB and re-uploading them would dominate serving latency)."""
+    import jax
     import jax.numpy as jnp
 
     n = images.shape[0]
@@ -82,12 +104,18 @@ def serve_category(embed, alpha_x, meta, params, images):
     if n > cap:
         raise SystemExit(f"category size {n} exceeds artifact capacity "
                          f"{cap}; re-export with a larger --n_images")
-    z = embed_all(embed, params, images, meta["batch_size"])
-    z_pad = jnp.pad(z, ((0, cap - n), (0, 0), (0, 0)))  # stays on device
     if meta["supervised"] == "supervised":
         raise SystemExit("supervised artifacts also need a train bank; "
                          "extend serve_category with z_train/n_train")
-    packed = np.asarray(alpha_x(z_pad, None, np.int32(n), None))[:n]
+    z = embed_all(embed, params, images, meta["batch_size"], row_sharding)
+    z_pad = jnp.pad(z, ((0, cap - n), (0, 0), (0, 0)))  # stays on device
+    if meta.get("sharded"):
+        # sharded alpha signature is (z_rows_sharded, n_valid) with Z rows
+        # over the dp axis (the program all_gathers the bank over ICI)
+        z_pad = jax.device_put(z_pad, row_sharding)
+        packed = np.asarray(alpha_x(z_pad, np.int32(n)))[:n]
+    else:
+        packed = np.asarray(alpha_x(z_pad, None, np.int32(n), None))[:n]
     p = meta["n_patches"]  # packed rows are [alpha (P patch weights), X (D)]
     return packed[:, :p], packed[:, p:]
 
@@ -117,10 +145,17 @@ def main(argv=None):
         jax.config.update("jax_platforms", a.platform)
 
     embed, alpha_x, meta = load_programs(a.artifact)
-    params = jax.device_put(np.load(a.params, allow_pickle=True).item())
+    row_sharding = None
+    raw_params = np.load(a.params, allow_pickle=True).item()
+    if meta.get("sharded"):
+        repl, row_sharding = build_mesh(meta)
+        params = jax.device_put(raw_params, repl)
+    else:
+        params = jax.device_put(raw_params)
     print(f"artifact: platforms={meta['platforms']} "
           f"batch={meta['batch_size']} capacity={meta['n_images_capacity']} "
-          f"mode={meta['supervised']} tau={meta['tau']}", flush=True)
+          f"mode={meta['supervised']} tau={meta['tau']} "
+          f"devices={meta.get('n_devices', 1)}", flush=True)
 
     if a.images:
         images = np.load(a.images)
@@ -133,7 +168,8 @@ def main(argv=None):
               flush=True)
 
     t0 = time.perf_counter()
-    alpha, x = serve_category(embed, alpha_x, meta, params, images)
+    alpha, x = serve_category(embed, alpha_x, meta, params, images,
+                            row_sharding)
     t1 = time.perf_counter()
     print(f"category served: alpha {alpha.shape} X {x.shape} "
           f"in {t1 - t0:.2f}s (first call includes compile)", flush=True)
@@ -142,7 +178,8 @@ def main(argv=None):
         times = []
         for _ in range(5):
             t0 = time.perf_counter()
-            serve_category(embed, alpha_x, meta, params, images)
+            serve_category(embed, alpha_x, meta, params, images,
+                            row_sharding)
             times.append(time.perf_counter() - t0)
         med = sorted(times)[len(times) // 2]
         print(f"serving throughput: {images.shape[0] / med:.1f} images/sec "

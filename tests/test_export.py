@@ -374,6 +374,60 @@ print("STANDALONE_OK", z.shape, packed.shape)
         np.testing.assert_allclose(out["alpha"].sum(axis=1), 1.0,
                                    atol=1e-5)
 
+    def test_serving_host_script_sharded(self, tiny_setup, tmp_path):
+        """The standalone host also serves --dp artifacts: it builds the
+        mesh from meta, shards image/Z rows, and matches the live
+        single-device pipeline."""
+        import os
+        import subprocess
+        import sys
+
+        from tpu_ac.distributed import get_mesh
+        from tpu_ac.pipeline import (build_embedder_for_config,
+                                     compute_alpha_X)
+        from tpu_ac.utils.export import (export_sharded_category_programs,
+                                         save_exported)
+
+        import dataclasses
+
+        cfg, emb_single = tiny_setup
+        cfg = dataclasses.replace(cfg, batch_size=8)  # dp must divide bs
+        emb = build_embedder_for_config(cfg, mesh=get_mesh(8))
+        path = save_exported(
+            str(tmp_path / "host8.tpuac"),
+            export_sharded_category_programs(emb, cfg, n_images=8))
+        np.save(tmp_path / "params8.npy",
+                {k: np.asarray(v) for k, v in emb._device_params.items()},
+                allow_pickle=True)
+        rng = np.random.default_rng(11)
+        images = rng.integers(0, 255, (6, 3, 32, 32), dtype=np.uint8)
+        np.save(tmp_path / "imgs8.npy", images)
+
+        script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                              "serving_host.py")
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        proc = subprocess.run(
+            [sys.executable, script, path,
+             "--params", str(tmp_path / "params8.npy"),
+             "--images", str(tmp_path / "imgs8.npy"),
+             "--out", str(tmp_path / "out8.npz"), "--platform", "cpu"],
+            env=env, capture_output=True, text=True, timeout=300)
+        assert proc.returncode == 0, proc.stderr
+        out = np.load(tmp_path / "out8.npz")
+
+        z_live = np.asarray(emb_single(images))
+        packed_live = np.asarray(compute_alpha_X(
+            z_live, "unsupervised", cfg.tau, use_mesh=False,
+            precision=cfg.resolved_alpha_precision, packed=True))
+        p = z_live.shape[1]
+        # sharded weights reassociate the distance sums -> float-tolerance
+        np.testing.assert_allclose(out["alpha"], packed_live[:, :p],
+                                   rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(out["X"], packed_live[:, p:],
+                                   rtol=1e-3, atol=1e-3)
+
     def test_average_mode_rejected(self, tiny_setup):
         import dataclasses
 
