@@ -92,10 +92,16 @@ def embed_all(embed, params, images, batch_size, row_sharding=None):
     return jnp.concatenate(out)[:n]
 
 
-def serve_category(embed, alpha_x, meta, params, images, row_sharding=None):
+def serve_category(embed, alpha_x, meta, params, images, row_sharding=None,
+                   train_images=None):
     """``params`` must already be device-resident (see main: one
     jax.device_put at startup — NOT per call; the flagship params are
-    ~344 MB and re-uploading them would dominate serving latency)."""
+    ~344 MB and re-uploading them would dominate serving latency).
+
+    Supervised artifacts weight patches by distance to a TRAIN (nominal)
+    bank instead of the other test images — pass ``train_images``
+    ([N_train,3,H,W] uint8; reference semantics per
+    Anomaly-Clustering/models/patchcore/utils.py:230-277)."""
     import jax
     import jax.numpy as jnp
 
@@ -104,15 +110,32 @@ def serve_category(embed, alpha_x, meta, params, images, row_sharding=None):
     if n > cap:
         raise SystemExit(f"category size {n} exceeds artifact capacity "
                          f"{cap}; re-export with a larger --n_images")
-    if meta["supervised"] == "supervised":
-        raise SystemExit("supervised artifacts also need a train bank; "
-                         "extend serve_category with z_train/n_train")
-    z = embed_all(embed, params, images, meta["batch_size"], row_sharding)
-    z_pad = jnp.pad(z, ((0, cap - n), (0, 0), (0, 0)))  # stays on device
-    if meta.get("sharded"):
+    supervised = meta["supervised"] == "supervised"
+    if supervised and train_images is None:
+        raise SystemExit("supervised artifact: pass --train_images "
+                         "(the nominal/train split the alpha weights "
+                         "measure distances against)")
+
+    def embed_padded(imgs):
+        z = embed_all(embed, params, imgs, meta["batch_size"], row_sharding)
+        z_pad = jnp.pad(z, ((0, cap - imgs.shape[0]), (0, 0), (0, 0)))
+        if row_sharding is not None:
+            z_pad = jax.device_put(z_pad, row_sharding)
+        return z_pad
+
+    z_pad = embed_padded(images)
+    if supervised:
+        if train_images.shape[0] > cap:
+            raise SystemExit(f"train split {train_images.shape[0]} exceeds "
+                             f"artifact capacity {cap}")
+        zt_pad = embed_padded(train_images)
+        # both layouts take (z, z_train, n_valid, n_train_valid); the
+        # sharded program reshards the bank to replicated internally
+        packed = np.asarray(alpha_x(z_pad, zt_pad, np.int32(n),
+                                    np.int32(train_images.shape[0])))[:n]
+    elif meta.get("sharded"):
         # sharded alpha signature is (z_rows_sharded, n_valid) with Z rows
         # over the dp axis (the program all_gathers the bank over ICI)
-        z_pad = jax.device_put(z_pad, row_sharding)
         packed = np.asarray(alpha_x(z_pad, np.int32(n)))[:n]
     else:
         packed = np.asarray(alpha_x(z_pad, None, np.int32(n), None))[:n]
@@ -128,6 +151,9 @@ def main(argv=None):
                     help=".npy (allow_pickle) dict of backbone params")
     ap.add_argument("--images", default=None,
                     help=".npy [N,3,H,W] uint8 category images")
+    ap.add_argument("--train_images", default=None,
+                    help=".npy [N,3,H,W] uint8 nominal/train split "
+                        "(required for supervised artifacts)")
     ap.add_argument("--out", default=None,
                     help="write alpha/X to this .npz")
     ap.add_argument("--bench", action="store_true",
@@ -157,6 +183,16 @@ def main(argv=None):
           f"mode={meta['supervised']} tau={meta['tau']} "
           f"devices={meta.get('n_devices', 1)}", flush=True)
 
+    train_images = None
+    if a.train_images:
+        train_images = np.load(a.train_images)
+    elif meta["supervised"] == "supervised":
+        rng = np.random.default_rng(1)
+        train_images = rng.integers(
+            0, 255, (meta["batch_size"], 3, meta["imagesize"],
+                     meta["imagesize"]), dtype=np.uint8)
+        print(f"(no --train_images: using {train_images.shape[0]} "
+              "synthetic train images)", flush=True)
     if a.images:
         images = np.load(a.images)
     else:
@@ -169,7 +205,7 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     alpha, x = serve_category(embed, alpha_x, meta, params, images,
-                            row_sharding)
+                              row_sharding, train_images)
     t1 = time.perf_counter()
     print(f"category served: alpha {alpha.shape} X {x.shape} "
           f"in {t1 - t0:.2f}s (first call includes compile)", flush=True)
@@ -179,7 +215,7 @@ def main(argv=None):
         for _ in range(5):
             t0 = time.perf_counter()
             serve_category(embed, alpha_x, meta, params, images,
-                            row_sharding)
+                           row_sharding, train_images)
             times.append(time.perf_counter() - t0)
         med = sorted(times)[len(times) // 2]
         print(f"serving throughput: {images.shape[0] / med:.1f} images/sec "

@@ -374,6 +374,56 @@ print("STANDALONE_OK", z.shape, packed.shape)
         np.testing.assert_allclose(out["alpha"].sum(axis=1), 1.0,
                                    atol=1e-5)
 
+    def test_serving_host_script_supervised(self, tiny_setup, tmp_path):
+        """Supervised artifacts: the host embeds the --train_images bank
+        and calls the 4-arg alpha signature; matches the live pipeline."""
+        import dataclasses
+        import os
+        import subprocess
+        import sys
+
+        from tpu_ac.pipeline import compute_alpha_X
+        from tpu_ac.utils.export import (export_category_programs,
+                                         save_exported)
+
+        cfg, emb = tiny_setup
+        scfg = dataclasses.replace(cfg, supervised="supervised")
+        path = save_exported(str(tmp_path / "sup_host.tpuac"),
+                             export_category_programs(emb, scfg,
+                                                      n_images=8))
+        np.save(tmp_path / "params.npy",
+                {k: np.asarray(v) for k, v in emb._device_params.items()},
+                allow_pickle=True)
+        rng = np.random.default_rng(13)
+        images = rng.integers(0, 255, (5, 3, 32, 32), dtype=np.uint8)
+        train = rng.integers(0, 255, (6, 3, 32, 32), dtype=np.uint8)
+        np.save(tmp_path / "imgs.npy", images)
+        np.save(tmp_path / "train.npy", train)
+
+        script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                              "serving_host.py")
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        env["JAX_PLATFORMS"] = "cpu"
+        proc = subprocess.run(
+            [sys.executable, script, path,
+             "--params", str(tmp_path / "params.npy"),
+             "--images", str(tmp_path / "imgs.npy"),
+             "--train_images", str(tmp_path / "train.npy"),
+             "--out", str(tmp_path / "out_sup.npz"), "--platform", "cpu"],
+            env=env, capture_output=True, text=True, timeout=300)
+        assert proc.returncode == 0, proc.stderr
+        out = np.load(tmp_path / "out_sup.npz")
+
+        z_live = np.asarray(emb(images))
+        zt_live = np.asarray(emb(train))
+        packed_live = np.asarray(compute_alpha_X(
+            z_live, "supervised", scfg.tau, Z_train=zt_live,
+            use_mesh=False, precision=scfg.resolved_alpha_precision,
+            packed=True))
+        p = z_live.shape[1]
+        np.testing.assert_array_equal(out["alpha"], packed_live[:, :p])
+        np.testing.assert_array_equal(out["X"], packed_live[:, p:])
+
     def test_serving_host_script_sharded(self, tiny_setup, tmp_path):
         """The standalone host also serves --dp artifacts: it builds the
         mesh from meta, shards image/Z rows, and matches the live
