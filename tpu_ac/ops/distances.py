@@ -106,6 +106,47 @@ def knn_ip(query: jnp.ndarray, index: jnp.ndarray, k: int,
     return sims.reshape(-1, k)[:m], idxs.reshape(-1, k)[:m]
 
 
+def _sharded_topk(query, bank_padded, k, mesh, axis_name, tile,
+                  score_rows, largest: bool, n_valid: int, shard_rows: int):
+    """Shared scaffolding for the bank-sharded exact searches: local
+    top-k per shard (padded rows masked out BEFORE the top-k — a
+    zero-padded row can otherwise beat real neighbours and silently
+    evict them from a shard's candidates), then one all_gather of
+    [M, k] winners per device and a final top-k over dp*k."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    sign = 1.0 if largest else -1.0
+    mask_val = -jnp.inf  # in sign-flipped space
+
+    def local(q, bank_shard):
+        shard = jax.lax.axis_index(axis_name)
+        valid = (shard * shard_rows + jnp.arange(shard_rows)) < n_valid
+
+        def search(qt):
+            s = sign * score_rows(qt, bank_shard)
+            return jax.lax.top_k(jnp.where(valid[None, :], s, mask_val), k)
+
+        m = q.shape[0]
+        if m <= tile:
+            s, idx = search(q)
+        else:
+            qp = jnp.pad(q, ((0, (-m) % tile), (0, 0)))
+            _, (ss, idxs) = jax.lax.scan(
+                lambda _, qt: (None, search(qt)), None,
+                qp.reshape(-1, tile, q.shape[1]))
+            s, idx = ss.reshape(-1, k)[:m], idxs.reshape(-1, k)[:m]
+        gidx = idx + shard * shard_rows
+        all_s = jax.lax.all_gather(s, axis_name, axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(gidx, axis_name, axis=1, tiled=True)
+        best, pos = jax.lax.top_k(all_s, k)
+        return sign * best, jnp.take_along_axis(all_idx, pos, axis=1)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P(axis_name)),
+                   out_specs=(P(), P()), check_rep=False)
+    return fn(query, bank_padded)
+
+
 def knn_ip_sharded(query: jnp.ndarray, index: jnp.ndarray, k: int, mesh,
                    *, axis_name: str = "dp", tile: int = 4096
                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -114,16 +155,11 @@ def knn_ip_sharded(query: jnp.ndarray, index: jnp.ndarray, k: int, mesh,
     The TPU-native equivalent of SCAN's ``faiss.index_cpu_to_all_gpus``
     sharded IndexFlatIP (Unsupervised-Classification-master/utils/
     memory.py:46-65) — the reference's ONLY multi-GPU faiss use.  Same
-    merge scheme as :func:`knn_sharded` (local top-k per bank shard +
-    one [M, k]-per-device all_gather), with max-similarity semantics:
-    zero-padded bank rows are masked to -inf before the local top-k.
+    merge scheme as :func:`knn_sharded`, with max-similarity semantics.
 
     Returns (similarities [M, k], indices [M, k]), descending, indices
     into the unsharded ``index``.
     """
-    from jax.experimental.shard_map import shard_map
-    from jax.sharding import PartitionSpec as P
-
     dp = mesh.shape[axis_name]
     n = index.shape[0]
     shard_rows = -(-n // dp)
@@ -131,52 +167,28 @@ def knn_ip_sharded(query: jnp.ndarray, index: jnp.ndarray, k: int, mesh,
         return knn_ip(query, index, k, tile=tile)
     bank = jnp.pad(index, ((0, shard_rows * dp - n), (0, 0)))
 
-    def local(q, bank_shard):
-        shard = jax.lax.axis_index(axis_name)
-        valid = (shard * shard_rows + jnp.arange(shard_rows)) < n
+    def sims(qt, bank_shard):
+        return jax.lax.dot_general(
+            qt, bank_shard, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
 
-        def search(qt):
-            sims = jax.lax.dot_general(
-                qt, bank_shard,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST)
-            return jax.lax.top_k(
-                jnp.where(valid[None, :], sims, -jnp.inf), k)
-
-        m = q.shape[0]
-        if m <= tile:
-            sims, idx = search(q)
-        else:
-            qp = jnp.pad(q, ((0, (-m) % tile), (0, 0)))
-            _, (ss, idxs) = jax.lax.scan(
-                lambda _, qt: (None, search(qt)), None,
-                qp.reshape(-1, tile, q.shape[1]))
-            sims, idx = ss.reshape(-1, k)[:m], idxs.reshape(-1, k)[:m]
-        gidx = idx + shard * shard_rows
-        all_s = jax.lax.all_gather(sims, axis_name, axis=1, tiled=True)
-        all_idx = jax.lax.all_gather(gidx, axis_name, axis=1, tiled=True)
-        best, pos = jax.lax.top_k(all_s, k)
-        return best, jnp.take_along_axis(all_idx, pos, axis=1)
-
-    fn = shard_map(local, mesh=mesh, in_specs=(P(), P(axis_name)),
-                   out_specs=(P(), P()), check_rep=False)
-    return fn(query, bank)
+    return _sharded_topk(query, bank, k, mesh, axis_name, tile,
+                         sims, True, n, shard_rows)
 
 
 def knn_sharded(query: jnp.ndarray, index: jnp.ndarray, k: int, mesh,
                 *, axis_name: str = "dp", tile: int = 4096
                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact k-NN with the index (memory bank) row-sharded over a mesh.
+    """Exact k-NN by L2 with the index (memory bank) row-sharded over a
+    mesh.
 
     TPU-native replacement for FAISS's multi-GPU index sharding
-    (``faiss.index_cpu_to_all_gpus``, Unsupervised-Classification-master/
-    utils/memory.py:52): each device holds N/dp bank rows and computes its
-    local exact top-k with the same tiled MXU kernel as :func:`knn`
-    (queries replicated — they are tiny next to the bank); the per-device
-    winners are merged by ONE all_gather of [M, k] candidates per device
-    and a final top-k over dp*k, so ICI traffic is independent of the
-    bank size.  Exact: the k global nearest rows are each some shard's
-    local top-k.
+    (``faiss.index_cpu_to_all_gpus``): each device holds N/dp bank rows
+    and computes its local exact top-k (queries replicated — they are
+    tiny next to the bank); the per-device winners are merged by ONE
+    all_gather of [M, k] candidates per device and a final top-k over
+    dp*k, so ICI traffic is independent of the bank size.  Exact: each
+    of the k global nearest rows is some shard's local top-k member.
 
     Falls back to the single-device :func:`knn` when the bank is too
     small to shard usefully (fewer than k rows per device).
@@ -184,44 +196,11 @@ def knn_sharded(query: jnp.ndarray, index: jnp.ndarray, k: int, mesh,
     Returns (sq_distances [M, k], indices [M, k]) like :func:`knn`;
     indices refer to rows of the UNsharded ``index``.
     """
-    from jax.experimental.shard_map import shard_map
-    from jax.sharding import PartitionSpec as P
-
     dp = mesh.shape[axis_name]
     n = index.shape[0]
     shard_rows = -(-n // dp)
     if dp == 1 or shard_rows < k:
         return knn(query, index, k, tile=tile)
     bank = jnp.pad(index, ((0, shard_rows * dp - n), (0, 0)))
-
-    def local(q, bank_shard):
-        shard = jax.lax.axis_index(axis_name)
-        # zero-padded bank rows must be masked to +inf BEFORE the local
-        # top-k — a padded row's distance is |q|^2, which can beat real
-        # neighbours and silently evict them from the shard's candidates
-        valid = (shard * shard_rows + jnp.arange(shard_rows)) < n
-
-        def search(qt):
-            d2 = pairwise_sq_dists(qt, bank_shard)
-            neg, idx = jax.lax.top_k(
-                -jnp.where(valid[None, :], d2, jnp.inf), k)
-            return -neg, idx
-
-        m = q.shape[0]
-        if m <= tile:
-            d2, idx = search(q)
-        else:
-            qp = jnp.pad(q, ((0, (-m) % tile), (0, 0)))
-            _, (d2s, idxs) = jax.lax.scan(
-                lambda _, qt: (None, search(qt)), None,
-                qp.reshape(-1, tile, q.shape[1]))
-            d2, idx = d2s.reshape(-1, k)[:m], idxs.reshape(-1, k)[:m]
-        gidx = idx + shard * shard_rows
-        all_d2 = jax.lax.all_gather(d2, axis_name, axis=1, tiled=True)
-        all_idx = jax.lax.all_gather(gidx, axis_name, axis=1, tiled=True)
-        neg, pos = jax.lax.top_k(-all_d2, k)
-        return -neg, jnp.take_along_axis(all_idx, pos, axis=1)
-
-    fn = shard_map(local, mesh=mesh, in_specs=(P(), P(axis_name)),
-                   out_specs=(P(), P()), check_rep=False)
-    return fn(query, bank)
+    return _sharded_topk(query, bank, k, mesh, axis_name, tile,
+                         pairwise_sq_dists, False, n, shard_rows)
