@@ -1,5 +1,5 @@
 # Development targets (tox.ini / local_run_test.sh equivalents).
-.PHONY: test test-fast native bench lint clean
+.PHONY: test test-fast native bench lint clean export serve-example
 
 test:
 	python -m pytest tests/ -q
@@ -15,6 +15,14 @@ bench:
 
 entry-check:
 	python __graft_entry__.py
+
+# AOT serving round trip: export the flagship artifact, then serve it
+# from a host process that never imports tpu_ac (see TUTORIAL.md §7)
+export:
+	python -m tpu_ac.cli.export --n_images 32 --output serving.tpuac
+
+serve-example:
+	python scripts/serving_host.py serving.tpuac --params params.npy --bench
 
 clean:
 	$(MAKE) -C native clean
