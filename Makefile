@@ -19,7 +19,8 @@ entry-check:
 # AOT serving round trip: export the flagship artifact, then serve it
 # from a host process that never imports tpu_ac (see TUTORIAL.md §7)
 export:
-	python -m tpu_ac.cli.export --n_images 32 --output serving.tpuac
+	python -m tpu_ac.cli.export --n_images 32 --output serving.tpuac \
+		--dump_params params.npy
 
 serve-example:
 	python scripts/serving_host.py serving.tpuac --params params.npy --bench

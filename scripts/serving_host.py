@@ -7,19 +7,7 @@ source, and the whole tpu_ac package are NOT required at serving time.
 
     # produce the inputs (any tpu_ac-equipped host):
     python -m tpu_ac.cli.export --backbone_name dino_vitbase8 \
-        --n_images 32 --output serving.tpuac
-    python - <<'EOF'
-    from tpu_ac.pipeline import PipelineConfig, build_embedder_for_config
-    import numpy as np
-    cfg = PipelineConfig(backbone_name="dino_vitbase8",
-                         layers=("blocks.10", "blocks.11"),
-                         pretrain_embed_dimension=2048,
-                         target_embed_dimension=4096, batch_size=8)
-    emb = build_embedder_for_config(cfg)
-    np.save("params.npy", {k: np.asarray(v)
-                           for k, v in emb._device_params.items()},
-            allow_pickle=True)
-    EOF
+        --n_images 32 --output serving.tpuac --dump_params params.npy
 
     # serve (this script; a different machine/venv is fine):
     python scripts/serving_host.py serving.tpuac --params params.npy \
@@ -92,47 +80,48 @@ def embed_all(embed, params, images, batch_size, row_sharding=None):
     return jnp.concatenate(out)[:n]
 
 
+def embed_to_capacity(embed, meta, params, images, capacity,
+                      row_sharding=None):
+    """Embed a [N,3,H,W] uint8 image set and zero-pad the rows to the
+    artifact ``capacity`` (device array; sharded for --dp artifacts)."""
+    import jax
+    import jax.numpy as jnp
+
+    z = embed_all(embed, params, images, meta["batch_size"], row_sharding)
+    z_pad = jnp.pad(z, ((0, capacity - images.shape[0]), (0, 0), (0, 0)))
+    if row_sharding is not None:
+        z_pad = jax.device_put(z_pad, row_sharding)
+    return z_pad
+
+
 def serve_category(embed, alpha_x, meta, params, images, row_sharding=None,
-                   train_images=None):
+                   zt_pad=None, n_train=None):
     """``params`` must already be device-resident (see main: one
     jax.device_put at startup — NOT per call; the flagship params are
     ~344 MB and re-uploading them would dominate serving latency).
 
     Supervised artifacts weight patches by distance to a TRAIN (nominal)
-    bank instead of the other test images — pass ``train_images``
-    ([N_train,3,H,W] uint8; reference semantics per
+    bank instead of the other test images — pass ``zt_pad``/``n_train``
+    (the train split embedded ONCE via :func:`embed_to_capacity`; the
+    bank is fixed, so re-embedding it per category would double every
+    call's cost.  Reference semantics per
     Anomaly-Clustering/models/patchcore/utils.py:230-277)."""
-    import jax
-    import jax.numpy as jnp
-
     n = images.shape[0]
     cap = meta["n_images_capacity"]
     if n > cap:
         raise SystemExit(f"category size {n} exceeds artifact capacity "
                          f"{cap}; re-export with a larger --n_images")
     supervised = meta["supervised"] == "supervised"
-    if supervised and train_images is None:
-        raise SystemExit("supervised artifact: pass --train_images "
-                         "(the nominal/train split the alpha weights "
-                         "measure distances against)")
+    if supervised and zt_pad is None:
+        raise SystemExit("supervised artifact: pass the embedded train "
+                         "bank (zt_pad/n_train — see embed_to_capacity)")
 
-    def embed_padded(imgs):
-        z = embed_all(embed, params, imgs, meta["batch_size"], row_sharding)
-        z_pad = jnp.pad(z, ((0, cap - imgs.shape[0]), (0, 0), (0, 0)))
-        if row_sharding is not None:
-            z_pad = jax.device_put(z_pad, row_sharding)
-        return z_pad
-
-    z_pad = embed_padded(images)
+    z_pad = embed_to_capacity(embed, meta, params, images, cap, row_sharding)
     if supervised:
-        if train_images.shape[0] > cap:
-            raise SystemExit(f"train split {train_images.shape[0]} exceeds "
-                             f"artifact capacity {cap}")
-        zt_pad = embed_padded(train_images)
         # both layouts take (z, z_train, n_valid, n_train_valid); the
         # sharded program reshards the bank to replicated internally
         packed = np.asarray(alpha_x(z_pad, zt_pad, np.int32(n),
-                                    np.int32(train_images.shape[0])))[:n]
+                                    np.int32(n_train)))[:n]
     elif meta.get("sharded"):
         # sharded alpha signature is (z_rows_sharded, n_valid) with Z rows
         # over the dp axis (the program all_gathers the bank over ICI)
@@ -187,6 +176,13 @@ def main(argv=None):
     if a.train_images:
         train_images = np.load(a.train_images)
     elif meta["supervised"] == "supervised":
+        if a.images:
+            # real images + a made-up train bank would produce garbage
+            # alpha/X with exit code 0 — refuse instead
+            raise SystemExit("supervised artifact: --train_images is "
+                             "required when serving real --images (the "
+                             "synthetic train bank is only for "
+                             "--bench/synthetic runs)")
         rng = np.random.default_rng(1)
         train_images = rng.integers(
             0, 255, (meta["batch_size"], 3, meta["imagesize"],
@@ -203,9 +199,22 @@ def main(argv=None):
         print(f"(no --images: using {images.shape[0]} synthetic images)",
               flush=True)
 
+    # the train bank is fixed across categories: embed it ONCE at startup
+    # (like the single params device_put), not per serve_category call
+    zt_pad, n_train = None, None
+    if train_images is not None:
+        t_cap = meta.get("n_train_capacity", meta["n_images_capacity"])
+        if train_images.shape[0] > t_cap:
+            raise SystemExit(f"train split {train_images.shape[0]} exceeds "
+                             f"artifact train capacity {t_cap}; re-export "
+                             f"with a larger --n_train_images")
+        zt_pad = embed_to_capacity(embed, meta, params, train_images,
+                                   t_cap, row_sharding)
+        n_train = train_images.shape[0]
+
     t0 = time.perf_counter()
     alpha, x = serve_category(embed, alpha_x, meta, params, images,
-                              row_sharding, train_images)
+                              row_sharding, zt_pad, n_train)
     t1 = time.perf_counter()
     print(f"category served: alpha {alpha.shape} X {x.shape} "
           f"in {t1 - t0:.2f}s (first call includes compile)", flush=True)
@@ -215,7 +224,7 @@ def main(argv=None):
         for _ in range(5):
             t0 = time.perf_counter()
             serve_category(embed, alpha_x, meta, params, images,
-                           row_sharding, train_images)
+                           row_sharding, zt_pad, n_train)
             times.append(time.perf_counter() - t0)
         med = sorted(times)[len(times) // 2]
         print(f"serving throughput: {images.shape[0] / med:.1f} images/sec "

@@ -207,3 +207,28 @@ class TestShardedKNN:
         idx8, acc8 = sharded.mine_nearest_neighbors(5)
         np.testing.assert_array_equal(idx8, idx1)
         assert acc8 == acc1
+
+
+class TestGetMesh:
+    def test_oversubscription_rejected(self):
+        """get_mesh must not silently truncate to the available devices —
+        a truncated mesh would run (and AOT-export, cli/export --dp) a
+        different topology than requested."""
+        import pytest
+
+        from tpu_ac.distributed import get_mesh
+
+        with pytest.raises(ValueError, match="devices are available"):
+            get_mesh(1000)
+
+    def test_mesh_rejected_for_approximate_scorer(self):
+        """--dp only shards the exact scorer; combining it with ivfpq /
+        ivfflat must fail loudly instead of silently running
+        single-device."""
+        import pytest
+
+        from tpu_ac.detect.patchcore import PatchCore
+        from tpu_ac.distributed import get_mesh
+
+        with pytest.raises(ValueError, match="exact"):
+            PatchCore(lambda x: x, nn_method="ivfpq", mesh=get_mesh(2))

@@ -89,6 +89,40 @@ class TestExport:
             z_pad, zt_pad, np.int32(3), np.int32(2)))[:3]
         np.testing.assert_array_equal(packed_aot, packed_live)
 
+    def test_separate_train_capacity(self, tiny_setup, tmp_path):
+        """--n_train_images buckets the supervised train bank independently
+        of the test capacity (a real MVTec train split is ~200+ images;
+        coupling it to --n_images would inflate the O(cap^2) alpha work)."""
+        import dataclasses
+
+        from tpu_ac.pipeline import compute_alpha_X
+        from tpu_ac.utils.export import (export_category_programs,
+                                         load_exported, save_exported)
+
+        cfg, emb = tiny_setup
+        scfg = dataclasses.replace(cfg, supervised="supervised")
+        blob = export_category_programs(emb, scfg, n_images=4,
+                                        n_train_images=40)
+        progs = load_exported(save_exported(
+            str(tmp_path / "sup_tc.tpuac"), blob))
+        assert progs["meta"]["n_images_capacity"] == 32
+        assert progs["meta"]["n_train_capacity"] == 64  # 40 -> 32-bucket
+
+        rng = np.random.default_rng(3)
+        p = progs["meta"]["n_patches"]
+        d = progs["meta"]["embed_dim"]
+        Z = rng.standard_normal((3, p, d)).astype(np.float32)
+        Zt = rng.standard_normal((40, p, d)).astype(np.float32)
+        packed_live = np.asarray(compute_alpha_X(
+            Z, "supervised", scfg.tau, Z_train=Zt, use_mesh=False,
+            precision=scfg.resolved_alpha_precision, packed=True))
+        z_pad = np.zeros((32, p, d), np.float32)
+        zt_pad = np.zeros((64, p, d), np.float32)
+        z_pad[:3], zt_pad[:40] = Z, Zt
+        packed_aot = np.asarray(progs["alpha_x"](
+            z_pad, zt_pad, np.int32(3), np.int32(40)))[:3]
+        np.testing.assert_array_equal(packed_aot, packed_live)
+
     def test_mesh_embedder_rejected(self, tiny_setup):
         from tpu_ac.utils.export import export_category_programs
 
@@ -423,6 +457,46 @@ print("STANDALONE_OK", z.shape, packed.shape)
         p = z_live.shape[1]
         np.testing.assert_array_equal(out["alpha"], packed_live[:, :p])
         np.testing.assert_array_equal(out["X"], packed_live[:, p:])
+
+    def test_serving_host_refuses_real_images_without_train(
+            self, tiny_setup, tmp_path):
+        """A supervised artifact served with real --images but no
+        --train_images must FAIL loudly — silently substituting a
+        synthetic train bank would write garbage alpha/X with exit 0
+        (the synthetic bank is only for --bench/synthetic runs)."""
+        import dataclasses
+        import os
+        import subprocess
+        import sys
+
+        from tpu_ac.utils.export import (export_category_programs,
+                                         save_exported)
+
+        cfg, emb = tiny_setup
+        scfg = dataclasses.replace(cfg, supervised="supervised")
+        path = save_exported(str(tmp_path / "sup_guard.tpuac"),
+                             export_category_programs(emb, scfg,
+                                                      n_images=8))
+        np.save(tmp_path / "params.npy",
+                {k: np.asarray(v) for k, v in emb._device_params.items()},
+                allow_pickle=True)
+        rng = np.random.default_rng(14)
+        np.save(tmp_path / "imgs.npy",
+                rng.integers(0, 255, (5, 3, 32, 32), dtype=np.uint8))
+
+        script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                              "serving_host.py")
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        env["JAX_PLATFORMS"] = "cpu"
+        proc = subprocess.run(
+            [sys.executable, script, path,
+             "--params", str(tmp_path / "params.npy"),
+             "--images", str(tmp_path / "imgs.npy"),
+             "--out", str(tmp_path / "out_guard.npz"), "--platform", "cpu"],
+            env=env, capture_output=True, text=True, timeout=300)
+        assert proc.returncode != 0
+        assert "train_images" in proc.stderr
+        assert not (tmp_path / "out_guard.npz").exists()
 
     def test_serving_host_script_sharded(self, tiny_setup, tmp_path):
         """The standalone host also serves --dp artifacts: it builds the

@@ -39,6 +39,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_images", type=int, default=32,
                    help="alpha capacity: category sizes up to this serve "
                         "from one artifact (padded to the 32-bucket)")
+    p.add_argument("--n_train_images", type=int, default=None,
+                   help="supervised-mode train-bank capacity (own bucket, "
+                        "independent of --n_images; a real MVTec train "
+                        "split is ~200+ images). Default: --n_images")
+    p.add_argument("--dump_params", default=None,
+                   help="also save the embedder's params as a .npy dict "
+                        "here (the serving host's --params input)")
     p.add_argument("--platforms", nargs="+", default=None,
                    help="lowering platforms (e.g. tpu, or: cpu tpu); "
                         "default = the current backend")
@@ -71,13 +78,22 @@ def main(argv=None) -> str:
             cfg, checkpoint_dir=args.checkpoint_dir,
             mesh=get_mesh(args.dp))
         blob = export_sharded_category_programs(
-            embedder, cfg, n_images=args.n_images, platforms=platforms)
+            embedder, cfg, n_images=args.n_images,
+            n_train_images=args.n_train_images, platforms=platforms)
     else:
         embedder = build_embedder_for_config(
             cfg, checkpoint_dir=args.checkpoint_dir, mesh=None)
         blob = export_category_programs(
-            embedder, cfg, n_images=args.n_images, platforms=platforms)
+            embedder, cfg, n_images=args.n_images,
+            n_train_images=args.n_train_images, platforms=platforms)
     path = save_exported(args.output, blob)
+    if args.dump_params:
+        import numpy as np
+
+        np.save(args.dump_params,
+                {k: np.asarray(v) for k, v in embedder._device_params.items()},
+                allow_pickle=True)
+        LOGGER.info("wrote params to %s", args.dump_params)
     LOGGER.info("wrote %s (platforms=%s, capacity=%d)", path,
                 blob["meta"]["platforms"], blob["meta"]["n_images_capacity"])
     print(path)

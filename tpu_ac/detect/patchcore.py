@@ -40,6 +40,11 @@ class PatchCore:
             self.anomaly_scorer = NearestNeighbourScorer(
                 anomaly_score_num_nn, mesh=mesh)
         else:
+            if mesh is not None:
+                raise ValueError(
+                    f"mesh sharding is only supported for the exact "
+                    f"scorer; nn_method={nn_method!r} runs single-device "
+                    f"(drop --dp or use --nn_method exact)")
             from tpu_ac.detect.approx import ApproximateNearestNeighbourScorer
 
             self.anomaly_scorer = ApproximateNearestNeighbourScorer(

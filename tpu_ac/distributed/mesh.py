@@ -26,9 +26,20 @@ from jax.experimental.shard_map import shard_map
 
 def get_mesh(n_devices: int | None = None,
              axis_name: str = "dp") -> Mesh:
-    """A 1-D data-parallel mesh over the first n devices."""
+    """A 1-D data-parallel mesh over the first n devices.
+
+    Raises when fewer than ``n_devices`` are available — a silently
+    truncated mesh would run (and AOT-export) a different topology than
+    the one requested.
+    """
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are available (for a CPU dry run "
+                f"set XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n_devices})")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 

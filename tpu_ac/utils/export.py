@@ -41,6 +41,7 @@ def _spec_like(x) -> jax.ShapeDtypeStruct:
 
 
 def export_category_programs(embedder, cfg, n_images: int, *,
+                             n_train_images: int | None = None,
                              platforms: tuple[str, ...] | None = None
                              ) -> dict[str, Any]:
     """Serialize the embed + alpha+X programs for one serving shape.
@@ -54,6 +55,11 @@ def export_category_programs(embedder, cfg, n_images: int, *,
         n_images: alpha capacity; category sizes <= n_images are served by
             padding to it (the same one-program-per-bucket scheme
             ``compute_alpha_X`` uses).
+        n_train_images: supervised-mode train-bank capacity, bucketed
+            independently of the test capacity (a realistic MVTec train
+            split is ~200+ nominal images while categories are <=32-170;
+            coupling the two would inflate the O(cap^2) alpha work).
+            Default: ``n_images``.
         platforms: lowering platforms, e.g. ("tpu",) or ("cpu", "tpu").
             None = the current default backend.  NOTE: the alpha path
             picks its implementation at TRACE time
@@ -90,11 +96,13 @@ def export_category_programs(embedder, cfg, n_images: int, *,
     p = embed_exp.out_avals[0].shape[1]
     d = embed_exp.out_avals[0].shape[2]
     n_pad = -(-n_images // 32) * 32  # same 32-bucket compute_alpha_X uses
+    nt_pad = -(-(n_train_images or n_images) // 32) * 32
     z_spec = jax.ShapeDtypeStruct((n_pad, p, d), np.float32)
+    zt_spec = jax.ShapeDtypeStruct((nt_pad, p, d), np.float32)
     n_spec = jax.ShapeDtypeStruct((), np.int32)
     if cfg.supervised == "supervised":
         alpha_exp = jexport.export(_alpha_x_program, **kwargs)(
-            z_spec, z_spec, n_spec, n_spec, supervised="supervised",
+            z_spec, zt_spec, n_spec, n_spec, supervised="supervised",
             tau=float(cfg.tau), precision=cfg.resolved_alpha_precision,
             packed=True)
     else:
@@ -113,6 +121,7 @@ def export_category_programs(embedder, cfg, n_images: int, *,
             "batch_size": bs,
             "imagesize": cfg.imagesize,
             "n_images_capacity": int(n_pad),
+            "n_train_capacity": int(nt_pad),
             "supervised": cfg.supervised,
             "tau": float(cfg.tau),
             "precision": cfg.precision,
@@ -174,6 +183,7 @@ def _make_sharded_alpha_x(mesh, supervised: str, tau: float,
 
 
 def export_sharded_category_programs(embedder, cfg, n_images: int, *,
+                                     n_train_images: int | None = None,
                                      platforms: tuple[str, ...] | None = None
                                      ) -> dict[str, Any]:
     """Multi-chip variant of :func:`export_category_programs`.
@@ -219,13 +229,16 @@ def export_sharded_category_programs(embedder, cfg, n_images: int, *,
     # pad the alpha capacity to the 32-bucket AND the dp axis
     bucket = np.lcm(32, dp)
     n_pad = int(-(-n_images // bucket) * bucket)
+    nt_pad = int(-(-(n_train_images or n_images) // bucket) * bucket)
     z_spec = jax.ShapeDtypeStruct((n_pad, p, d), np.float32, sharding=row_sh)
+    zt_spec = jax.ShapeDtypeStruct((nt_pad, p, d), np.float32,
+                                   sharding=row_sh)
     n_spec = jax.ShapeDtypeStruct((), np.int32, sharding=repl)
     fn = jax.jit(_make_sharded_alpha_x(
         mesh, cfg.supervised, float(cfg.tau), cfg.resolved_alpha_precision))
     if cfg.supervised == "supervised":
         alpha_exp = jexport.export(fn, **kwargs)(
-            z_spec, z_spec, n_spec, n_spec)
+            z_spec, zt_spec, n_spec, n_spec)
     else:
         alpha_exp = jexport.export(fn, **kwargs)(z_spec, n_spec)
 
@@ -239,6 +252,7 @@ def export_sharded_category_programs(embedder, cfg, n_images: int, *,
             "batch_size": bs,
             "imagesize": cfg.imagesize,
             "n_images_capacity": n_pad,
+            "n_train_capacity": nt_pad,
             "supervised": cfg.supervised,
             "tau": float(cfg.tau),
             "precision": cfg.precision,
