@@ -450,14 +450,49 @@ def vit_intermediate_layers(params: Params, images: jnp.ndarray,
     ]
 
 
+def vit_index_selfattention(params: Params, images: jnp.ndarray,
+                            cfg: ViTConfig, index: int,
+                            precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Attention map of block ``index`` (the Anomaly-Clustering fork's
+    get_index_selfattention, models/patchcore/vision_transformer.py:225-233,
+    which visualize_attention.py sweeps over every block)."""
+    if not 0 <= index < cfg.depth:
+        raise ValueError(f"block index {index} outside depth {cfg.depth}")
+    x = prepare_tokens(params, images, cfg, precision)
+    for i in range(index):
+        x = block_forward(params, i, x, cfg, precision)
+    return block_forward(params, index, x, cfg, precision,
+                         return_attention=True)
+
+
 def vit_last_selfattention(params: Params, images: jnp.ndarray, cfg: ViTConfig,
                            precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Attention map of the final block (vision_transformer.py:216-223)."""
+    return vit_index_selfattention(params, images, cfg, cfg.depth - 1,
+                                   precision)
+
+
+def vit_all_selfattentions(params: Params, images: jnp.ndarray,
+                           cfg: ViTConfig,
+                           precision=jax.lax.Precision.HIGHEST
+                           ) -> jnp.ndarray:
+    """[depth, B, nh, N, N] attention of EVERY block in one forward.
+
+    The Anomaly-Clustering fork's visualize_attention.py:191-194 calls
+    get_index_selfattention(img, i) for each i, re-running the whole
+    block prefix per index (O(depth^2) blocks).  Here the per-block
+    attention is emitted alongside the running activations in a single
+    pass; the duplicated QKV projection inside the traced pair of
+    block_forward calls is pure and CSE'd by XLA, so the compiled
+    program does O(depth) block work.
+    """
     x = prepare_tokens(params, images, cfg, precision)
-    for i in range(cfg.depth - 1):
+    attns = []
+    for i in range(cfg.depth):
+        attns.append(block_forward(params, i, x, cfg, precision,
+                                   return_attention=True))
         x = block_forward(params, i, x, cfg, precision)
-    return block_forward(params, cfg.depth - 1, x, cfg, precision,
-                         return_attention=True)
+    return jnp.stack(attns)
 
 
 def vit_selfattention(params: Params, images: jnp.ndarray, cfg: ViTConfig,

@@ -99,14 +99,19 @@ def to_one_hot(labels: np.ndarray, n_dims: int | None = None) -> np.ndarray:
 
 def propagate_video(frame_features: list[np.ndarray], first_mask: np.ndarray,
                     grid: tuple[int, int], *, n_last_frames: int = 7,
-                    topk: int = 5,
-                    size_mask_neighborhood: int = 12) -> list[np.ndarray]:
+                    topk: int = 5, size_mask_neighborhood: int = 12,
+                    normalize: bool = True) -> list[np.ndarray]:
     """Propagate the first frame's mask through a video
     (eval_video_segmentation.py main loop: first frame + queue of the
     n_last_frames most recent predictions as context).
 
     frame_features: per frame [h*w, D]; first_mask: [C, h, w] one-hot.
     Returns per-frame [C, h, w] soft masks (index 0 = the given mask).
+    ``normalize=False`` returns the RAW propagated masks — the DAVIS CLI
+    needs them because the reference upsamples by patch_size FIRST and
+    norm_masks at pixel resolution (eval_video_segmentation.py:76-78);
+    per-channel min-max before vs after bilinear resample changes the
+    argmax near channel boundaries.
     """
     que: list[tuple[np.ndarray, np.ndarray]] = []
     first = (np.asarray(frame_features[0]), np.asarray(first_mask))
@@ -123,5 +128,5 @@ def propagate_video(frame_features: list[np.ndarray], first_mask: np.ndarray,
         # to the returned copy (eval_video_segmentation.py:70-75 queues
         # deepcopy(frame_tar_avg) BEFORE interpolate + norm_mask)
         que.append((np.asarray(feat), seg))
-        out.append(norm_mask(seg))
+        out.append(norm_mask(seg) if normalize else seg)
     return out
