@@ -305,3 +305,92 @@ class TestHungarianEvaluateOracle:
                                                  abs=1e-12)
         assert sorted(map(tuple, got["hungarian_match"])) == \
             sorted(map(tuple, want["hungarian_match"]))
+
+
+@pytest.fixture(scope="module")
+def ref_video_seg():
+    """The reference's eval_video_segmentation.py, imported with a
+    torchvision stub and a CPU-identity Tensor.cuda shim (the module
+    hardcodes .cuda() on the neighborhood mask and segs)."""
+    pytest.importorskip("cv2")
+    stub = sys.modules.get("torchvision") or types.ModuleType("torchvision")
+    if not hasattr(stub, "transforms"):
+        stub.transforms = types.SimpleNamespace(Compose=object)
+    sys.modules["torchvision"] = stub
+    _load("utils", os.path.join(_DINO_DIR, "utils.py"))
+    _load("vision_transformer",
+          os.path.join(_DINO_DIR, "vision_transformer.py"))
+    orig = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        yield _load("ref_eval_video_seg",
+                    os.path.join(_DINO_DIR, "eval_video_segmentation.py"))
+    finally:
+        torch.Tensor.cuda = orig
+
+
+class TestVideoSegPropagationOracle:
+    """propagate_labels vs the reference's own label_propagation
+    (eval_video_segmentation.py:113-150): exp(sim/0.1) affinities,
+    optional spatial neighborhood mask, per-query top-k thresholding over
+    all context sources, column-normalized label averaging."""
+
+    @pytest.mark.parametrize("neigh", [0, 1])
+    def test_label_propagation_parity(self, rng, ref_video_seg, neigh):
+        from tpu_ac.train.video_seg import propagate_labels
+
+        h = w = 4
+        d, n_ctx, n_cls, topk, patch = 16, 3, 3, 2, 8
+        mod = ref_video_seg
+        mod.args = types.SimpleNamespace(size_mask_neighborhood=neigh,
+                                         topk=topk)
+        feat_tar = rng.standard_normal((h * w, d)).astype(np.float32)
+        ctx = rng.standard_normal((n_ctx, h * w, d)).astype(np.float32)
+        segs = rng.random((n_ctx, n_cls, h, w)).astype(np.float32)
+
+        class _FakeViT:
+            # extract_feature only touches these two members
+            patch_embed = types.SimpleNamespace(patch_size=patch)
+
+            def get_intermediate_layers(self, x, n=1):
+                tok = torch.cat([torch.zeros(1, d),
+                                 torch.from_numpy(feat_tar)])
+                return [tok[None]]
+
+        frame = torch.zeros(3, h * patch, w * patch)
+        list_feats = [torch.from_numpy(c).T.contiguous() for c in ctx]
+        list_segs = [torch.from_numpy(s)[None] for s in segs]
+        seg_tar, ret_feat, _ = mod.label_propagation(
+            mod.args, _FakeViT(), frame, list_feats, list_segs)
+        want = seg_tar[0].numpy()
+        np.testing.assert_allclose(ret_feat.numpy(), feat_tar.T)
+
+        got = np.asarray(propagate_labels(
+            feat_tar, ctx, segs, grid=(h, w), topk=topk,
+            size_mask_neighborhood=neigh))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+    def test_norm_mask_parity(self, rng, ref_video_seg):
+        from tpu_ac.train.video_seg import norm_mask
+
+        m = rng.random((3, 5, 5)).astype(np.float32)
+        m[1] = 0.0  # all-zero channel exercises the max()>0 guard
+        want = ref_video_seg.norm_mask(torch.from_numpy(m.copy())).numpy()
+        np.testing.assert_allclose(norm_mask(m), want, rtol=1e-6)
+
+    def test_to_one_hot_parity(self, rng, ref_video_seg):
+        from tpu_ac.train.video_seg import to_one_hot
+
+        labels = rng.integers(0, 4, (6, 5))
+        want = ref_video_seg.to_one_hot(
+            torch.from_numpy(labels)[None].float())[0].numpy()
+        np.testing.assert_array_equal(to_one_hot(labels, 4), want)
+
+    def test_restrict_neighborhood_parity(self, ref_video_seg):
+        from tpu_ac.train.video_seg import restrict_neighborhood
+
+        mod = ref_video_seg
+        mod.args = types.SimpleNamespace(size_mask_neighborhood=2, topk=5)
+        want = mod.restrict_neighborhood(5, 6).numpy()
+        np.testing.assert_array_equal(restrict_neighborhood(5, 6, size=2),
+                                      want)
