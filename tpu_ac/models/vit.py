@@ -258,8 +258,16 @@ def block_forward(params: Params, i: int, x: jnp.ndarray, cfg: ViTConfig,
                   precision=jax.lax.Precision.HIGHEST,
                   attention_impl: Callable | None = None,
                   return_attention: bool = False,
-                  attn_bias: jnp.ndarray | None = None) -> jnp.ndarray:
-    """One pre-LN transformer block (vision_transformer.py:95-113)."""
+                  attn_bias: jnp.ndarray | None = None,
+                  return_attention_and_output: bool = False) -> jnp.ndarray:
+    """One pre-LN transformer block (vision_transformer.py:95-113).
+
+    ``return_attention`` returns only the [B, nh, N, N] softmax map (the
+    reference Block's return_attention=True).  ``return_attention_and_output``
+    returns ``(attention, block_output)`` from ONE evaluation — the
+    structural guarantee vit_all_selfattentions needs (no reliance on XLA
+    CSE'ing a paired call).
+    """
     pre = f"blocks.{i}."
     b, n, d = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
@@ -288,7 +296,8 @@ def block_forward(params: Params, i: int, x: jnp.ndarray, cfg: ViTConfig,
         qkv = qkv.reshape(b, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # each [B, nh, N, hd]
 
-    if attention_impl is not None and not return_attention and (
+    need_attn = return_attention or return_attention_and_output
+    if attention_impl is not None and not need_attn and (
             attn_bias is None
             or getattr(attention_impl, "handles_mask", False)):
         if getattr(attention_impl, "handles_mask", False):
@@ -312,7 +321,10 @@ def block_forward(params: Params, i: int, x: jnp.ndarray, cfg: ViTConfig,
     y = jax.nn.gelu(y, approximate=False)
     y = _linear(y, params[pre + "mlp.fc2.weight"], params[pre + "mlp.fc2.bias"],
                 precision)
-    return x + y
+    x = x + y
+    if return_attention_and_output:
+        return attn, x
+    return x
 
 
 def vit_forward(
@@ -480,18 +492,18 @@ def vit_all_selfattentions(params: Params, images: jnp.ndarray,
 
     The Anomaly-Clustering fork's visualize_attention.py:191-194 calls
     get_index_selfattention(img, i) for each i, re-running the whole
-    block prefix per index (O(depth^2) blocks).  Here the per-block
-    attention is emitted alongside the running activations in a single
-    pass; the duplicated QKV projection inside the traced pair of
-    block_forward calls is pure and CSE'd by XLA, so the compiled
-    program does O(depth) block work.
+    block prefix per index (O(depth^2) blocks).  Here each block is
+    evaluated ONCE and returns (attention, output) together
+    (block_forward(return_attention_and_output=True)), so the traced
+    program is O(depth) by construction — no reliance on XLA CSE of
+    paired calls.
     """
     x = prepare_tokens(params, images, cfg, precision)
     attns = []
     for i in range(cfg.depth):
-        attns.append(block_forward(params, i, x, cfg, precision,
-                                   return_attention=True))
-        x = block_forward(params, i, x, cfg, precision)
+        attn, x = block_forward(params, i, x, cfg, precision,
+                                return_attention_and_output=True)
+        attns.append(attn)
     return jnp.stack(attns)
 
 
@@ -499,9 +511,6 @@ def vit_selfattention(params: Params, images: jnp.ndarray, cfg: ViTConfig,
                       block_idx: int,
                       precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Attention map of an arbitrary block (get_index_selfattention,
-    dino-main/vision_transformer.py:225-228)."""
-    x = prepare_tokens(params, images, cfg, precision)
-    for i in range(block_idx):
-        x = block_forward(params, i, x, cfg, precision)
-    return block_forward(params, block_idx, x, cfg, precision,
-                         return_attention=True)
+    dino-main/vision_transformer.py:225-228).  Alias of
+    vit_index_selfattention (kept for API stability)."""
+    return vit_index_selfattention(params, images, cfg, block_idx, precision)
