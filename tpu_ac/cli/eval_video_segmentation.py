@@ -124,6 +124,20 @@ def read_seg(path: str, patch_size: int, scale_size: list[int]
     return to_one_hot(labels), np.asarray(seg)
 
 
+def _embed_frames(params, imgs, cfg):
+    """Last-block final-norm'd patch features, [B, h*w, D].
+
+    Module-level jit (cfg static): the jit cache persists across videos,
+    so every video of the same (batch, H, W) shape reuses one executable
+    instead of re-tracing per call.
+    """
+    from tpu_ac.models.vit import vit_intermediate_layers
+
+    out = vit_intermediate_layers(params, imgs, cfg, n=1)[0]
+    skip = getattr(cfg, "num_prefix_tokens", 1)
+    return out[:, skip:, :]
+
+
 def _extract_features(params, cfg, frames: list[np.ndarray],
                       batch_size: int) -> list[np.ndarray]:
     """Last-block final-norm'd patch features per frame, [h*w, D] each.
@@ -134,13 +148,10 @@ def _extract_features(params, cfg, frames: list[np.ndarray],
     import jax
     import jax.numpy as jnp
 
-    from tpu_ac.models.vit import vit_intermediate_layers
-
-    @jax.jit
-    def embed(p, imgs):
-        out = vit_intermediate_layers(p, imgs, cfg, n=1)[0]
-        skip = getattr(cfg, "num_prefix_tokens", 1)
-        return out[:, skip:, :]
+    global _EMBED_JIT
+    if _EMBED_JIT is None:
+        _EMBED_JIT = jax.jit(_embed_frames,
+                             static_argnames=("cfg",))
 
     feats: list[np.ndarray] = []
     n = len(frames)
@@ -148,9 +159,12 @@ def _extract_features(params, cfg, frames: list[np.ndarray],
         chunk = frames[start:start + batch_size]
         pad = batch_size - len(chunk)
         batch = np.stack(chunk + [chunk[-1]] * pad)
-        out = np.asarray(embed(params, jnp.asarray(batch)))
+        out = np.asarray(_EMBED_JIT(params, jnp.asarray(batch), cfg=cfg))
         feats.extend(out[: len(chunk)])
     return feats
+
+
+_EMBED_JIT = None
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -175,7 +189,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="feature-extraction batch size")
     p.add_argument("--scale_size", type=int, nargs="+", default=[480],
                    help="frame resize (1 value: short side, long side "
-                        "floored to 64; 2 values: exact h w)")
+                        "floored to 64; 2 values: exact h w — HAZARD: "
+                        "read_seg interprets two values as (w, h), the "
+                        "reference's internal quirk (PARITY #19), so two "
+                        "UNEQUAL values transpose the seg grid vs the "
+                        "feature grid and produce garbage propagation)")
     p.add_argument("--video_list", default=None,
                    help="override ImageSets/2017/val.txt")
     return p
@@ -183,6 +201,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> list[str]:
     args = build_parser().parse_args(argv)
+    if len(args.scale_size) == 2 and args.scale_size[0] != args.scale_size[1]:
+        import warnings
+        warnings.warn(
+            "--scale_size with two UNEQUAL values: read_frame treats them "
+            "as (h, w) but read_seg as (w, h) — the reference's internal "
+            "quirk (PARITY #19) — so the seg grid is transposed vs the "
+            "feature grid and propagation will produce garbage. Use one "
+            "value (short side) or two equal values.", stacklevel=1)
     from tpu_ac.models.registry import load_backbone
     from tpu_ac.ops.interpolate import interpolate_bilinear
     from tpu_ac.train.video_seg import norm_mask, propagate_video

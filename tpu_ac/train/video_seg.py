@@ -35,6 +35,21 @@ def restrict_neighborhood(h: int, w: int, size: int) -> np.ndarray:
     return mask.reshape(h * w, h * w)
 
 
+def _neighborhood_mask(h: int, w: int, size: int) -> jnp.ndarray:
+    """Traceable equivalent of :func:`restrict_neighborhood` — the window
+    [max(0, i-size), min(h, i+size+1)) is exactly |di| <= size, so the mask
+    is computed on-device instead of inlining an [h*w, h*w] f32 constant
+    into the jitted program (a 60x112 DAVIS grid would be a 180 MB HLO
+    constant, which the remote compile service rejects)."""
+    idx = jnp.arange(h * w)
+    qi, qj = idx // w, idx % w
+    return ((jnp.abs(qi[:, None] - qi[None, :]) <= size)
+            & (jnp.abs(qj[:, None] - qj[None, :]) <= size)
+            ).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "grid", "topk", "temperature", "size_mask_neighborhood"))
 def propagate_labels(feat_tar: jnp.ndarray, context_feats: jnp.ndarray,
                      context_segs: jnp.ndarray, *, grid: tuple[int, int],
                      topk: int = 5, temperature: float = 0.1,
@@ -59,9 +74,7 @@ def propagate_labels(feat_tar: jnp.ndarray, context_feats: jnp.ndarray,
     # aff[n, q, s] = exp(<tar_q, src_s>/T)
     aff = jnp.exp(jnp.einsum("qd,nsd->nqs", ft, fs) / temperature)
     if size_mask_neighborhood > 0:
-        mask = jnp.asarray(restrict_neighborhood(h, w,
-                                                 size_mask_neighborhood))
-        aff = aff * mask[None]
+        aff = aff * _neighborhood_mask(h, w, size_mask_neighborhood)[None]
     # [n_ctx*s, q]: sparsify over sources per query, renormalize
     aff = aff.transpose(0, 2, 1).reshape(n_ctx * h * w, h * w)
     tk = jax.lax.top_k(aff.T, topk)[0][:, -1]  # per-query k-th value
