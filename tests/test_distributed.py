@@ -232,3 +232,125 @@ class TestGetMesh:
 
         with pytest.raises(ValueError, match="exact"):
             PatchCore(lambda x: x, nn_method="ivfpq", mesh=get_mesh(2))
+
+
+class TestScanTrainDP:
+    """dp-sharded SCAN train steps (train.scan.dp_shard_step) must be
+    numerically equivalent to the single-device steps — GSPMD partitions
+    the SAME program (sync-BN batch stats, NT-Xent all-pairs, grad sums
+    lower to collectives), so only reduction order may differ.  The raw
+    noise is ~1e-7 f32 per reduction, but gradients through BN's
+    rsqrt(var+eps) amplify it data-dependently (measured up to ~6e-5 on
+    BN params after ONE step), so the state check is loose while the loss
+    check is tight; compared after one step only — momentum compounds the
+    wiggle chaotically beyond that."""
+
+    def _models(self):
+        from tpu_ac.models.resnet_cifar import CifarResNetConfig
+        from tpu_ac.train.scan import SCANModelConfig
+
+        backbone = CifarResNetConfig(block_counts=(1, 1, 1, 1),
+                                     widths=(8, 16, 32, 64))
+        return SCANModelConfig(backbone=backbone, feature_dim=16,
+                               n_clusters=4, n_heads=2)
+
+    def _assert_states_close(self, a, b):
+        import jax
+
+        for (ka, va), (kb, vb) in zip(
+                sorted(a.params.items()), sorted(b.params.items())):
+            assert ka == kb
+            np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                       rtol=5e-3, atol=2e-4, err_msg=ka)
+        jax.tree.map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=5e-3, atol=2e-4),
+            a.bn_state, b.bn_state)
+
+    def test_simclr_step_dp_matches_single(self, rng):
+        import optax
+
+        from tpu_ac.distributed import get_mesh
+        from tpu_ac.train.scan import (
+            dp_shard_step,
+            init_contrastive_model,
+            init_train_state,
+            make_simclr_step,
+        )
+
+        mcfg = self._models()
+        opt = optax.sgd(0.1, momentum=0.9)
+        params, bn = init_contrastive_model(0, mcfg)
+        raw = make_simclr_step(mcfg, opt, temperature=0.1)
+        xi = rng.standard_normal((16, 3, 32, 32)).astype(np.float32)
+        xj = rng.standard_normal((16, 3, 32, 32)).astype(np.float32)
+
+        s0 = init_train_state(params, bn, opt)
+        s1 = init_train_state(params, bn, opt)
+        sharded = dp_shard_step(raw, get_mesh(8), n_batch_args=2)
+        s0, loss_single = jax.jit(raw)(s0, xi, xj)
+        s1, loss_dp = sharded(s1, xi, xj)
+        np.testing.assert_allclose(float(loss_dp), float(loss_single),
+                                   rtol=2e-4)
+        self._assert_states_close(s0, s1)
+
+    def test_scan_step_dp_matches_single(self, rng):
+        import optax
+
+        from tpu_ac.distributed import get_mesh
+        from tpu_ac.train.scan import (
+            dp_shard_step,
+            init_clustering_model,
+            init_train_state,
+            make_scan_step,
+        )
+
+        mcfg = self._models()
+        # sgd, not the CLI's adam: adam's first step is ~lr*sign(grad), so a
+        # 1e-7 reduction-order wiggle on a near-zero gradient flips the sign
+        # into a 2*lr param difference — an adam property, not a sharding one
+        opt = optax.sgd(1e-2, momentum=0.9)
+        params, bn = init_clustering_model(0, mcfg)
+        raw = make_scan_step(mcfg, opt, entropy_weight=2.0)
+        anchors = rng.standard_normal((16, 3, 32, 32)).astype(np.float32)
+        nbrs = rng.standard_normal((16, 3, 32, 32)).astype(np.float32)
+
+        s0 = init_train_state(params, bn, opt)
+        s1 = init_train_state(params, bn, opt)
+        sharded = dp_shard_step(raw, get_mesh(8), n_batch_args=2)
+        s0, m_single = jax.jit(raw)(s0, anchors, nbrs)
+        s1, m_dp = sharded(s1, anchors, nbrs)
+        np.testing.assert_allclose(np.asarray(m_dp["head_losses"]),
+                                   np.asarray(m_single["head_losses"]),
+                                   rtol=2e-4)
+        self._assert_states_close(s0, s1)
+
+    def test_selflabel_step_dp_matches_single(self, rng):
+        import optax
+
+        from tpu_ac.distributed import get_mesh
+        from tpu_ac.train.scan import (
+            dp_shard_step,
+            init_clustering_model,
+            init_train_state,
+            make_selflabel_step,
+        )
+
+        mcfg = self._models()
+        mcfg = type(mcfg)(backbone=mcfg.backbone, feature_dim=16,
+                          n_clusters=4, n_heads=1)
+        opt = optax.sgd(0.03, momentum=0.9)
+        params, bn = init_clustering_model(0, mcfg)
+        # a threshold of 0 keeps every pseudo-label so the loss is nonzero
+        raw = make_selflabel_step(mcfg, opt, threshold=0.0)
+        weak = rng.standard_normal((16, 3, 32, 32)).astype(np.float32)
+        strong = rng.standard_normal((16, 3, 32, 32)).astype(np.float32)
+
+        s0 = init_train_state(params, bn, opt)
+        s1 = init_train_state(params, bn, opt)
+        sharded = dp_shard_step(raw, get_mesh(8), n_batch_args=2)
+        s0, loss_single = jax.jit(raw)(s0, weak, strong)
+        s1, loss_dp = sharded(s1, weak, strong)
+        np.testing.assert_allclose(float(loss_dp), float(loss_single),
+                                   rtol=2e-4, atol=1e-6)
+        self._assert_states_close(s0, s1)

@@ -51,12 +51,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "into TRACE_DIR (exceeds the reference's "
                         "MetricLogger-only observability, "
                         "dino-main/utils.py:348-400).")
-    p.add_argument("--precision", default="default",
+    p.add_argument("--precision", default="bfloat16",
                    choices=["default", "highest", "bfloat16"],
-                   help="Embed compute precision: 'default' keeps f32 "
-                        "storage (parity), 'bfloat16' runs the backbone in "
-                        "bf16 (~1.8x faster embed; clustering metrics "
-                        "validated identical on synthetic data).")
+                   help="Embed compute precision. 'bfloat16' (default) runs "
+                        "the backbone in bf16 — ~1.8x faster embed, and the "
+                        "reference's own golden embeddings quantized to "
+                        "bf16 reproduce its published CSV metrics to 1e-6 "
+                        "(tests/test_golden_bf16.py; PARITY.md 'precision "
+                        "defaults'). 'default' keeps f32 storage; 'highest' "
+                        "is the strictest-parity escape hatch.")
     p.add_argument("--alpha_precision", default="auto",
                    choices=["auto", "f32", "bf16c", "bf16"],
                    help="Distance-kernel precision for the alpha weights "

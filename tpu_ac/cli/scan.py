@@ -97,6 +97,24 @@ def _mining_mesh(cfg):
     return get_mesh(int(dp))
 
 
+def _train_step_jit(cfg, step_fn, n_batch_args: int):
+    """jit a stage's train step, optionally data-parallel.
+
+    Optional `train_dp: N` config key: shard the train batches over an
+    N-device mesh (train.scan.dp_shard_step) — the TPU-native form of the
+    reference's torch.nn.DataParallel around the SCAN-stage models
+    (Unsupervised-Classification-master/scan.py:48, selflabel.py:45,
+    simclr.py:44).  Results are numerically equivalent to single-device
+    (GSPMD partitions the same program; reductions ride ICI)."""
+    dp = cfg.get("train_dp")
+    if not dp:
+        return jax.jit(step_fn)
+    from tpu_ac.distributed import get_mesh
+    from tpu_ac.train.scan import dp_shard_step
+
+    return dp_shard_step(step_fn, get_mesh(int(dp)), n_batch_args)
+
+
 def _model_config(cfg) -> SCANModelConfig:
     name = cfg.get("backbone", "")
     db = cfg.get("train_db_name", "")
@@ -144,8 +162,8 @@ def run_simclr(cfg) -> None:
         state, meta = restore_checkpoint(ckpt, state)
         start_epoch = meta["extra"]["epoch"] + 1
 
-    step = jax.jit(make_simclr_step(mcfg, opt,
-                                    cfg.get("temperature", 0.1)))
+    step = _train_step_jit(cfg, make_simclr_step(
+        mcfg, opt, cfg.get("temperature", 0.1)), n_batch_args=2)
     bs = cfg.get("batch_size", 128)
     for epoch in range(start_epoch, cfg.get("epochs", 10)):
         losses = []
@@ -278,9 +296,10 @@ def run_scan(cfg) -> None:
 
     opt = optax.adam(cfg.get("scan_lr", 1e-4))
     state = init_train_state(params, bn, opt)
-    step = jax.jit(make_scan_step(
+    step = _train_step_jit(cfg, make_scan_step(
         mcfg, opt, cfg.get("entropy_weight", 2.0),
-        update_cluster_head_only=cfg.get("update_cluster_head_only", False)))
+        update_cluster_head_only=cfg.get("update_cluster_head_only", False)),
+        n_batch_args=2)
 
     bs = cfg.get("batch_size", 128)
     rng = np.random.default_rng(0)
@@ -357,9 +376,10 @@ def run_selflabel(cfg) -> None:
 
     opt = optax.sgd(cfg.get("selflabel_lr", 0.03), momentum=0.9)
     state = init_train_state(sl_params, scan_pb["bn"], opt)
-    step = jax.jit(make_selflabel_step(
+    step = _train_step_jit(cfg, make_selflabel_step(
         mcfg, opt, threshold=cfg.get("confidence_threshold", 0.99),
-        apply_class_balancing=cfg.get("apply_class_balancing", True)))
+        apply_class_balancing=cfg.get("apply_class_balancing", True)),
+        n_batch_args=2)
 
     weak = WeakAugmentation(size=size, seed=0)
     strong = StrongAugmentation(size=size, seed=0)

@@ -328,7 +328,10 @@ def xcit_forward(params: Params, images: jnp.ndarray, cfg: XCiTConfig,
     """Run the trunk; returns {tap_index: [B, N, D]} block outputs plus
     -1 = final CLS-attended, norm'd token tensor [B, 1+N, D]."""
     x, (hp, wp) = conv_patch_embed(params, images, cfg, precision)
-    x = x + positional_encoding_fourier(params, hp, wp, cfg)
+    # the sinusoids are generated in f32 regardless of compute dtype; cast
+    # at the add so a bf16 trunk stays bf16 (mixed-dtype inputs abort the
+    # depthwise convs in lpi under the bfloat16 embed path)
+    x = x + positional_encoding_fourier(params, hp, wp, cfg).astype(x.dtype)
     taps = tuple(taps)
     out: dict[int, jnp.ndarray] = {}
     depth = (max(taps) + 1) if taps else cfg.depth

@@ -402,6 +402,35 @@ def make_selflabel_step(cfg: SCANModelConfig, optimizer,
     return step
 
 
+def dp_shard_step(step_fn, mesh, n_batch_args: int,
+                  axis_name: str = "dp"):
+    """Data-parallel jit of a ``make_{simclr,scan,selflabel}_step`` step.
+
+    The reference wraps the SCAN-stage models in ``torch.nn.DataParallel``
+    (Unsupervised-Classification-master/scan.py:48, selflabel.py:45,
+    simclr.py:44); the TPU-native equivalent keeps the SAME step program
+    and lets GSPMD partition it: the train state (params/bn/opt) is
+    replicated, the first ``n_batch_args`` array arguments after the state
+    are sharded on the mesh's ``axis_name`` axis, and every cross-batch
+    reduction in the traced program (batch-stat moments, the NT-Xent
+    all-pairs similarity, loss means, gradient sums) lowers to ICI
+    collectives.  Semantics are the single-device program's — unlike
+    DataParallel's per-replica BatchNorm, batch statistics here are
+    computed over the FULL batch (sync-BN), so the sharded step is
+    numerically equivalent to the unsharded one (equivalence-tested on the
+    8-device virtual mesh, tests/test_distributed.py).
+
+    The per-step global batch must be divisible by the dp axis size.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(axis_name))
+    return jax.jit(step_fn,
+                   in_shardings=(rep,) + (shard,) * n_batch_args,
+                   out_shardings=rep)
+
+
 def scan_evaluate_heads(head_losses: np.ndarray) -> int:
     """Lowest-loss head selection (evaluate_utils.py:87-119)."""
     return int(np.argmin(head_losses))
