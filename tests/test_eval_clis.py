@@ -66,6 +66,34 @@ class TestEvalKNNCLI:
         np.testing.assert_allclose(
             np.linalg.norm(z["val"], axis=1), 1.0, rtol=1e-4)
 
+    def test_cli_dp_matches_single(self, imagefolder_root, tiny_arch,
+                                   tmp_path, capsys):
+        """--dp 8: GSPMD-sharded extraction (the reference's cross-rank
+        extract + all_gather, eval_knn.py:118-139) must produce the SAME
+        feature matrices as the single-device path."""
+        from tpu_ac.cli.eval_knn import main
+
+        single = str(tmp_path / "single.npz")
+        dp = str(tmp_path / "dp.npz")
+        base = ["--arch", tiny_arch, "--data_path", imagefolder_root,
+                "--nb_knn", "3", "--imagesize", "32",
+                "--batch_size_per_gpu", "8"]
+        main(base + ["--dump_features", single])
+        main(base + ["--dump_features", dp, "--dp", "8"])
+        capsys.readouterr()
+        a, b = np.load(single), np.load(dp)
+        for key in ("train", "val"):
+            np.testing.assert_allclose(b[key], a[key], rtol=2e-5, atol=2e-6)
+
+    def test_cli_dp_rejects_indivisible_batch(self, imagefolder_root,
+                                              tiny_arch):
+        from tpu_ac.cli.eval_knn import main
+
+        with pytest.raises(ValueError, match="divisible"):
+            main(["--arch", tiny_arch, "--data_path", imagefolder_root,
+                  "--imagesize", "32", "--batch_size_per_gpu", "6",
+                  "--dp", "4"])
+
     def test_missing_split_raises(self, imagefolder_root, tiny_arch,
                                   tmp_path):
         from tpu_ac.cli.eval_knn import main

@@ -168,6 +168,30 @@ class TestKnnClassifier:
                                  normalize=False)
         np.testing.assert_allclose(feats, imgs * 2)
 
+    def test_extract_features_mesh_matches_single(self, rng):
+        """mesh path (the reference's DDP extract + all_gather into the
+        rank-0 matrix, eval_knn.py:118-139) == single-device features."""
+        import jax.numpy as jnp
+
+        from tpu_ac.distributed import get_mesh
+        from tpu_ac.train.evals import extract_features
+
+        imgs = rng.standard_normal((19, 6)).astype(np.float32)
+        w = jnp.asarray(rng.standard_normal((6, 3)).astype(np.float32))
+        fn = lambda x: jnp.tanh(x @ w)
+        single = extract_features(fn, imgs, batch_size=8)
+        sharded = extract_features(fn, imgs, batch_size=8,
+                                   mesh=get_mesh(8))
+        np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=2e-6)
+
+    def test_extract_features_mesh_rejects_indivisible_batch(self, rng):
+        from tpu_ac.distributed import get_mesh
+        from tpu_ac.train.evals import extract_features
+
+        with pytest.raises(ValueError, match="divisible"):
+            extract_features(lambda x: x, np.zeros((8, 2), np.float32),
+                             batch_size=6, mesh=get_mesh(4))
+
 
 class TestLinearProbe:
     def test_learns_linear_problem(self, rng):

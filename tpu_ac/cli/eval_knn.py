@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--imagesize", type=int, default=224)
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--dump_features", default=None)
+    p.add_argument("--dp", type=int, default=0,
+                   help="Shard feature extraction over a DP-device mesh "
+                        "(the reference's cross-rank extract+all_gather, "
+                        "eval_knn.py:118-139, on ICI). 0 = single device.")
     return p
 
 
@@ -52,19 +56,40 @@ def main(argv=None) -> None:
     if family == "vit":
         from tpu_ac.models.vit import vit_cls_forward
 
-        @jax.jit
-        def embed(p, x):
+        def raw_embed(p, x):
             return vit_cls_forward(p, x, cfg,
                                    precision=jax.lax.Precision.DEFAULT)
     else:
         from tpu_ac.models.resnet import resnet_forward
 
-        @jax.jit
-        def embed(p, x):
+        def raw_embed(p, x):
             f = resnet_forward(p, x, cfg, taps=("layer4",))["layer4"]
             return f.mean(axis=(2, 3))
 
-    device_params = jax.device_put(dict(params))
+    if args.dp:
+        # the reference's distributed extraction: every rank embeds its
+        # subset, all_gather assembles the rank-0 feature matrix
+        # (dino-main/eval_knn.py:118-139).  Here GSPMD partitions the same
+        # embed over the dp mesh (params replicated as a jit ARGUMENT —
+        # never closed over: remote compiles reject inlined weights) and
+        # the replicated output lowers to one all_gather on ICI.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tpu_ac.distributed import get_mesh
+
+        if args.batch_size_per_gpu % args.dp:
+            raise ValueError(f"--batch_size_per_gpu "
+                             f"{args.batch_size_per_gpu} not divisible by "
+                             f"--dp {args.dp}")
+        mesh = get_mesh(args.dp)
+        rep = NamedSharding(mesh, P())
+        embed = jax.jit(raw_embed,
+                        in_shardings=(rep, NamedSharding(mesh, P("dp"))),
+                        out_shardings=rep)
+        device_params = jax.device_put(dict(params), rep)
+    else:
+        embed = jax.jit(raw_embed)
+        device_params = jax.device_put(dict(params))
     train_x, train_y, n_cls = _load_split(
         os.path.join(args.data_path, "train"), args.imagesize)
     val_x, val_y, _ = _load_split(

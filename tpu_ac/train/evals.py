@@ -29,10 +29,31 @@ from tpu_ac.ops.interpolate import interpolate_bilinear
 
 
 def extract_features(embed_fn: Callable, images: np.ndarray,
-                     batch_size: int = 64, normalize: bool = True
-                     ) -> np.ndarray:
-    """Batched feature extraction (eval_knn.py:96-139 without the
-    DDP machinery: one jitted program over padded fixed-size batches)."""
+                     batch_size: int = 64, normalize: bool = True,
+                     mesh=None) -> np.ndarray:
+    """Batched feature extraction (eval_knn.py:96-139): one jitted program
+    over padded fixed-size batches.
+
+    With ``mesh`` (a 1-axis ``jax.sharding.Mesh``) each batch is sharded
+    over the mesh's first axis and the feature output is replicated — the
+    TPU-native form of the reference's cross-rank pattern (every DDP rank
+    embeds its subset, then ``all_gather`` assembles the rank-0 feature
+    matrix, eval_knn.py:118-139): GSPMD partitions the embed and lowers
+    the replicated output to one all_gather on ICI.  ``batch_size`` must
+    be divisible by the axis size.
+    """
+    fn = embed_fn
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if batch_size % mesh.devices.size:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by mesh size "
+                f"{mesh.devices.size}")
+        fn = jax.jit(
+            embed_fn,
+            in_shardings=NamedSharding(mesh, P(mesh.axis_names[0])),
+            out_shardings=NamedSharding(mesh, P()))
     n = images.shape[0]
     pad = (-n) % batch_size
     if pad:
@@ -40,7 +61,7 @@ def extract_features(embed_fn: Callable, images: np.ndarray,
             [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
     feats = []
     for i in range(0, images.shape[0], batch_size):
-        f = embed_fn(jnp.asarray(images[i:i + batch_size]))
+        f = fn(jnp.asarray(images[i:i + batch_size]))
         if normalize:
             f = l2_normalize(f, axis=1)
         feats.append(np.asarray(f))
