@@ -3,16 +3,19 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": R}
 
-Workload (mirrors BASELINE.json's north star): embed 32-image MVTec-sized
+Workload (mirrors BASELINE.json's north star): embed MVTec-sized
 categories with DINO ViT-B/8 (blocks.10+11 taps, 2048->4096 patch
 embeddings, 224x224 inputs) and compute the unsupervised alpha matrix +
 weighted embeddings — the end-to-end device work of examples/main.py's
-make_category_data.  The measurement is the per-category STEADY STATE of a
-SWEEP of categories (the production workload: examples/main.py:348-366
-iterates 15 categories x 2 modes; our pipeline overlaps category c+1's
-uint8 uploads and c-1's result download with category c's compute, exactly
-as run_category_sweep does).  The reference is a serial batch_size=1 torch
-loop with no overlap.
+make_category_data.  The measurement is the STEADY STATE of a SWEEP of
+categories (the production workload: examples/main.py:348-366 iterates
+15 categories x 2 modes; our pipeline overlaps category c+1's uint8
+uploads and c-1's result download with category c's compute, exactly as
+run_category_sweep does).  The default sweep is the REAL 15-category
+MVTec test-size distribution (N=42..167, so the O(N^2) alpha cost and
+n_bucket padding at mixed sizes are included); TPU_AC_BENCH_SWEEP=
+uniform32 selects the legacy 4 x N=32 sweep (rounds 1-3 comparability).
+The reference is a serial batch_size=1 torch loop with no overlap.
 
 vs_baseline compares against the PyTorch reference implementation measured
 locally on CPU (the reference publishes no throughput numbers — SURVEY.md
@@ -52,6 +55,23 @@ BATCH = int(os.environ.get("TPU_AC_BENCH_BATCH", "8"))
 SWEEP = 4  # categories per measured sweep (steady-state amortization)
 IMG = 224
 BASELINE_CACHE = os.path.expanduser("~/.cache/tpu_ac/bench_baseline.json")
+
+# Sweep composition (TPU_AC_BENCH_SWEEP):
+#   "mvtec" (default) — the PRODUCTION workload: one category per MVTec AD
+#     test-set size (the 15-category distribution examples/main.py:348-366
+#     iterates), so the headline includes the O(N^2) alpha cost up to
+#     N=167 and the n_bucket=32 padding behavior at mixed sizes.
+#   "uniform32" — the legacy round-1..3 workload (SWEEP x N=32 identical
+#     categories) for round-over-round comparability.
+SWEEP_MODE = os.environ.get("TPU_AC_BENCH_SWEEP", "mvtec")
+# MVTec AD test-set image counts per category (what unsupervised-mode
+# make_category_data embeds; mvtec.py:115-167 walk of test/)
+MVTEC_TEST_SIZES = {
+    "bottle": 83, "cable": 150, "capsule": 132, "carpet": 117, "grid": 78,
+    "hazelnut": 110, "leather": 124, "metal_nut": 115, "pill": 167,
+    "screw": 160, "tile": 117, "toothbrush": 42, "transistor": 100,
+    "wood": 79, "zipper": 151,
+}
 
 
 def _setup_jax():
@@ -132,8 +152,8 @@ def measure_tpu(categories: list[np.ndarray],
             t0 = time.perf_counter()
             run_sweep()
             times.append(time.perf_counter() - t0)
-    per_category = sorted(times)[len(times) // 2] / len(categories)
-    return N_IMAGES / per_category
+    total_images = sum(c.shape[0] for c in categories)
+    return total_images / sorted(times)[len(times) // 2]
 
 
 _REF_MODELS_DIR = "/root/reference/Anomaly-Clustering/models"
@@ -168,22 +188,32 @@ def _import_reference_patchcore():
     return ref_patchcore, ref_utils, ref_vits
 
 
-def measure_torch_baseline() -> float:
-    """Reference-code torch CPU pipeline, per-image extrapolated.
+def torch_ips_for(sizes: list[int], t_embed_per_img: float,
+                  t_alpha_per_pair: float) -> float:
+    """Extrapolate the reference's serial cost model to a category-size
+    distribution: sum_c (N_c * t_embed + N_c*(N_c-1) * t_alpha_pair)."""
+    total_t = sum(n * t_embed_per_img + n * (n - 1) * t_alpha_per_pair
+                  for n in sizes)
+    return sum(sizes) / total_t
+
+
+def measure_torch_baseline() -> tuple[float, float]:
+    """Reference-code torch CPU unit costs (t_embed_per_img,
+    t_alpha_per_pair) for the serial cost model.
 
     Times the reference's OWN ``AnomalyClusteringCore._embed`` image by
     image (the reference uses batch_size=1, examples/main.py:211-217) and
-    its ``Matrix_Alpha_Unsupervised`` double loop on a subset, then scales
-    to N_IMAGES with the serial cost model (see module docstring).
-    Cached for at most 24h.
+    its ``Matrix_Alpha_Unsupervised`` double loop on a subset (see module
+    docstring).  Cached for at most 24h.
     """
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)
         age = time.time() - cached.get("measured_at", 0.0)
         if (cached.get("version") == _BASELINE_VERSION
-                and "torch_images_per_sec" in cached and age < 24 * 3600):
-            return cached["torch_images_per_sec"]
+                and "t_embed_per_img" in cached
+                and "t_alpha_per_pair" in cached and age < 24 * 3600):
+            return cached["t_embed_per_img"], cached["t_alpha_per_pair"]
 
     import contextlib
     import torch
@@ -231,40 +261,45 @@ def measure_torch_baseline() -> float:
         # n*(n-1) cdist pairs, not n^2
         t_alpha_per_pair = t_alpha / (n_alpha * (n_alpha - 1))
 
-    total = (N_IMAGES * t_embed_per_img
-             + N_IMAGES * (N_IMAGES - 1) * t_alpha_per_pair)
-    ips = N_IMAGES / total
     os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
     with open(BASELINE_CACHE, "w") as f:
-        json.dump({"torch_images_per_sec": ips,
-                   "t_embed_per_img": t_embed_per_img,
+        json.dump({"t_embed_per_img": t_embed_per_img,
                    "t_alpha_per_pair": t_alpha_per_pair,
                    "n_base": n_base,
                    "version": _BASELINE_VERSION,
                    "source": "reference modules patchcore.{patchcore,utils,"
                              "vision_transformer} from /root/reference",
                    "measured_at": time.time()}, f)
-    return ips
+    return t_embed_per_img, t_alpha_per_pair
 
 
 def main() -> None:
     rng = np.random.default_rng(0)
+    if SWEEP_MODE == "uniform32":
+        sizes = [N_IMAGES] * SWEEP
+        metric = ("images/sec ViT-B/8 feature+alpha extraction "
+                  "(N=32/category, 224x224, pipelined category sweep)")
+    else:
+        sizes = [MVTEC_TEST_SIZES[c] for c in sorted(MVTEC_TEST_SIZES)]
+        metric = ("images/sec ViT-B/8 feature+alpha extraction (15-category "
+                  "MVTec test-size distribution N=42-167, 224x224, "
+                  "pipelined category sweep)")
     categories = [
-        rng.integers(0, 255, (N_IMAGES, 3, IMG, IMG)).astype(np.uint8)
-        for _ in range(SWEEP)
+        rng.integers(0, 255, (n, 3, IMG, IMG)).astype(np.uint8)
+        for n in sizes
     ]
 
     precision = os.environ.get("TPU_AC_BENCH_PRECISION", "bfloat16")
     tpu_ips = measure_tpu(categories, precision=precision)
     try:
-        torch_ips = measure_torch_baseline()
+        t_embed, t_pair = measure_torch_baseline()
+        torch_ips = torch_ips_for(sizes, t_embed, t_pair)
     except Exception as e:  # noqa: BLE001 — baseline failure shouldn't kill bench
         print(f"torch baseline failed: {e}", file=sys.stderr)
         torch_ips = None
 
     out = {
-        "metric": "images/sec ViT-B/8 feature+alpha extraction "
-                  "(N=32/category, 224x224, pipelined category sweep)",
+        "metric": metric,
         "value": round(tpu_ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(tpu_ips / torch_ips, 2) if torch_ips else None,
