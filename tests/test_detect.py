@@ -71,6 +71,55 @@ class TestSamplers:
         out = GreedyCoresetSampler(0.5, dimension_to_project_features_to=8).run(f)
         assert out.shape[1] == 32  # selection happens in 8-d, output in 32-d
 
+    def test_select_batch_one_matches_exact(self, rng):
+        """k=1 must be the exact greedy path."""
+        f = rng.standard_normal((80, 16)).astype(np.float32)
+        a = GreedyCoresetSampler(0.25, seed=1).run(f)
+        b = GreedyCoresetSampler(0.25, seed=1, select_batch=1).run(f)
+        np.testing.assert_array_equal(a, b)
+
+    def test_select_batch_coverage_close_to_exact(self, rng):
+        """Batched FPS (k picks/iteration) is an approximation; its
+        coverage radius (max over points of distance to the nearest
+        selected point) must stay within 2x of exact greedy's."""
+        from tpu_ac.ops.distances import pairwise_sq_dists
+
+        f = rng.standard_normal((300, 16)).astype(np.float32)
+
+        def radius(sel):
+            d2 = np.asarray(pairwise_sq_dists(jnp.asarray(f),
+                                              jnp.asarray(sel)))
+            return float(np.sqrt(d2.min(axis=1)).max())
+
+        kw = dict(dimension_to_project_features_to=16, seed=3)
+        exact = ApproximateGreedyCoresetSampler(0.1, **kw).run(f)
+        batched = ApproximateGreedyCoresetSampler(
+            0.1, select_batch=8, **kw).run(f)
+        assert batched.shape == exact.shape
+        assert len(np.unique(batched, axis=0)) == len(batched)
+        assert radius(batched) <= 2.0 * radius(exact)
+
+    def test_select_batch_non_divisible_count(self, rng):
+        f = rng.standard_normal((100, 8)).astype(np.float32)
+        out = ApproximateGreedyCoresetSampler(
+            0.25, select_batch=4, dimension_to_project_features_to=8,
+            seed=0).run(f)  # 25 picks, 4/iter -> 7 iters, truncated to 25
+        assert out.shape == (25, 8)
+        assert len(np.unique(out, axis=0)) == 25
+
+    def test_select_batch_validation(self):
+        with pytest.raises(ValueError, match="select_batch"):
+            GreedyCoresetSampler(0.5, select_batch=0)
+
+    def test_device_inputs_stay_on_device(self, rng):
+        """PatchCore's device-resident fit path hands the sampler a jax
+        array; the selected bank must come back as one (no host copy)."""
+        f = jnp.asarray(rng.standard_normal((60, 8)).astype(np.float32))
+        out = ApproximateGreedyCoresetSampler(
+            0.2, dimension_to_project_features_to=8).run(f)
+        assert isinstance(out, jnp.ndarray) and not isinstance(out, np.ndarray)
+        assert out.shape == (12, 8)
+
 
 class TestScorer:
     """FAISS-wrapper equivalents (reference test_common.py:7-64)."""

@@ -75,6 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["identity", "greedy_coreset",
                             "approx_greedy_coreset"])
     p.add_argument("--percentage", "-p", type=float, default=0.1)
+    p.add_argument("--coreset_select_batch", type=int, default=1,
+                   help="Picks per greedy-coreset iteration. 1 (default) = "
+                        "the reference's exact sequential greedy; k>1 = "
+                        "batched farthest-point selection (one MXU matmul "
+                        "folds k picks at once, ~k x fewer HBM sweeps of "
+                        "the bank — ~7x faster fit at MVTec scale, see "
+                        "PERF.md). Approximation: the k picks of one "
+                        "iteration are not conditioned on each other.")
     # dataset options (run_patchcore.py:333-429)
     p.add_argument("--data_path", required=True)
     p.add_argument("--subdatasets", "-d", action="append", default=None)
@@ -87,14 +95,17 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _make_sampler(name: str, percentage: float, seed: int):
+def _make_sampler(name: str, percentage: float, seed: int,
+                  select_batch: int = 1):
     if name == "identity":
         return IdentitySampler()
     if name == "greedy_coreset":
         from tpu_ac.detect import GreedyCoresetSampler
 
-        return GreedyCoresetSampler(percentage, seed=seed)
-    return ApproximateGreedyCoresetSampler(percentage, seed=seed)
+        return GreedyCoresetSampler(percentage, seed=seed,
+                                    select_batch=select_batch)
+    return ApproximateGreedyCoresetSampler(percentage, seed=seed,
+                                           select_batch=select_batch)
 
 
 def _build_patchcore(backbone_name: str, layers, args) -> PatchCore:
@@ -126,8 +137,9 @@ def _build_patchcore(backbone_name: str, layers, args) -> PatchCore:
 
         mesh = get_mesh(args.dp)
     return PatchCore(
-        embed, featuresampler=_make_sampler(args.sampler_name,
-                                            args.percentage, args.seed),
+        embed, featuresampler=_make_sampler(
+            args.sampler_name, args.percentage, args.seed,
+            getattr(args, "coreset_select_batch", 1)),
         anomaly_score_num_nn=args.anomaly_scorer_num_nn,
         nn_method=args.nn_method, mesh=mesh,
         target_size=(args.imagesize, args.imagesize),

@@ -53,7 +53,14 @@ class PatchCore:
         self.batch_size = batch_size
         self.config = config or {}
 
-    def _embed_all(self, images: np.ndarray) -> np.ndarray:
+    def _embed_all(self, images: np.ndarray, device: bool = False):
+        """Batched embed.  ``device=True`` keeps the [N, P, D] output as a
+        device array — fit/predict chain it straight into the sampler /
+        kNN search, avoiding a full host round trip of the feature matrix
+        (~266 MB for an 83-image MVTec category; ~6 s to re-upload over
+        the 45 MB/s tunnel)."""
+        import jax.numpy as jnp
+
         chunks = []
         bs = self.batch_size
         n = images.shape[0]
@@ -62,15 +69,24 @@ class PatchCore:
             images = np.concatenate(
                 [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
         for i in range(0, images.shape[0], bs):
-            chunks.append(np.asarray(self.embed_fn(images[i:i + bs])))
-        return np.concatenate(chunks)[:n]
+            z = self.embed_fn(images[i:i + bs])
+            chunks.append(z if device else np.asarray(z))
+        xp = jnp if device else np
+        return xp.concatenate(chunks)[:n]
+
+    @property
+    def _device_flow(self) -> bool:
+        """Exact scorer consumes device arrays end-to-end; the IVFPQ/
+        IVFFlat scorers quantize on the host and want numpy."""
+        return isinstance(self.anomaly_scorer, NearestNeighbourScorer)
 
     def fit(self, training_images: np.ndarray) -> None:
         """_fill_memory_bank (patchcore.py:156-177): embed -> coreset -> index."""
-        z = self._embed_all(training_images)  # [N, P, D]
+        dev = self._device_flow
+        z = self._embed_all(training_images, device=dev)  # [N, P, D]
         bank = z.reshape(-1, z.shape[-1])
-        bank = np.asarray(self.featuresampler.run(bank))
-        self.anomaly_scorer.fit([bank])
+        bank = self.featuresampler.run(bank)
+        self.anomaly_scorer.fit([bank if dev else np.asarray(bank)])
 
     def predict(self, images: np.ndarray,
                 grid: tuple[int, int] | None = None
@@ -82,7 +98,7 @@ class PatchCore:
         (the reference threads (nH, nW) from patchify); defaults to a
         square grid inferred from P, with a clear error otherwise.
         """
-        z = self._embed_all(images)  # [B, P, D]
+        z = self._embed_all(images, device=self._device_flow)  # [B, P, D]
         b, p, d = z.shape
         patch_scores, _, _ = self.anomaly_scorer.predict([z.reshape(-1, d)])
         patch_scores = patch_scores.reshape(b, p)

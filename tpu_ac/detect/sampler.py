@@ -69,23 +69,68 @@ def _greedy_select(features: jnp.ndarray, init_anchor: jnp.ndarray,
     return idxs
 
 
+def _greedy_select_batched(features: jnp.ndarray, init_anchor: jnp.ndarray,
+                           n_select: int, k: int) -> jnp.ndarray:
+    """Batched farthest-point selection: ``k`` picks per loop iteration.
+
+    Each iteration takes the top-k of the running min-distance vector in
+    one shot and folds their distances in via ONE [N, d] x [d, k] MXU
+    matmul (the norm identity), so the bank is streamed from HBM
+    n_select/k times instead of n_select times — measured 21.4 s -> ~3 s
+    at the MVTec-scale 172,480-row bank (PERF.md "Detection stack").
+
+    Approximation: the k picks of one iteration are not conditioned on
+    each other (classic batched FPS), so nearby points can be co-selected
+    where exact greedy would have spaced them; k=1 reduces exactly to
+    ``_greedy_select``.  Opt-in via ``select_batch=k`` on the samplers.
+    """
+    sq_norms = jnp.sum(jnp.square(features), axis=-1)  # [N], reused
+    n_iters = -(-n_select // k)
+
+    def body(i, carry):
+        anchor, idxs = carry
+        _, sel = jax.lax.top_k(anchor, k)                       # [k]
+        idxs = jax.lax.dynamic_update_slice(
+            idxs, sel.astype(jnp.int32), (i * k,))
+        sel_f = features[sel]                                   # [k, d]
+        d2 = (sq_norms[:, None] + jnp.sum(jnp.square(sel_f), axis=-1)[None]
+              - 2.0 * features @ sel_f.T)                       # [N, k]
+        d = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
+        return jnp.minimum(anchor, d), idxs
+
+    idxs0 = jnp.zeros((n_iters * k,), jnp.int32)
+    _, idxs = jax.lax.fori_loop(0, n_iters, body, (init_anchor, idxs0))
+    return idxs[:n_select]
+
+
 class GreedyCoresetSampler:
     """Exact greedy coreset (sampler.py:39-115): anchor initialised from the
     row norms of the full N x N distance matrix.  O(N^2) memory — use the
     approximate variant for large banks."""
 
     def __init__(self, percentage: float,
-                 dimension_to_project_features_to: int = 128, seed: int = 0):
+                 dimension_to_project_features_to: int = 128, seed: int = 0,
+                 select_batch: int = 1):
         if not 0 < percentage < 1:
             raise ValueError("Percentage value not in (0, 1).")
         self.percentage = percentage
         self.proj_dim = dimension_to_project_features_to
         self.seed = seed
+        if select_batch < 1:
+            raise ValueError("select_batch must be >= 1")
+        self.select_batch = select_batch
+
+    def _select(self, reduced: jnp.ndarray, anchor: jnp.ndarray,
+                n_select: int) -> jnp.ndarray:
+        if self.select_batch == 1:
+            return _greedy_select(reduced, anchor, n_select)
+        return _greedy_select_batched(reduced, anchor, n_select,
+                                      self.select_batch)
 
     def _indices(self, reduced: jnp.ndarray, n_select: int) -> jnp.ndarray:
         dmat = cdist(reduced, reduced)
         anchor = jnp.linalg.norm(dmat, axis=1)
-        return _greedy_select(reduced, anchor, n_select)
+        return self._select(reduced, anchor, n_select)
 
     def run(self, features):
         was_numpy = isinstance(features, np.ndarray)
@@ -104,8 +149,10 @@ class ApproximateGreedyCoresetSampler(GreedyCoresetSampler):
 
     def __init__(self, percentage: float,
                  number_of_starting_points: int = 10,
-                 dimension_to_project_features_to: int = 128, seed: int = 0):
-        super().__init__(percentage, dimension_to_project_features_to, seed)
+                 dimension_to_project_features_to: int = 128, seed: int = 0,
+                 select_batch: int = 1):
+        super().__init__(percentage, dimension_to_project_features_to, seed,
+                         select_batch=select_batch)
         self.number_of_starting_points = number_of_starting_points
 
     def _indices(self, reduced: jnp.ndarray, n_select: int) -> jnp.ndarray:
@@ -115,4 +162,4 @@ class ApproximateGreedyCoresetSampler(GreedyCoresetSampler):
             n, n_start, replace=False)
         d0 = jnp.sqrt(pairwise_sq_dists(reduced, reduced[jnp.asarray(start)]))
         anchor = jnp.mean(d0, axis=-1)
-        return _greedy_select(reduced, anchor, n_select)
+        return self._select(reduced, anchor, n_select)

@@ -26,34 +26,47 @@ class NearestNeighbourScorer:
         capability the reference's single-GPU faiss scorer lacks."""
         self.n_nearest_neighbours = n_nearest_neighbours
         self.mesh = mesh
-        self.detection_features: np.ndarray | None = None
+        self.detection_features = None  # np.ndarray or jax.Array
+        self._device_bank = None        # upload-once cache for predict
 
-    def fit(self, detection_features: list[np.ndarray]) -> None:
+    def fit(self, detection_features: list) -> None:
         """Store the memory bank (concat over feature groups,
-        common.py:316-330)."""
-        self.detection_features = np.concatenate(
-            [np.asarray(f).reshape(len(f), -1) for f in detection_features],
-            axis=1)
+        common.py:316-330).  Accepts numpy OR device arrays — a device
+        bank (e.g. straight from the embed, PatchCore.fit) never leaves
+        the chip; a host bank uploads once, at the first predict."""
+        feats = [f.reshape(len(f), -1) for f in detection_features]
+        if len(feats) == 1:
+            self.detection_features = feats[0]
+        elif any(isinstance(f, jnp.ndarray) and not isinstance(f, np.ndarray)
+                 for f in feats):
+            self.detection_features = jnp.concatenate(
+                [jnp.asarray(f) for f in feats], axis=1)
+        else:
+            self.detection_features = np.concatenate(
+                [np.asarray(f) for f in feats], axis=1)
+        self._device_bank = None
 
-    def predict(self, query_features: list[np.ndarray]
+    def predict(self, query_features: list
                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(anomaly_scores, sq_distances, nn_indices) (common.py:332-355).
 
         anomaly_scores = mean over the k nearest squared distances, exactly
-        what FAISS search + np.mean produced in the reference.
+        what FAISS search + np.mean produced in the reference.  Query
+        groups may be device arrays (PatchCore.predict keeps the embed
+        output on-chip — re-uploading a full MVTec query matrix costs
+        ~6 s on the 45 MB/s tunnel); only the [M, k] results come back.
         """
         if self.detection_features is None:
             raise ValueError("Scorer is not fitted.")
-        q = np.concatenate(
-            [np.asarray(f).reshape(len(f), -1) for f in query_features],
-            axis=1)
+        qs = [jnp.asarray(f).reshape(len(f), -1) for f in query_features]
+        q = qs[0] if len(qs) == 1 else jnp.concatenate(qs, axis=1)
+        if self._device_bank is None:
+            self._device_bank = jnp.asarray(self.detection_features)
         if self.mesh is not None:
-            d2, idx = knn_sharded(jnp.asarray(q),
-                                  jnp.asarray(self.detection_features),
+            d2, idx = knn_sharded(q, self._device_bank,
                                   self.n_nearest_neighbours, self.mesh)
         else:
-            d2, idx = knn(jnp.asarray(q),
-                          jnp.asarray(self.detection_features),
+            d2, idx = knn(q, self._device_bank,
                           self.n_nearest_neighbours)
         d2, idx = np.asarray(d2), np.asarray(idx)
         return np.mean(d2, axis=-1), d2, idx
