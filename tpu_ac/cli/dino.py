@@ -88,6 +88,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", default=None, metavar="TRACE_DIR",
                    help="Capture a jax.profiler trace (with per-step "
                         "StepTraceAnnotations) into TRACE_DIR.")
+    p.add_argument("--use_fp16", default=True, type=_bool_flag,
+                   help="Mixed-precision training (main_dino.py:78): "
+                        "forward/backward in bfloat16 with f32 master "
+                        "params/optimizer/loss/center. bf16 keeps f32's "
+                        "exponent range, so the reference's GradScaler "
+                        "has no equivalent here. Disable like the "
+                        "reference suggests if training is unstable.")
     return p
 
 
@@ -127,7 +134,9 @@ def train_dino(args) -> dict:
     state = init_dino_state(args.seed, vit_cfg, cfg)
     schedules = make_schedules(
         cfg, args.batch_size_per_gpu * jax.process_count())
-    step_fn = jax.jit(make_dino_train_step(vit_cfg, cfg))
+    step_fn = jax.jit(make_dino_train_step(
+        vit_cfg, cfg,
+        compute_dtype=jnp.bfloat16 if args.use_fp16 else None))
     aug = DINOAugmentation(
         global_crops_scale=tuple(args.global_crops_scale),
         local_crops_scale=tuple(args.local_crops_scale),
