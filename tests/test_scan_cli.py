@@ -38,6 +38,32 @@ class TestScanCLIStages:
         assert os.path.isdir(os.path.join(out, "scan", "model-00000000"))
         assert os.path.isdir(os.path.join(out, "selflabel", "model-00000000"))
 
+    def test_full_pipeline_train_dp(self, tmp_path):
+        """train_dp: N — every stage's train step sharded over the dp mesh
+        (the reference's torch.nn.DataParallel around the SCAN models,
+        scan.py:48 / selflabel.py:45 / simclr.py:44)."""
+        from tpu_ac.cli.scan import main
+
+        env = tmp_path / "env.yml"
+        env.write_text(f"root_dir: {tmp_path}/out\n")
+        exp = tmp_path / "exp.yml"
+        exp.write_text(
+            "train_db_name: synthetic\n"
+            "num_classes: 2\n"
+            "synthetic_per_class: 8\n"
+            "image_size: 32\n"
+            "num_heads: 2\n"
+            "num_neighbors: 3\n"
+            "batch_size: 8\n"
+            "epochs: 1\n"
+            "feature_dim: 16\n"
+            "lr: 0.05\n"
+            "train_dp: 4\n")
+        for stage in ("simclr", "scan", "selflabel"):
+            main([stage, "--config_env", str(env), "--config_exp", str(exp)])
+        out = os.path.join(str(tmp_path), "out", "synthetic")
+        assert os.path.isdir(os.path.join(out, "selflabel", "model-00000000"))
+
 
 @pytest.fixture(scope="module")
 def synthetic_imagenet(tmp_path_factory):
