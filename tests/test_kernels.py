@@ -65,6 +65,37 @@ class TestMinDistsKernel:
         np.testing.assert_allclose(got[0], 0.0, atol=0.06)
 
 
+class TestSymmetricMode:
+    """symmetric=True (unsupervised alpha): upper-triangle tiles emit both
+    row- and col-mins; the stitched result must match the all-pairs sweep."""
+
+    @pytest.mark.parametrize("precision", ["f32", "bf16c", "bf16"])
+    @pytest.mark.parametrize("n,p,ti", [
+        (6, 24, 2),      # even blocks
+        (5, 20, 2),      # n not divisible by ti (padded query images)
+        (7, 19, 4),      # p not divisible by 16 (col-min needs the p mask)
+        (4, 24, 1),      # per-image blocks
+    ])
+    def test_matches_all_pairs(self, rng, precision, n, p, ti):
+        Z = jnp.asarray(rng.standard_normal((n, p, 96)).astype(np.float32))
+        want = np.asarray(min_dists_all_pairs(Z, Z, d_tile=96, ti=ti,
+                                              precision=precision))
+        got = np.asarray(min_dists_all_pairs(Z, Z, d_tile=96, ti=ti,
+                                             precision=precision,
+                                             symmetric=True))
+        assert got.shape == (n, n, p)
+        # identical products in the identical contraction order; only the
+        # a2/b2 rank-1 additions swap between the two triangles (~1 ulp),
+        # which can flip the argmin on exact ties — compare values only
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_shape_mismatch_raises(self, rng):
+        Z = jnp.asarray(rng.standard_normal((4, 8, 32)).astype(np.float32))
+        bank = jnp.asarray(rng.standard_normal((3, 8, 32)).astype(np.float32))
+        with pytest.raises(ValueError, match="symmetric"):
+            min_dists_all_pairs(Z, bank, symmetric=True)
+
+
 class TestPrecisionModes:
     """bf16c (compensated hi/lo split) and bf16 vs the f32 kernel."""
 

@@ -94,7 +94,11 @@ def weight_distance_unsupervised(Z: jnp.ndarray, impl: str = "auto",
     if _use_pallas(impl):
         from tpu_ac.kernels.distances import min_dists_all_pairs
 
-        mins = min_dists_all_pairs(Z, Z, precision=precision)  # [N, N, P]
+        # symmetric: the (j, i) tile is the (i, j) tile transposed, so the
+        # kernel computes only the upper triangle and emits both row- and
+        # col-mins — ~2x less MXU work (the dominant alpha cost at large N)
+        mins = min_dists_all_pairs(Z, Z, precision=precision,
+                                   symmetric=True)  # [N, N, P]
         if valid_col is not None:
             mins = jnp.where(valid_col[None, :, None], mins, 0.0)
         # clamp defends direct callers against 0/0 NaN at nv=1 (the
