@@ -1,6 +1,7 @@
 """Sharded alpha computation on the 8-virtual-device CPU mesh."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,47 @@ class TestShardedAlpha:
         # carries a ~|z|*2^-9 floor the XLA oracle cancels away, diluted
         # by 1/(n-1) in the mean (see kernels/distances.py)
         np.testing.assert_allclose(w, want, rtol=1e-3, atol=5e-4)
+
+    @pytest.mark.parametrize("n,dp", [
+        (10, 8),   # L=2, n_pad=16 (even: exercises the k == H tie-break
+                   # AND the padded-row masking)
+        (8, 8),    # L=1 (window width == H)
+        (13, 5),   # L=3, n_pad=15 ODD (no tie-break branch)
+        (6, 2),    # dp=2: window spans n_pad-1 columns
+    ])
+    def test_triangle_scheme_matches_single_device(self, rng, n, dp):
+        """The balanced circulant-window sweep (default) == the XLA oracle.
+
+        Also strictly CLOSER to the oracle than the rect sweep: the
+        triangle scheme never computes self-pairs, so the compensated
+        kernel's self-distance floor (~|z|*2^-9) never enters the mean.
+        """
+        Z = rng.standard_normal((n, 16, 64)).astype(np.float32)
+        mesh = get_mesh(dp)
+        z_sh, nv = shard_batch(mesh, Z)
+        got = np.asarray(sharded_weight_distance_unsupervised(
+            mesh, z_sh, n_valid=nv, scheme="triangle"))[:n]
+        want = np.asarray(weight_distance_unsupervised(jnp.asarray(Z),
+                                                       impl="xla"))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    def test_triangle_scheme_bf16(self, rng):
+        Z = rng.standard_normal((10, 16, 64)).astype(np.float32)
+        mesh = get_mesh(8)
+        z_sh, nv = shard_batch(mesh, Z)
+        tri = np.asarray(sharded_weight_distance_unsupervised(
+            mesh, z_sh, n_valid=nv, precision="bf16"))[:nv]
+        rect = np.asarray(sharded_weight_distance_unsupervised(
+            mesh, z_sh, n_valid=nv, precision="bf16", scheme="rect"))[:nv]
+        np.testing.assert_allclose(tri, rect, rtol=3e-2, atol=3e-2)
+
+    def test_bad_scheme_raises(self, rng):
+        Z = rng.standard_normal((4, 8, 32)).astype(np.float32)
+        mesh = get_mesh(2)
+        z_sh, nv = shard_batch(mesh, Z)
+        with pytest.raises(ValueError, match="scheme"):
+            sharded_weight_distance_unsupervised(mesh, z_sh, n_valid=nv,
+                                                 scheme="diag")
 
     def test_supervised_matches_single_device(self, rng):
         Z = rng.standard_normal((9, 16, 64)).astype(np.float32)

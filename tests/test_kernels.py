@@ -96,6 +96,55 @@ class TestSymmetricMode:
             min_dists_all_pairs(Z, bank, symmetric=True)
 
 
+class TestWindowMode:
+    """min_dists_window (the triangle-SHARDED sweep): a device owning
+    contiguous rows a = off + r sweeps circulant columns b = (off+1+w) % N;
+    tile (r, w) is active iff r <= w < r + H and must emit both mins[a, b]
+    (row-min) and mins[b, a] (col-min) matching the all-pairs sweep."""
+
+    @pytest.mark.parametrize("precision", ["f32", "bf16"])
+    @pytest.mark.parametrize("n,off,n_local,ti", [
+        (8, 2, 2, 2),    # interior device, even blocks
+        (8, 6, 2, 2),    # window wraps around the bank end
+        (7, 0, 3, 2),    # odd N, n_local not divisible by ti
+        (8, 3, 1, 1),    # single-row device
+    ])
+    def test_active_tiles_match_all_pairs(self, rng, precision, n, off,
+                                          n_local, ti):
+        from tpu_ac.kernels.distances import min_dists_window
+
+        p = 20
+        Z = jnp.asarray(rng.standard_normal((n, p, 96)).astype(np.float32))
+        h = n // 2
+        w_win = n_local - 1 + h
+        idx = (off + 1 + np.arange(w_win)) % n
+        bank_w = Z[jnp.asarray(idx)]
+        row, col = min_dists_window(Z[off:off + n_local], bank_w, window=h,
+                                    d_tile=96, precision=precision, ti=ti)
+        assert row.shape == (n_local, w_win, p)
+        assert col.shape == (w_win, n_local, p)
+        want = np.asarray(min_dists_all_pairs(Z, Z, d_tile=96,
+                                              precision=precision))
+        for r in range(n_local):
+            for w in range(w_win):
+                if not (r <= w < r + h):
+                    continue  # inactive tile: contents undefined
+                a, b = off + r, int(idx[w])
+                np.testing.assert_allclose(
+                    np.asarray(row[r, w]), want[a, b], rtol=1e-5, atol=1e-5,
+                    err_msg=f"row-min pair ({a},{b})")
+                np.testing.assert_allclose(
+                    np.asarray(col[w, r]), want[b, a], rtol=1e-5, atol=1e-5,
+                    err_msg=f"col-min pair ({b},{a})")
+
+    def test_bad_window_raises(self, rng):
+        from tpu_ac.kernels.distances import min_dists_window
+
+        Z = jnp.asarray(rng.standard_normal((2, 8, 32)).astype(np.float32))
+        with pytest.raises(ValueError, match="window"):
+            min_dists_window(Z, Z, window=0)
+
+
 class TestPrecisionModes:
     """bf16c (compensated hi/lo split) and bf16 vs the f32 kernel."""
 

@@ -14,6 +14,7 @@ from tpu_ac.distributed.mesh import (
     replicate,
     sharded_weight_distance_unsupervised,
     sharded_weight_distance_supervised,
+    triangle_weights_local,
     multihost_init,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "replicate",
     "sharded_weight_distance_unsupervised",
     "sharded_weight_distance_supervised",
+    "triangle_weights_local",
     "multihost_init",
 ]

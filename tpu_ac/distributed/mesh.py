@@ -84,22 +84,94 @@ def _per_image_weights(z_local: jnp.ndarray, bank: jnp.ndarray,
     return jnp.min(mins, axis=1)
 
 
+def triangle_weights_local(z_local: jnp.ndarray, axis_name: str, n_valid,
+                           precision: str = "f32") -> jnp.ndarray:
+    """Inside-shard_map body: the triangle-aware unsupervised weight sweep.
+
+    The unsupervised distance matrix is symmetric at the TILE level
+    (mins[a, b] and mins[b, a] are the row- and col-mins of the same
+    [P, Q] tile), so the rectangular local-rows x full-bank sweep does 2x
+    the needed MXU work.  This body instead has each device compute a
+    CIRCULANT WINDOW of the gathered bank: device d owns contiguous global
+    rows a = d*L + r and sweeps columns b = (d*L + 1 + w) mod N_pad for
+    w < L - 1 + H, H = N_pad // 2, with the kernel predicated on pair
+    distance k = w - r + 1 in [1, H] — exactly N_pad^2/(2*dp) active tiles
+    per device (perfectly balanced; every unordered pair covered once, the
+    k == H pair of an even N_pad de-duplicated by the a < b tie-break).
+    Each tile's row-min contributes to W[a] and col-min to W[b]; the
+    partial sums meet in ONE [N_pad, P] f32 psum (~N*P*4 bytes of ICI
+    traffic — at MVTec scale ~0.6 MB vs the ~2x compute saved).
+
+    ``n_valid`` may be a Python int or a traced scalar (the AOT sharded
+    export keeps it an argument).  Returns this device's W rows [L, P].
+    """
+    from tpu_ac.kernels.distances import min_dists_window
+
+    n_local, p, _ = z_local.shape
+    bank = jax.lax.all_gather(z_local, axis_name, axis=0, tiled=True)
+    n_pad = bank.shape[0]
+    h = n_pad // 2
+    w_win = n_local - 1 + h
+    d = jax.lax.axis_index(axis_name)
+    start = d * n_local + 1
+    bank_w = jnp.roll(bank, -start, axis=0)[:w_win]
+
+    row_mins, col_mins = min_dists_window(z_local, bank_w, window=h,
+                                          precision=precision)
+    r = jnp.arange(n_local)[:, None]
+    w = jnp.arange(w_win)[None, :]
+    k = w - r + 1  # pair distance (b - a) mod n_pad
+    a_glob = d * n_local + jnp.arange(n_local)
+    b_glob = (start + jnp.arange(w_win)) % n_pad
+    ok = (k >= 1) & (k <= h)
+    if n_pad % 2 == 0:
+        # the k == H pair is swept from BOTH endpoints; keep the a < b copy
+        ok &= (k < h) | (a_glob[:, None] < b_glob[None, :])
+    ok &= (a_glob[:, None] < n_valid) & (b_glob[None, :] < n_valid)
+
+    row_part = jnp.sum(jnp.where(ok[:, :, None], row_mins, 0.0), axis=1)
+    col_part = jnp.sum(jnp.where(ok.T[:, :, None], col_mins, 0.0), axis=1)
+    partial = jnp.zeros((n_pad, p), jnp.float32)
+    partial = jax.lax.dynamic_update_slice(partial, row_part,
+                                           (d * n_local, 0))
+    partial = partial + jnp.roll(
+        jnp.pad(col_part, ((0, n_pad - w_win), (0, 0))), start, axis=0)
+    total = jax.lax.psum(partial, axis_name)
+    wdist = total / jnp.maximum(n_valid - 1, 1)
+    return jax.lax.dynamic_slice_in_dim(wdist, d * n_local, n_local, axis=0)
+
+
 def sharded_weight_distance_unsupervised(mesh: Mesh, Z_sharded: jnp.ndarray,
                                          n_valid: int,
                                          axis_name: str = "dp",
-                                         precision: str = "f32") -> jnp.ndarray:
+                                         precision: str = "f32",
+                                         scheme: str = "triangle"
+                                         ) -> jnp.ndarray:
     """Weight_Distance_Unsupervised with the image set sharded over dp.
 
     Z_sharded: [N_pad, P, D], leading axis sharded; ``n_valid`` real images
     (zero-padding rows beyond it are masked out of the bank sums, and their
     own output rows are garbage the caller slices off).
     Returns W [N_pad, P], sharded like the input.
+
+    ``scheme``: "triangle" (default) exploits the tile-level symmetry of
+    the all-pairs sweep — each device computes a balanced circulant window
+    of ~half the tiles and the partials meet in one small [N, P] psum
+    (see :func:`triangle_weights_local`); "rect" is the plain local-rows x
+    full-bank sweep (2x the MXU work, no output collective).
     """
+    if scheme not in ("triangle", "rect"):
+        raise ValueError(f"scheme {scheme!r}; want 'triangle' or 'rect'")
+    if scheme == "triangle" and mesh.shape[axis_name] == 1:
+        scheme = "rect"  # window width would exceed the bank; rect is exact
 
     @functools.partial(shard_map, mesh=mesh,
                        in_specs=P(axis_name), out_specs=P(axis_name),
                        check_rep=False)
     def f(z_local):
+        if scheme == "triangle":
+            return triangle_weights_local(z_local, axis_name, n_valid,
+                                          precision)
         bank = jax.lax.all_gather(z_local, axis_name, axis=0, tiled=True)
         return _per_image_weights(z_local, bank, "mean", n_valid, precision)
 

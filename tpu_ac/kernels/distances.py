@@ -57,7 +57,8 @@ def _round_up(x: int, m: int) -> int:
 
 def _min_dists_kernel(*refs, n_k: int, d_tile: int, q_valid: int,
                       p_valid: int, compensated: bool, ti: int,
-                      symmetric: bool):
+                      symmetric: bool, window: int | None):
+    dual = symmetric or window is not None
     if compensated:
         (zi_hi_ref, zi_lo_ref, bank_hi_ref, bank_lo_ref,
          a2_ref, b2_ref) = refs[:6]
@@ -66,13 +67,22 @@ def _min_dists_kernel(*refs, n_k: int, d_tile: int, q_valid: int,
         zi_hi_ref, bank_hi_ref, a2_ref, b2_ref = refs[:4]
         rest = refs[4:]
         zi_lo_ref = bank_lo_ref = None
-    if symmetric:
+    if dual:
         out_ref, out_col_ref, acc = rest
     else:
         (out_ref, acc), out_col_ref = rest, None
     i_blk = pl.program_id(0)
     j = pl.program_id(1)
     k = pl.program_id(2)
+
+    def active(t):
+        # symmetric: upper triangle (gi <= j).  window (the triangle-SHARDED
+        # sweep): additionally j < gi + window — the circulant column w of
+        # query row r covers pair distance k = w - r + 1 in [1, window]
+        gi = i_blk * ti + t
+        if window is None:
+            return gi <= j
+        return (gi <= j) & (j < gi + window)
 
     @pl.when(k == 0)
     def _():
@@ -100,14 +110,15 @@ def _min_dists_kernel(*refs, n_k: int, d_tile: int, q_valid: int,
             if compensated:
                 acc[t] += dot(zi_hi_ref[t, :, ks], bank_lo_ref[0])
                 acc[t] += dot(zi_lo_ref[t, :, ks], bank_hi_ref[0])
-        if symmetric:
+        if dual:
             # the (j, i) tile is the transpose of the (i, j) tile when the
-            # bank IS the query set, so only the upper triangle (gi <= j)
-            # computes; each tile emits BOTH mins[gi, j] (row-min) and
+            # bank IS the query set, so only the active tiles (upper
+            # triangle, further bounded by ``window`` in the sharded sweep)
+            # compute; each tile emits BOTH mins[gi, j] (row-min) and
             # mins[j, gi] (col-min) — half the MXU work of the all-pairs
             # sweep.  Skipped steps also re-fetch no bank block (their
-            # index map pins them to the first active j).
-            pl.when(i_blk * ti + t <= j)(_accumulate)
+            # index map pins them to the nearest active j).
+            pl.when(active(t))(_accumulate)
         else:
             _accumulate()
 
@@ -124,32 +135,33 @@ def _min_dists_kernel(*refs, n_k: int, d_tile: int, q_valid: int,
                     d2q = jnp.where(col < q_valid, d2, jnp.inf)
                 out_ref[t, 0, 0] = jnp.sqrt(
                     jnp.maximum(jnp.min(d2q, axis=1), 0.0))
-                if symmetric:  # mins[j, gi, q] = col-min of the same tile
+                if dual:  # mins[j, gi, q] = col-min of the same tile
                     d2p = d2
                     if acc.shape[1] != p_valid:  # mask padded query patches
                         row = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
                         d2p = jnp.where(row < p_valid, d2, jnp.inf)
                     out_col_ref[0, t, 0] = jnp.sqrt(
                         jnp.maximum(jnp.min(d2p, axis=0), 0.0))
-            if symmetric:
-                pl.when(i_blk * ti + t <= j)(_finalize)
+            if dual:
+                pl.when(active(t))(_finalize)
             else:
                 _finalize()
 
 
 @functools.partial(
     jax.jit, static_argnames=("d_tile", "q_valid", "p_valid", "compensated",
-                              "ti", "symmetric", "interpret"))
+                              "ti", "symmetric", "window", "interpret"))
 def _min_dists_padded(zi_parts, bank_parts, a2, b2, *, d_tile: int,
                       q_valid: int, p_valid: int, compensated: bool, ti: int,
-                      symmetric: bool, interpret: bool):
+                      symmetric: bool, window: int | None, interpret: bool):
     n_i, p_pad, d_pad = zi_parts[0].shape
     n_j, _, q_pad = bank_parts[0].shape  # bank pre-transposed to [N, D, Q]
     n_k = d_pad // d_tile
+    dual = symmetric or window is not None
     kernel = functools.partial(_min_dists_kernel, n_k=n_k, d_tile=d_tile,
                                q_valid=q_valid, p_valid=p_valid,
                                compensated=compensated, ti=ti,
-                               symmetric=symmetric)
+                               symmetric=symmetric, window=window)
 
     def zi_spec():
         # full [TI, P, D] rows resident per i-block: fetched once per
@@ -158,11 +170,16 @@ def _min_dists_padded(zi_parts, bank_parts, a2, b2, *, d_tile: int,
                             memory_space=pltpu.VMEM)
 
     def bank_idx(i, j, k):
-        # symmetric: steps with j < i*ti never compute (lower triangle), so
-        # pin their bank block to a constant (j=i*ti slice k=0) — Pallas
+        # symmetric/window: steps outside the active band never compute, so
+        # pin their bank block to the nearest active j (slice k=0) — Pallas
         # skips the fetch when the block index repeats, so a run of skipped
         # steps costs ONE block fetch instead of a full bank image each,
         # halving the bank HBM stream of the sweep
+        if window is not None:
+            lo = jnp.minimum(i * ti, n_j - 1)
+            hi = jnp.minimum(i * ti + ti - 1 + window - 1, n_j - 1)
+            jj = jnp.clip(j, lo, hi)
+            return (jj, jnp.where(jj == j, k, 0), 0)
         if not symmetric:
             return (j, k, 0)
         skip = j < i * ti
@@ -190,7 +207,7 @@ def _min_dists_padded(zi_parts, bank_parts, a2, b2, *, d_tile: int,
     out_shape = jax.ShapeDtypeStruct((n_i, n_j, 1, p_pad), jnp.float32)
     out_spec = pl.BlockSpec((ti, 1, 1, p_pad), lambda i, j, k: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
-    if symmetric:
+    if dual:
         # second output: mins[j, gi, q] col-mins (valid where first index
         # is > second; the caller combines the two triangles)
         out_shape = (out_shape,
@@ -212,8 +229,12 @@ def _min_dists_padded(zi_parts, bank_parts, a2, b2, *, d_tile: int,
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(*zi_parts, *bank_parts, a2, b2)
-    if not symmetric:
+    if not dual:
         return out[:, :, 0]
+    if window is not None:
+        # triangle-sharded sweep: return both raw outputs (inactive tiles
+        # are UNDEFINED — the mesh caller masks by the pair predicate)
+        return out[0][:, :, 0], out[1][:, :, 0]
     row, col = out[0][:, :, 0], out[1][:, :, 0]  # [I,J,P_pad], [J,I,Q_pad]
     # mins[a, b] came from the (a, b) tile's row-min when a <= b and from
     # the (b, a) tile's col-min when a > b; stitch the triangles (same
@@ -231,6 +252,48 @@ def _split_hi_lo(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
+
+
+def _prep_operands(Z: jnp.ndarray, bank: jnp.ndarray, *, d_tile: int,
+                   precision: str, ti: int):
+    """Pad + precision-split + pre-transpose the kernel operands.
+
+    Returns (zi_parts, bank_parts, a2, b2) with Z padded to
+    ([I_pad(ti), P_pad(16), D_pad(d_tile)]) and bank pre-transposed to
+    [N, D_pad, Q_pad(128)] — P is the query-row (sublane) axis of every
+    block it appears in, so it only needs 16-alignment (bf16 sublane tile),
+    NOT 128; Q stays 128-aligned (the lane axis of the [P, Q] distance tile
+    and of the min reduction).
+    """
+    n_i, p, d = Z.shape
+    q = bank.shape[1]
+    p_pad = _round_up(p, 16)
+    q_pad = _round_up(q, 128)
+    d_pad = _round_up(d, d_tile)
+    i_pad = _round_up(n_i, ti)
+
+    z_p = jnp.pad(Z.astype(jnp.float32),
+                  ((0, i_pad - n_i), (0, p_pad - p), (0, d_pad - d)))
+    bank_p = jnp.pad(bank.astype(jnp.float32),
+                     ((0, 0), (0, q_pad - q), (0, d_pad - d)))
+
+    # bank operands transpose ONCE here to [N, D, Q] (a cheap one-shot XLA
+    # relayout) so the kernel's per-step dot needs no Mosaic transpose.
+    if precision in ("f32", "bf16c"):
+        zi_parts = _split_hi_lo(z_p)
+        bank_parts = tuple(jnp.swapaxes(x, 1, 2)
+                           for x in _split_hi_lo(bank_p))
+        a2 = jnp.sum(jnp.square(z_p), axis=-1)[:, None, :]
+        b2 = jnp.sum(jnp.square(bank_p), axis=-1)[:, None, :]
+    else:  # "bf16": norms from the rounded values keep d2 >= 0 exactly
+        z_hi = z_p.astype(jnp.bfloat16)
+        bank_hi = bank_p.astype(jnp.bfloat16)
+        zi_parts, bank_parts = (z_hi,), (jnp.swapaxes(bank_hi, 1, 2),)
+        a2 = jnp.sum(jnp.square(z_hi.astype(jnp.float32)),
+                     axis=-1)[:, None, :]
+        b2 = jnp.sum(jnp.square(bank_hi.astype(jnp.float32)),
+                     axis=-1)[:, None, :]
+    return zi_parts, bank_parts, a2, b2
 
 
 def min_dists_all_pairs(Z: jnp.ndarray, bank: jnp.ndarray,
@@ -269,46 +332,58 @@ def min_dists_all_pairs(Z: jnp.ndarray, bank: jnp.ndarray,
                          f"vs bank {bank.shape}")
     if ti is None:
         ti = 2  # measured best at the flagship shape for all precisions
-    n_i, p, d = Z.shape
-    n_j, q, _ = bank.shape
-    # P is the query-row (sublane) axis of every block it appears in, so it
-    # only needs 16-alignment (bf16 sublane tile), NOT 128: at the flagship
-    # P=784 this saves the 896/784 = 14% of FLOPs the old lane-aligned pad
-    # burned on dead rows.  Q stays 128-aligned (it is the lane axis of the
-    # [P, Q] distance tile and of the min reduction).
-    p_pad = _round_up(p, 16)
-    q_pad = _round_up(q, 128)
-    d_pad = _round_up(d, d_tile)
+    n_i, p, _ = Z.shape
+    q = bank.shape[1]
     ti = max(1, min(ti, n_i))
-    i_pad = _round_up(n_i, ti)
-
-    z_p = jnp.pad(Z.astype(jnp.float32),
-                  ((0, i_pad - n_i), (0, p_pad - p), (0, d_pad - d)))
-    bank_p = jnp.pad(bank.astype(jnp.float32),
-                     ((0, 0), (0, q_pad - q), (0, d_pad - d)))
-
-    # bank operands transpose ONCE here to [N, D, Q] (a cheap one-shot XLA
-    # relayout) so the kernel's per-step dot needs no Mosaic transpose.
-    if precision in ("f32", "bf16c"):
-        zi_parts = _split_hi_lo(z_p)
-        bank_parts = tuple(jnp.swapaxes(x, 1, 2)
-                           for x in _split_hi_lo(bank_p))
-        a2 = jnp.sum(jnp.square(z_p), axis=-1)[:, None, :]
-        b2 = jnp.sum(jnp.square(bank_p), axis=-1)[:, None, :]
-    else:  # "bf16": norms from the rounded values keep d2 >= 0 exactly
-        z_hi = z_p.astype(jnp.bfloat16)
-        bank_hi = bank_p.astype(jnp.bfloat16)
-        zi_parts, bank_parts = (z_hi,), (jnp.swapaxes(bank_hi, 1, 2),)
-        a2 = jnp.sum(jnp.square(z_hi.astype(jnp.float32)),
-                     axis=-1)[:, None, :]
-        b2 = jnp.sum(jnp.square(bank_hi.astype(jnp.float32)),
-                     axis=-1)[:, None, :]
-
-    out = _min_dists_padded(zi_parts, bank_parts, a2, b2, d_tile=d_tile,
+    parts = _prep_operands(Z, bank, d_tile=d_tile, precision=precision,
+                           ti=ti)
+    out = _min_dists_padded(*parts, d_tile=d_tile,
                             q_valid=q, p_valid=p,
                             compensated=(precision != "bf16"),
-                            ti=ti, symmetric=symmetric, interpret=interpret)
+                            ti=ti, symmetric=symmetric, window=None,
+                            interpret=interpret)
     return out[:n_i, :, :p]
+
+
+def min_dists_window(Z: jnp.ndarray, bank_window: jnp.ndarray, *,
+                     window: int, d_tile: int = 1024, precision: str = "f32",
+                     ti: int | None = None,
+                     interpret: bool | None = None
+                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Circulant-window sweep for the TRIANGLE-SHARDED unsupervised alpha.
+
+    The caller owns globally-contiguous query rows a = offset + r and a
+    window of the (symmetric) bank whose column w holds global image
+    b = (offset + 1 + w) mod N.  Tile (r, w) computes iff
+    ``r <= w < r + window`` — i.e. pair distance k = w - r + 1 in
+    [1, window] — and emits BOTH mins[a, b] (row-min) and mins[b, a]
+    (col-min), so a dp-mesh device does N^2/(2 dp) tile sweeps instead of
+    the rectangular N^2/dp (see
+    ``tpu_ac.distributed.sharded_weight_distance_unsupervised``).
+
+    Returns ``(row_mins [I, W, P], col_mins [W, I, Q])`` f32.  Entries of
+    inactive tiles are UNDEFINED — the caller must mask by the pair
+    predicate before reducing.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if precision not in PRECISIONS:
+        raise ValueError(f"precision {precision!r}; want one of {PRECISIONS}")
+    if not 1 <= window:
+        raise ValueError(f"window must be >= 1, got {window}")
+    n_i, p, _ = Z.shape
+    q = bank_window.shape[1]
+    if ti is None:
+        ti = 2
+    ti = max(1, min(ti, n_i))
+    parts = _prep_operands(Z, bank_window, d_tile=d_tile,
+                           precision=precision, ti=ti)
+    row, col = _min_dists_padded(*parts, d_tile=d_tile,
+                                 q_valid=q, p_valid=p,
+                                 compensated=(precision != "bf16"),
+                                 ti=ti, symmetric=False, window=window,
+                                 interpret=interpret)
+    return row[:n_i, :, :p], col[:, :n_i, :q]
 
 
 def min_dists_to_sets(zi: jnp.ndarray, bank: jnp.ndarray,

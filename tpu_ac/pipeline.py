@@ -389,8 +389,10 @@ def compute_alpha_X(Z: jnp.ndarray, supervised: str, tau: float,
 
     With multiple local devices (``use_mesh`` defaults to device_count > 1)
     the O(N^2 P^2 D) weight computation shards the image set over a dp mesh
-    (tpu_ac.distributed): each device computes its rows against one tiled
-    all_gather of the bank over ICI.
+    (tpu_ac.distributed): each device all-gathers the bank once over ICI,
+    then (unsupervised) sweeps a balanced circulant window of ~half the
+    tiles — the triangle scheme, see ``triangle_weights_local`` — or
+    (supervised) computes its rows against the replicated train bank.
     """
     import jax
 

@@ -169,10 +169,16 @@ def _make_sharded_alpha_x(mesh, supervised: str, tau: float,
                            in_specs=(P("dp"), P()), out_specs=P("dp"),
                            check_rep=False)
         def _wdist(z_local, nv):
-            import jax as _jax
+            from tpu_ac.distributed.mesh import triangle_weights_local
 
-            bank = _jax.lax.all_gather(z_local, "dp", axis=0, tiled=True)
-            return _per_image_weights(z_local, bank, "mean", nv, precision)
+            if mesh.shape["dp"] == 1:  # triangle needs >= 2 shards
+                bank = jax.lax.all_gather(z_local, "dp", axis=0, tiled=True)
+                return _per_image_weights(z_local, bank, "mean", nv,
+                                          precision)
+            # triangle-aware sweep (half the rectangular MXU work; one
+            # [N, P] psum) — n_valid stays TRACED so one artifact serves
+            # every category size
+            return triangle_weights_local(z_local, "dp", nv, precision)
 
         def fn(z_sh, n_valid):
             w = _wdist(z_sh, n_valid)
