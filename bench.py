@@ -25,10 +25,14 @@ torchvision are unused on this path): ``AnomalyClusteringCore._embed``
 (patchcore.py:355-431) per image at batch_size=1 — exactly
 examples/main.py:211-217 — and ``Matrix_Alpha_Unsupervised``
 (utils.py:240-257) on a small image subset.  The reference's cost model is
-N * t_embed_per_image + N^2 * t_alpha_per_pair (serial loop + Python
-double loop), so we extrapolate the measured per-image / per-pair costs to
-N=32.  The measurement is cached in ~/.cache/tpu_ac/bench_baseline.json
-for at most 24 hours (it costs minutes of CPU), then re-measured.
+sum over the sweep's categories of
+N * t_embed_per_image + N * (N - 1) * t_alpha_per_pair (serial loop +
+Python double loop skipping j == i), extrapolating the measured per-image
+/ per-pair costs over the same category sizes the TPU sweep runs (the
+15-category MVTec distribution by default; 4 x N=32 under
+TPU_AC_BENCH_SWEEP=uniform32).  The measurement is cached in
+~/.cache/tpu_ac/bench_baseline.json for at most 24 hours (it costs
+minutes of CPU), then re-measured.
 
 Both sides run the same randomly initialized ViT-B/8 weights when no
 converted dino_vitbase8 checkpoint is present (zero-egress environment) —
@@ -52,7 +56,7 @@ N_IMAGES = 32
 # compute dispatches while big ones stall a whole category's upload
 # up front (override: TPU_AC_BENCH_BATCH)
 BATCH = int(os.environ.get("TPU_AC_BENCH_BATCH", "8"))
-SWEEP = 4  # categories per measured sweep (steady-state amortization)
+SWEEP = 4  # categories per uniform32 sweep (mvtec mode: all 15 sizes)
 IMG = 224
 BASELINE_CACHE = os.path.expanduser("~/.cache/tpu_ac/bench_baseline.json")
 

@@ -154,6 +154,24 @@ class TestScorer:
         b, _, _ = s2.predict([query])
         np.testing.assert_allclose(a, b)
 
+    def test_load_invalidates_device_bank_cache(self, rng, tmp_path):
+        """A scorer that already predicted (cached its uploaded bank) must
+        search the NEW bank after load(), not the stale cache."""
+        bank_a = rng.standard_normal((50, 8)).astype(np.float32)
+        bank_b = rng.standard_normal((40, 8)).astype(np.float32) + 5.0
+        query = rng.standard_normal((10, 8)).astype(np.float32)
+        other = NearestNeighbourScorer(1)
+        other.fit([bank_b])
+        other.save(str(tmp_path))
+        want, _, _ = other.predict([query])
+
+        s = NearestNeighbourScorer(1)
+        s.fit([bank_a])
+        s.predict([query])  # populates the device-bank cache with bank_a
+        s.load(str(tmp_path))
+        got, _, _ = s.predict([query])
+        np.testing.assert_allclose(got, want)
+
 
 class TestSegmentor:
     def test_shapes_and_smoothing(self, rng):

@@ -64,6 +64,43 @@ class TestScanCLIStages:
         out = os.path.join(str(tmp_path), "out", "synthetic")
         assert os.path.isdir(os.path.join(out, "selflabel", "model-00000000"))
 
+    def test_train_dp_ragged_batches(self, tmp_path):
+        """Dataset smaller than one batch with train_dp set: the fallback
+        whole-set batch must be trimmed to the dp multiple, not die in
+        pjit with a 'not divisible' error (torch DataParallel splits
+        ragged batches; GSPMD requires divisibility)."""
+        from tpu_ac.cli.scan import main
+
+        env = tmp_path / "env.yml"
+        env.write_text(f"root_dir: {tmp_path}/out\n")
+        exp = tmp_path / "exp.yml"
+        exp.write_text(
+            "train_db_name: synthetic\n"
+            "num_classes: 2\n"
+            "synthetic_per_class: 5\n"   # n=10: not a multiple of dp=4
+            "image_size: 32\n"
+            "num_neighbors: 3\n"
+            "batch_size: 64\n"           # > n: the whole-set fallback batch
+            "epochs: 1\n"
+            "feature_dim: 16\n"
+            "lr: 0.05\n"
+            "train_dp: 4\n")
+        main(["simclr", "--config_env", str(env), "--config_exp", str(exp)])
+
+    def test_epoch_batches_dp_trimming(self):
+        from tpu_ac.cli.scan import _epoch_batches
+
+        # small-dataset fallback trims to the dp multiple
+        (b,) = list(_epoch_batches(10, 100, seed=0, multiple_of=4))
+        assert len(b) == 8
+        # regular batches trim batch_size down to a multiple
+        bs = [len(b) for b in _epoch_batches(10, 7, seed=0, multiple_of=4)]
+        assert bs == [4, 4]
+        with pytest.raises(ValueError, match="train_dp"):
+            list(_epoch_batches(3, 100, seed=0, multiple_of=4))
+        with pytest.raises(ValueError, match="train_dp"):
+            list(_epoch_batches(100, 3, seed=0, multiple_of=4))
+
 
 @pytest.fixture(scope="module")
 def synthetic_imagenet(tmp_path_factory):

@@ -170,18 +170,22 @@ class TestKnnClassifier:
 
     def test_extract_features_mesh_matches_single(self, rng):
         """mesh path (the reference's DDP extract + all_gather into the
-        rank-0 matrix, eval_knn.py:118-139) == single-device features."""
+        rank-0 matrix, eval_knn.py:118-139) == single-device features.
+
+        Weights travel as the params= jit argument (the mesh path REQUIRES
+        it — a closed-over param tree would inline the model into the HLO,
+        which remote compile services reject)."""
         import jax.numpy as jnp
 
         from tpu_ac.distributed import get_mesh
         from tpu_ac.train.evals import extract_features
 
         imgs = rng.standard_normal((19, 6)).astype(np.float32)
-        w = jnp.asarray(rng.standard_normal((6, 3)).astype(np.float32))
-        fn = lambda x: jnp.tanh(x @ w)
-        single = extract_features(fn, imgs, batch_size=8)
+        w = rng.standard_normal((6, 3)).astype(np.float32)
+        fn = lambda p, x: jnp.tanh(x @ p["w"])
+        single = extract_features(fn, imgs, batch_size=8, params={"w": w})
         sharded = extract_features(fn, imgs, batch_size=8,
-                                   mesh=get_mesh(8))
+                                   mesh=get_mesh(8), params={"w": w})
         np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=2e-6)
 
     def test_extract_features_mesh_rejects_indivisible_batch(self, rng):
@@ -189,8 +193,19 @@ class TestKnnClassifier:
         from tpu_ac.train.evals import extract_features
 
         with pytest.raises(ValueError, match="divisible"):
+            extract_features(lambda p, x: x, np.zeros((8, 2), np.float32),
+                             batch_size=6, mesh=get_mesh(4),
+                             params={"w": np.zeros(2, np.float32)})
+
+    def test_extract_features_mesh_requires_params(self, rng):
+        """Closure-style embed_fn on the mesh path is the documented
+        weight-capture trap (CLAUDE.md) — must be rejected loudly."""
+        from tpu_ac.distributed import get_mesh
+        from tpu_ac.train.evals import extract_features
+
+        with pytest.raises(ValueError, match="params"):
             extract_features(lambda x: x, np.zeros((8, 2), np.float32),
-                             batch_size=6, mesh=get_mesh(4))
+                             batch_size=8, mesh=get_mesh(4))
 
 
 class TestLinearProbe:

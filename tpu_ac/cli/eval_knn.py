@@ -66,13 +66,15 @@ def main(argv=None) -> None:
             f = resnet_forward(p, x, cfg, taps=("layer4",))["layer4"]
             return f.mean(axis=(2, 3))
 
+    # the reference's distributed extraction: every rank embeds its
+    # subset, all_gather assembles the rank-0 feature matrix
+    # (dino-main/eval_knn.py:118-139).  extract_features(mesh=...) is the
+    # TPU-native form: GSPMD partitions the same embed over the dp mesh
+    # (params replicated as a jit ARGUMENT — never closed over: remote
+    # compiles reject inlined weights) and the replicated output lowers to
+    # one all_gather on ICI.
+    mesh = None
     if args.dp:
-        # the reference's distributed extraction: every rank embeds its
-        # subset, all_gather assembles the rank-0 feature matrix
-        # (dino-main/eval_knn.py:118-139).  Here GSPMD partitions the same
-        # embed over the dp mesh (params replicated as a jit ARGUMENT —
-        # never closed over: remote compiles reject inlined weights) and
-        # the replicated output lowers to one all_gather on ICI.
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from tpu_ac.distributed import get_mesh
@@ -82,22 +84,18 @@ def main(argv=None) -> None:
                              f"{args.batch_size_per_gpu} not divisible by "
                              f"--dp {args.dp}")
         mesh = get_mesh(args.dp)
-        rep = NamedSharding(mesh, P())
-        embed = jax.jit(raw_embed,
-                        in_shardings=(rep, NamedSharding(mesh, P("dp"))),
-                        out_shardings=rep)
-        device_params = jax.device_put(dict(params), rep)
+        device_params = jax.device_put(dict(params),
+                                       NamedSharding(mesh, P()))
     else:
-        embed = jax.jit(raw_embed)
         device_params = jax.device_put(dict(params))
     train_x, train_y, n_cls = _load_split(
         os.path.join(args.data_path, "train"), args.imagesize)
     val_x, val_y, _ = _load_split(
         os.path.join(args.data_path, "val"), args.imagesize)
-    train_f = extract_features(lambda x: embed(device_params, x), train_x,
-                               args.batch_size_per_gpu)
-    val_f = extract_features(lambda x: embed(device_params, x), val_x,
-                             args.batch_size_per_gpu)
+    train_f = extract_features(raw_embed, train_x, args.batch_size_per_gpu,
+                               mesh=mesh, params=device_params)
+    val_f = extract_features(raw_embed, val_x, args.batch_size_per_gpu,
+                             mesh=mesh, params=device_params)
     if args.dump_features:
         np.savez(args.dump_features, train=train_f, val=val_f,
                  train_labels=train_y, val_labels=val_y)

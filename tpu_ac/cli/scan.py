@@ -131,16 +131,38 @@ def _model_config(cfg) -> SCANModelConfig:
         n_heads=cfg.get("num_heads", 1))
 
 
-def _epoch_batches(n: int, batch_size: int, seed: int):
+def _epoch_batches(n: int, batch_size: int, seed: int,
+                   multiple_of: int = 1):
     """Shuffled drop-last batches; datasets smaller than one batch yield
-    the whole (shuffled) set as a single batch instead of zero steps."""
+    the whole (shuffled) set as a single batch instead of zero steps.
+
+    ``multiple_of`` (the ``train_dp`` mesh size): every yielded batch is
+    trimmed to a multiple so the dp-sharded leading axis always divides —
+    torch DataParallel splits ragged batches silently, but a GSPMD-sharded
+    step requires divisibility, and an unguarded ragged batch would die in
+    pjit with an opaque 'not divisible' error mid-training."""
     order = np.random.default_rng(seed).permutation(n)
     if n < batch_size:
-        yield order
+        m = len(order) // multiple_of * multiple_of
+        if m == 0:
+            raise ValueError(
+                f"dataset of {n} images cannot fill one {multiple_of}-way "
+                f"data-parallel batch (train_dp: {multiple_of})")
+        yield order[:m]
         return
-    end = n // batch_size * batch_size
-    for i in range(0, end, batch_size):
-        yield order[i:i + batch_size]
+    bs = batch_size // multiple_of * multiple_of
+    if bs == 0:
+        raise ValueError(
+            f"batch_size {batch_size} is smaller than the data-parallel "
+            f"width (train_dp: {multiple_of})")
+    end = n // bs * bs
+    for i in range(0, end, bs):
+        yield order[i:i + bs]
+
+
+def _train_dp(cfg) -> int:
+    """The ``train_dp`` mesh size as a batch-trim multiple (1 = off)."""
+    return int(cfg.get("train_dp") or 1)
 
 
 def run_simclr(cfg) -> None:
@@ -167,7 +189,8 @@ def run_simclr(cfg) -> None:
     bs = cfg.get("batch_size", 128)
     for epoch in range(start_epoch, cfg.get("epochs", 10)):
         losses = []
-        for idxs in _epoch_batches(len(ds), bs, epoch):
+        for idxs in _epoch_batches(len(ds), bs, epoch,
+                                   multiple_of=_train_dp(cfg)):
             xi = np.stack([aug(ds.get_pil(int(i))) for i in idxs])
             xj = np.stack([aug2(ds.get_pil(int(i))) for i in idxs])
             state, loss = step(state, jnp.asarray(xi), jnp.asarray(xj))
@@ -310,7 +333,8 @@ def run_scan(cfg) -> None:
         # scan_evaluate sums over the dataset) — a single final batch
         # could rank the wrong head
         head_losses = None
-        for idxs in _epoch_batches(len(ds), bs, epoch):
+        for idxs in _epoch_batches(len(ds), bs, epoch,
+                                   multiple_of=_train_dp(cfg)):
             nbr = neighbors[idxs, :][
                 np.arange(len(idxs)), rng.integers(0, neighbors.shape[1],
                                                    len(idxs))]
@@ -386,7 +410,8 @@ def run_selflabel(cfg) -> None:
     bs = cfg.get("batch_size", 128)
     for epoch in range(cfg.get("epochs", 5)):
         losses = []
-        for idxs in _epoch_batches(len(ds), bs, epoch):
+        for idxs in _epoch_batches(len(ds), bs, epoch,
+                                   multiple_of=_train_dp(cfg)):
             w = np.stack([weak(ds.get_pil(int(i))) for i in idxs])
             s = np.stack([strong(ds.get_pil(int(i))) for i in idxs])
             state, loss = step(state, jnp.asarray(w), jnp.asarray(s))

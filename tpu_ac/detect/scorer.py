@@ -85,3 +85,4 @@ class NearestNeighbourScorer:
         data = np.load(self._bank_file(load_folder, prepend))
         self.detection_features = data["bank"]
         self.n_nearest_neighbours = int(data["k"])
+        self._device_bank = None  # a fitted scorer's cache is now stale

@@ -30,7 +30,7 @@ from tpu_ac.ops.interpolate import interpolate_bilinear
 
 def extract_features(embed_fn: Callable, images: np.ndarray,
                      batch_size: int = 64, normalize: bool = True,
-                     mesh=None) -> np.ndarray:
+                     mesh=None, params=None) -> np.ndarray:
     """Batched feature extraction (eval_knn.py:96-139): one jitted program
     over padded fixed-size batches.
 
@@ -40,20 +40,40 @@ def extract_features(embed_fn: Callable, images: np.ndarray,
     embeds its subset, then ``all_gather`` assembles the rank-0 feature
     matrix, eval_knn.py:118-139): GSPMD partitions the embed and lowers
     the replicated output to one all_gather on ICI.  ``batch_size`` must
-    be divisible by the axis size.
+    be divisible by the axis size, and ``params`` is REQUIRED:
+    ``embed_fn(params, batch)`` is jitted here with the weights as a
+    replicated jit ARGUMENT — a closed-over param tree would inline the
+    model (hundreds of MB for a ViT-B) into the HLO, which remote compile
+    services reject and which defeats compile caching.  Passing ``params``
+    without ``mesh`` jits ``embed_fn`` the same way single-device;
+    without either, ``embed_fn(batch)`` is called as the caller built it.
     """
     fn = embed_fn
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+    if params is not None:
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-        if batch_size % mesh.devices.size:
-            raise ValueError(
-                f"batch_size {batch_size} not divisible by mesh size "
-                f"{mesh.devices.size}")
-        fn = jax.jit(
-            embed_fn,
-            in_shardings=NamedSharding(mesh, P(mesh.axis_names[0])),
-            out_shardings=NamedSharding(mesh, P()))
+            if batch_size % mesh.devices.size:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by mesh size "
+                    f"{mesh.devices.size}")
+            rep = NamedSharding(mesh, P())
+            jitted = jax.jit(
+                embed_fn,
+                in_shardings=(rep,
+                              NamedSharding(mesh, P(mesh.axis_names[0]))),
+                out_shardings=rep)
+            # no-op if the caller already placed them with this sharding
+            device_params = jax.device_put(params, rep)
+        else:
+            jitted = jax.jit(embed_fn)
+            device_params = jax.device_put(params)
+        fn = lambda x: jitted(device_params, x)  # noqa: E731
+    elif mesh is not None:
+        raise ValueError(
+            "extract_features(mesh=...) requires params= so the weights "
+            "travel as a jit argument (closing over a param tree inlines "
+            "the model into the HLO)")
     n = images.shape[0]
     pad = (-n) % batch_size
     if pad:
