@@ -118,6 +118,21 @@ class TestEvalLinearCLI:
         final_acc = float(lines[-1].split("val top-1")[1].split("%")[0])
         assert final_acc >= 75.0
 
+    def test_cli_dp_end_to_end(self, imagefolder_root, tiny_arch, capsys):
+        """--dp 4: sharded extraction AND a GSPMD data-parallel probe (the
+        reference DDP-wraps its LinearClassifier, eval_linear.py:62)."""
+        from tpu_ac.cli.eval_linear import main
+
+        main(["--arch", tiny_arch, "--data_path", imagefolder_root,
+              "--n_last_blocks", "2", "--epochs", "20", "--lr", "0.05",
+              "--batch_size_per_gpu", "4", "--imagesize", "32",
+              "--dp", "4"])
+        out = capsys.readouterr().out
+        lines = [l for l in out.splitlines() if "val top-1" in l]
+        assert lines, out
+        final_acc = float(lines[-1].split("val top-1")[1].split("%")[0])
+        assert final_acc >= 75.0
+
     def test_avgpool_patchtokens_widens_features(self, imagefolder_root,
                                                  tiny_arch, capsys):
         # the ViT-Base protocol concatenates avg-pooled patch tokens

@@ -197,6 +197,35 @@ class TestKnnClassifier:
                              batch_size=6, mesh=get_mesh(4),
                              params={"w": np.zeros(2, np.float32)})
 
+    def test_linear_probe_dp_matches_single(self, rng):
+        """make_linear_probe(mesh=...) — the reference's DDP-wrapped
+        LinearClassifier (eval_linear.py:62) — must step identically to
+        the single-device probe (global-batch mean == DDP grad average
+        at equal shard sizes)."""
+        import jax.numpy as jnp
+
+        from tpu_ac.distributed import get_mesh
+        from tpu_ac.train.evals import make_linear_probe
+
+        feats = rng.standard_normal((16, 12)).astype(np.float32)
+        labels = rng.integers(0, 3, 16)
+        s0, step0, pred0 = make_linear_probe(12, 3, seed=3)
+        s1, step1, pred1 = make_linear_probe(12, 3, seed=3,
+                                             mesh=get_mesh(8))
+        for it in range(3):
+            s0, l0 = step0(s0, jnp.asarray(feats), jnp.asarray(labels),
+                           jnp.float32(0.1))
+            s1, l1 = step1(s1, jnp.asarray(feats), jnp.asarray(labels),
+                           jnp.float32(0.1))
+            np.testing.assert_allclose(float(l1), float(l0),
+                                       rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s1.weight),
+                                   np.asarray(s0.weight),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pred1(s1, jnp.asarray(feats))),
+                                   np.asarray(pred0(s0, jnp.asarray(feats))),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_extract_features_mesh_requires_params(self, rng):
         """Closure-style embed_fn on the mesh path is the documented
         weight-capture trap (CLAUDE.md) — must be rejected loudly."""

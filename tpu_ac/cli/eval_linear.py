@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size_per_gpu", type=int, default=256)
     p.add_argument("--imagesize", type=int, default=224)
     p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--dp", type=int, default=0,
+                   help="Shard feature extraction AND probe training over "
+                        "a DP-device mesh (the reference DDP-wraps the "
+                        "linear classifier, eval_linear.py:62). "
+                        "0 = single device.")
     return p
 
 
@@ -46,8 +51,7 @@ def main(argv=None) -> None:
 
     n = args.n_last_blocks
 
-    @jax.jit
-    def embed(p, x):
+    def raw_embed(p, x):
         outs = vit_intermediate_layers(p, x, cfg, n=n,
                                        precision=jax.lax.Precision.DEFAULT)
         feats = jnp.concatenate([o[:, 0] for o in outs], axis=-1)
@@ -56,7 +60,21 @@ def main(argv=None) -> None:
                 [feats, jnp.mean(outs[-1][:, 1:], axis=1)], axis=-1)
         return feats
 
-    device_params = jax.device_put(dict(params))
+    mesh = None
+    if args.dp:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tpu_ac.distributed import get_mesh
+
+        if args.batch_size_per_gpu % args.dp:
+            raise ValueError(f"--batch_size_per_gpu "
+                             f"{args.batch_size_per_gpu} not divisible by "
+                             f"--dp {args.dp}")
+        mesh = get_mesh(args.dp)
+        device_params = jax.device_put(dict(params),
+                                       NamedSharding(mesh, P()))
+    else:
+        device_params = jax.device_put(dict(params))
 
     def load_split(split):
         ds = ImageFolder(os.path.join(args.data_path, split))
@@ -64,8 +82,9 @@ def main(argv=None) -> None:
             load_image(path, resize=int(args.imagesize * 256 / 224),
                        imagesize=args.imagesize)
             for path, _ in ds.samples])
-        return (extract_features(lambda x: embed(device_params, x), imgs,
-                                 args.batch_size_per_gpu, normalize=False),
+        return (extract_features(raw_embed, imgs, args.batch_size_per_gpu,
+                                 normalize=False, mesh=mesh,
+                                 params=device_params),
                 np.asarray([t for _, t in ds.samples]),
                 len(ds.class_to_idx))
 
@@ -73,17 +92,24 @@ def main(argv=None) -> None:
     val_f, val_y, _ = load_split("val")
 
     state, step, predict = make_linear_probe(train_f.shape[1], n_cls,
-                                             lr=args.lr)
-    steps_per_epoch = max(1, len(train_f) // args.batch_size_per_gpu)
+                                             lr=args.lr, mesh=mesh)
+    # trainsets smaller than one batch fall back to a whole-set batch,
+    # trimmed to the dp multiple (the sharded step needs divisibility)
+    bs = min(args.batch_size_per_gpu, len(train_f))
+    if args.dp:
+        bs = bs // args.dp * args.dp
+        if bs == 0:
+            raise ValueError(f"train split of {len(train_f)} images cannot "
+                             f"fill one --dp {args.dp} batch")
+    steps_per_epoch = max(1, len(train_f) // bs)
     lr_table = cosine_scheduler(args.lr, 0.0,
                                 args.epochs * steps_per_epoch)
     rng = np.random.default_rng(0)
     it = 0
     for epoch in range(args.epochs):
         order = rng.permutation(len(train_f))
-        for i in range(0, steps_per_epoch * args.batch_size_per_gpu,
-                       args.batch_size_per_gpu):
-            idx = order[i:i + args.batch_size_per_gpu]
+        for i in range(0, steps_per_epoch * bs, bs):
+            idx = order[i:i + bs]
             state, loss = step(state, jnp.asarray(train_f[idx]),
                                jnp.asarray(train_y[idx]),
                                jnp.float32(lr_table[min(it,

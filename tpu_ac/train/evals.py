@@ -132,12 +132,20 @@ class LinearProbeState(NamedTuple):
 
 def make_linear_probe(feature_dim: int, num_classes: int, lr: float = 0.001,
                       momentum: float = 0.9, weight_decay: float = 0.0,
-                      seed: int = 0):
+                      seed: int = 0, mesh=None):
     """Linear probe on frozen features (eval_linear.py:237-254: weights
     init trunc-normal 0.01, bias zero; SGD momentum).
 
     Returns (state, train_step(state, feats, labels, lr) -> (state, loss),
     predict(state, feats) -> logits).
+
+    With ``mesh`` the probe trains data-parallel — the reference
+    DDP-wraps its LinearClassifier (eval_linear.py:62): the probe state
+    is replicated, each (feats, labels) batch is sharded over the mesh
+    axis, and the loss mean / gradient reductions lower to ICI psums.
+    Numerically the single-device program (the global-batch mean equals
+    DDP's per-replica mean + gradient averaging at equal shard sizes);
+    the per-step batch must be divisible by the axis size.
     """
     rng = np.random.default_rng(seed)
     w = jnp.asarray((rng.standard_normal((num_classes, feature_dim)) * 0.01
@@ -147,8 +155,7 @@ def make_linear_probe(feature_dim: int, num_classes: int, lr: float = 0.001,
                       optax.sgd(1.0, momentum=momentum))  # lr applied below
     state = LinearProbeState(w, b, opt.init({"w": w, "b": b}))
 
-    @jax.jit
-    def train_step(state: LinearProbeState, feats, labels, lr):
+    def _train_step(state: LinearProbeState, feats, labels, lr):
         def loss_fn(p):
             logits = feats @ p["w"].T + p["b"]
             logp = jax.nn.log_softmax(logits)
@@ -162,11 +169,22 @@ def make_linear_probe(feature_dim: int, num_classes: int, lr: float = 0.001,
         params = optax.apply_updates(params, updates)
         return LinearProbeState(params["w"], params["b"], opt_state), loss
 
-    @jax.jit
-    def predict(state: LinearProbeState, feats):
+    def _predict(state: LinearProbeState, feats):
         return feats @ state.weight.T + state.bias
 
-    return state, train_step, predict
+    # predict stays an unconstrained jit: val sets have arbitrary sizes
+    # (no divisibility guarantee) and a [N, C] logit matrix needs no dp
+    predict = jax.jit(_predict)
+    if mesh is None:
+        return state, jax.jit(_train_step), predict
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+    train_step = jax.jit(_train_step,
+                         in_shardings=(rep, shard, shard, rep),
+                         out_shardings=rep)
+    return jax.device_put(state, rep), train_step, predict
 
 
 class PCA:
