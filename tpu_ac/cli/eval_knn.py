@@ -75,17 +75,10 @@ def main(argv=None) -> None:
     # one all_gather on ICI.
     mesh = None
     if args.dp:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from tpu_ac.distributed import dp_mesh, replicate
 
-        from tpu_ac.distributed import get_mesh
-
-        if args.batch_size_per_gpu % args.dp:
-            raise ValueError(f"--batch_size_per_gpu "
-                             f"{args.batch_size_per_gpu} not divisible by "
-                             f"--dp {args.dp}")
-        mesh = get_mesh(args.dp)
-        device_params = jax.device_put(dict(params),
-                                       NamedSharding(mesh, P()))
+        mesh = dp_mesh(args.dp, args.batch_size_per_gpu)
+        device_params = replicate(mesh, dict(params))
     else:
         device_params = jax.device_put(dict(params))
     train_x, train_y, n_cls = _load_split(

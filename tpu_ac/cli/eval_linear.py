@@ -13,6 +13,7 @@ import os
 
 import numpy as np
 
+from tpu_ac.data.classification import num_shuffled_batches, shuffled_batches
 from tpu_ac.data.imagefolder import ImageFolder
 from tpu_ac.data.mvtec import load_image
 from tpu_ac.models.registry import load_backbone
@@ -62,17 +63,10 @@ def main(argv=None) -> None:
 
     mesh = None
     if args.dp:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from tpu_ac.distributed import dp_mesh, replicate
 
-        from tpu_ac.distributed import get_mesh
-
-        if args.batch_size_per_gpu % args.dp:
-            raise ValueError(f"--batch_size_per_gpu "
-                             f"{args.batch_size_per_gpu} not divisible by "
-                             f"--dp {args.dp}")
-        mesh = get_mesh(args.dp)
-        device_params = jax.device_put(dict(params),
-                                       NamedSharding(mesh, P()))
+        mesh = dp_mesh(args.dp, args.batch_size_per_gpu)
+        device_params = replicate(mesh, dict(params))
     else:
         device_params = jax.device_put(dict(params))
 
@@ -93,23 +87,18 @@ def main(argv=None) -> None:
 
     state, step, predict = make_linear_probe(train_f.shape[1], n_cls,
                                              lr=args.lr, mesh=mesh)
-    # trainsets smaller than one batch fall back to a whole-set batch,
-    # trimmed to the dp multiple (the sharded step needs divisibility)
-    bs = min(args.batch_size_per_gpu, len(train_f))
-    if args.dp:
-        bs = bs // args.dp * args.dp
-        if bs == 0:
-            raise ValueError(f"train split of {len(train_f)} images cannot "
-                             f"fill one --dp {args.dp} batch")
-    steps_per_epoch = max(1, len(train_f) // bs)
+    # one copy of the dp batch rules: shuffled_batches trims every batch
+    # (incl. the smaller-than-batch fallback) to the dp multiple
+    steps_per_epoch = num_shuffled_batches(len(train_f),
+                                           args.batch_size_per_gpu,
+                                           multiple_of=args.dp or 1)
     lr_table = cosine_scheduler(args.lr, 0.0,
                                 args.epochs * steps_per_epoch)
-    rng = np.random.default_rng(0)
     it = 0
     for epoch in range(args.epochs):
-        order = rng.permutation(len(train_f))
-        for i in range(0, steps_per_epoch * bs, bs):
-            idx = order[i:i + bs]
+        for idx in shuffled_batches(len(train_f), args.batch_size_per_gpu,
+                                    seed=epoch,
+                                    multiple_of=args.dp or 1):
             state, loss = step(state, jnp.asarray(train_f[idx]),
                                jnp.asarray(train_y[idx]),
                                jnp.float32(lr_table[min(it,

@@ -33,6 +33,7 @@ from tpu_ac.data.classification import (
     load_imagenet,
     load_stl10,
     make_synthetic_classification,
+    shuffled_batches,
 )
 from tpu_ac.models.resnet_cifar import (
     RESNET18_CIFAR,
@@ -131,33 +132,9 @@ def _model_config(cfg) -> SCANModelConfig:
         n_heads=cfg.get("num_heads", 1))
 
 
-def _epoch_batches(n: int, batch_size: int, seed: int,
-                   multiple_of: int = 1):
-    """Shuffled drop-last batches; datasets smaller than one batch yield
-    the whole (shuffled) set as a single batch instead of zero steps.
-
-    ``multiple_of`` (the ``train_dp`` mesh size): every yielded batch is
-    trimmed to a multiple so the dp-sharded leading axis always divides —
-    torch DataParallel splits ragged batches silently, but a GSPMD-sharded
-    step requires divisibility, and an unguarded ragged batch would die in
-    pjit with an opaque 'not divisible' error mid-training."""
-    order = np.random.default_rng(seed).permutation(n)
-    if n < batch_size:
-        m = len(order) // multiple_of * multiple_of
-        if m == 0:
-            raise ValueError(
-                f"dataset of {n} images cannot fill one {multiple_of}-way "
-                f"data-parallel batch (train_dp: {multiple_of})")
-        yield order[:m]
-        return
-    bs = batch_size // multiple_of * multiple_of
-    if bs == 0:
-        raise ValueError(
-            f"batch_size {batch_size} is smaller than the data-parallel "
-            f"width (train_dp: {multiple_of})")
-    end = n // bs * bs
-    for i in range(0, end, bs):
-        yield order[i:i + bs]
+# shuffled drop-last batches, trimmed to the train_dp multiple (shared
+# with cli/eval_linear's dp probe loop — one copy of the dp batch rules)
+_epoch_batches = shuffled_batches
 
 
 def _train_dp(cfg) -> int:

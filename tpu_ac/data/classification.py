@@ -12,9 +12,62 @@ from __future__ import annotations
 
 import os
 import pickle
+import warnings
 
 import numpy as np
 from PIL import Image
+
+
+def shuffled_batches(n: int, batch_size: int, seed: int,
+                     multiple_of: int = 1):
+    """Shuffled drop-last batch indices for one epoch; datasets smaller
+    than one batch yield the whole (shuffled) set as a single batch
+    instead of zero steps.
+
+    ``multiple_of`` (a data-parallel mesh size): every yielded batch is
+    trimmed to a multiple so a dp-sharded leading axis always divides —
+    torch DataParallel splits ragged batches silently, but a GSPMD-sharded
+    step requires divisibility, and an unguarded ragged batch would die in
+    pjit with an opaque 'not divisible' error mid-training.  Trimming that
+    changes the effective batch size is warned about once (the reference's
+    DataParallel would have trained the full ragged batch).
+    """
+    if n <= 0:
+        raise ValueError("dataset has no images")
+    order = np.random.default_rng(seed).permutation(n)
+    if n < batch_size:
+        m = n // multiple_of * multiple_of
+        if m == 0:
+            raise ValueError(
+                f"dataset of {n} images cannot fill one {multiple_of}-way "
+                f"data-parallel batch (train_dp/--dp {multiple_of})")
+        if m != n:
+            warnings.warn(
+                f"whole-set fallback batch trimmed {n} -> {m} images to "
+                f"divide the {multiple_of}-way data-parallel axis")
+        yield order[:m]
+        return
+    bs = batch_size // multiple_of * multiple_of
+    if bs == 0:
+        raise ValueError(
+            f"batch_size {batch_size} is smaller than the data-parallel "
+            f"width (train_dp/--dp {multiple_of})")
+    if bs != batch_size:
+        warnings.warn(
+            f"batch_size trimmed {batch_size} -> {bs} to divide the "
+            f"{multiple_of}-way data-parallel axis")
+    end = n // bs * bs
+    for i in range(0, end, bs):
+        yield order[i:i + bs]
+
+
+def num_shuffled_batches(n: int, batch_size: int,
+                         multiple_of: int = 1) -> int:
+    """Batch count :func:`shuffled_batches` yields (for schedule sizing)."""
+    if n < batch_size:
+        return 1
+    bs = max(batch_size // multiple_of * multiple_of, 1)
+    return max(1, n // bs)
 
 # CIFAR-100 coarse mapping: fine label -> 20 superclasses
 # (data/cifar.py:120-183 _cifar100_to_cifar20)

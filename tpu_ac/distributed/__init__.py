@@ -10,6 +10,7 @@ alpha computation where each device owns a slice of the image set.
 
 from tpu_ac.distributed.mesh import (
     get_mesh,
+    dp_mesh,
     shard_batch,
     replicate,
     sharded_weight_distance_unsupervised,
@@ -20,6 +21,7 @@ from tpu_ac.distributed.mesh import (
 
 __all__ = [
     "get_mesh",
+    "dp_mesh",
     "shard_batch",
     "replicate",
     "sharded_weight_distance_unsupervised",

@@ -49,6 +49,16 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
 
+def dp_mesh(dp: int, batch_size: int | None = None,
+            flag: str = "--dp") -> Mesh:
+    """CLI helper: a dp-device mesh, validating batch divisibility first
+    (the shared setup of the ``--dp`` eval/detect entry points)."""
+    if batch_size is not None and batch_size % dp:
+        raise ValueError(
+            f"batch size {batch_size} not divisible by {flag} {dp}")
+    return get_mesh(dp)
+
+
 def shard_batch(mesh: Mesh, array, axis_name: str = "dp"):
     """Shard the leading (batch) axis over the mesh, zero-padding to a
     multiple of the axis size.  Returns (sharded_array, n_valid)."""
