@@ -113,3 +113,59 @@ class TestSCANAugmentations:
         from tpu_ac.data.augment import ValTransform
         t = ValTransform(size=32)
         np.testing.assert_array_equal(t(img), t(img))
+
+
+class TestCropBatchPrefetcher:
+    """data/prefetch.py — the reference's DataLoader(num_workers) role."""
+
+    def _setup(self, rng, n_local=2):
+        from tpu_ac.data.augment import DINOAugmentation
+
+        imgs = [Image.fromarray(
+            rng.integers(0, 255, (48, 48, 3)).astype(np.uint8))
+            for _ in range(10)]
+        aug = DINOAugmentation(local_crops_number=n_local, global_size=32,
+                               local_size=16, seed=0)
+        return imgs, aug
+
+    def test_worker_count_invariant(self, rng):
+        """Per-image rng keys: the crops are IDENTICAL at any worker
+        count (serial, 1 worker, 4 workers) — augmentation must not
+        depend on thread scheduling."""
+        from tpu_ac.data.prefetch import CropBatchPrefetcher
+
+        imgs, aug = self._setup(rng)
+        batches = [[0, 3, 5], [7, 2, 9]]
+        outs = []
+        for workers in (0, 1, 4):
+            pre = CropBatchPrefetcher(lambda i: imgs[i], aug, 2,
+                                      num_workers=workers, seed=11)
+            outs.append(list(pre.batches(epoch=1, idx_batches=batches)))
+            pre.close()
+        for got in outs[1:]:
+            for (g0, l0), (g1, l1) in zip(outs[0], got):
+                np.testing.assert_array_equal(g1, g0)
+                np.testing.assert_array_equal(l1, l0)
+
+    def test_shapes_and_epoch_variation(self, rng):
+        from tpu_ac.data.prefetch import CropBatchPrefetcher
+
+        imgs, aug = self._setup(rng)
+        pre = CropBatchPrefetcher(lambda i: imgs[i], aug, 2,
+                                  num_workers=2, seed=0)
+        (g, l), = list(pre.batches(0, [[1, 2, 3, 4]]))
+        assert g.shape == (8, 3, 32, 32)    # 2 globals x batch 4
+        assert l.shape == (8, 3, 16, 16)    # 2 locals x batch 4
+        (g2, _), = list(pre.batches(1, [[1, 2, 3, 4]]))
+        assert not np.array_equal(g2, g)    # epoch keys the rng
+        pre.close()
+
+    def test_no_local_crops(self, rng):
+        from tpu_ac.data.prefetch import CropBatchPrefetcher
+
+        imgs, aug = self._setup(rng, n_local=0)
+        pre = CropBatchPrefetcher(lambda i: imgs[i], aug, 0,
+                                  num_workers=2, seed=0)
+        (g, l), = list(pre.batches(0, [[0, 1]]))
+        assert g.shape == (4, 3, 32, 32) and l is None
+        pre.close()

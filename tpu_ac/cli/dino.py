@@ -83,6 +83,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--global_size", default=224, type=int)
     p.add_argument("--local_size", default=96, type=int)
+    p.add_argument("--num_workers", default=10, type=int,
+                   help="augmentation worker threads feeding the train "
+                        "step (the reference's DataLoader num_workers, "
+                        "main_dino.py:125; 0 = serial). Per-image rng "
+                        "keys make the crops identical at any worker "
+                        "count.")
     p.add_argument("--max_steps_per_epoch", default=None, type=int,
                    help="cap steps per epoch (smoke tests)")
     p.add_argument("--profile", default=None, metavar="TRACE_DIR",
@@ -143,6 +149,14 @@ def train_dino(args) -> dict:
         local_crops_number=args.local_crops_number,
         global_size=args.global_size, local_size=args.local_size,
         seed=args.seed)
+    # the reference feeds this loop through DataLoader(num_workers=10)
+    # (main_dino.py:147-154); without the parallel loader the 20 ms jitted
+    # step sits behind ~1 s of serial PIL multi-crop work (PERF.md)
+    from tpu_ac.data.prefetch import CropBatchPrefetcher
+
+    loader = CropBatchPrefetcher(
+        lambda i: dataset[int(i)][0], aug, cfg.local_crops_number,
+        num_workers=args.num_workers, seed=args.seed)
 
     start_epoch = 0
     ckpt = latest_checkpoint(args.output_dir, "checkpoint")
@@ -162,17 +176,12 @@ def train_dino(args) -> dict:
                 args.batch_size_per_gpu, seed=args.seed + epoch,
                 num_shards=jax.process_count(),
                 shard_index=jax.process_index())
-            for i, idxs in enumerate(logger.log_every(batches, 10,
-                                                      f"Epoch: [{epoch}]")):
+            for i, (g, l) in enumerate(logger.log_every(
+                    loader.batches(epoch, batches), 10,
+                    f"Epoch: [{epoch}]")):
                 if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
                     break
                 it = min(epoch * steps_per_epoch + i, cfg.total_steps - 1)
-                crops = [aug(dataset[int(j)][0]) for j in idxs]
-                g = np.concatenate([np.stack([c[0] for c in crops]),
-                                    np.stack([c[1] for c in crops])])
-                l = (np.concatenate([np.stack([c[k] for c in crops])
-                                     for k in range(2, 2 + cfg.local_crops_number)])
-                     if cfg.local_crops_number else None)
                 with step_annotation("dino_step", step=it):
                     state, metrics = step_fn(
                         state, jnp.asarray(g),
@@ -201,6 +210,7 @@ def train_dino(args) -> dict:
                 with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
                     f.write(json.dumps({"epoch": epoch, **{
                         f"train_{k}": v for k, v in stats.items()}}) + "\n")
+    loader.close()
     return stats
 
 

@@ -180,8 +180,8 @@ class DINOAugmentation:
     def __post_init__(self):
         self._rng = random.Random(self.seed)
 
-    def _flip_and_jitter(self, img: Image.Image) -> Image.Image:
-        rng = self._rng
+    def _flip_and_jitter(self, img: Image.Image,
+                         rng: random.Random) -> Image.Image:
         if rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         if rng.random() < 0.8:
@@ -190,20 +190,27 @@ class DINOAugmentation:
             img = img.convert("L").convert("RGB")
         return img
 
-    def __call__(self, img: Image.Image) -> list[np.ndarray]:
-        """-> [2 global crops, N local crops] normalized CHW arrays."""
-        rng = self._rng
+    def __call__(self, img: Image.Image,
+                 rng: random.Random | None = None) -> list[np.ndarray]:
+        """-> [2 global crops, N local crops] normalized CHW arrays.
+
+        ``rng``: optional private stream for this call — the parallel
+        loader (data/prefetch.py) keys one per (seed, epoch, position) so
+        augmentation is deterministic regardless of worker scheduling
+        (the instance stream is NOT thread-safe).
+        """
+        rng = self._rng if rng is None else rng
         crops = []
         # global 1: always blurred
         g1 = random_resized_crop(img, self.global_size,
                                  self.global_crops_scale, rng=rng)
-        g1 = self._flip_and_jitter(g1)
+        g1 = self._flip_and_jitter(g1, rng)
         g1 = gaussian_blur_pil(g1, rng=rng)
         crops.append(to_normalized_array(g1))
         # global 2: blur p=0.1, solarize p=0.2
         g2 = random_resized_crop(img, self.global_size,
                                  self.global_crops_scale, rng=rng)
-        g2 = self._flip_and_jitter(g2)
+        g2 = self._flip_and_jitter(g2, rng)
         if rng.random() < 0.1:
             g2 = gaussian_blur_pil(g2, rng=rng)
         if rng.random() < 0.2:
@@ -213,7 +220,7 @@ class DINOAugmentation:
         for _ in range(self.local_crops_number):
             lc = random_resized_crop(img, self.local_size,
                                      self.local_crops_scale, rng=rng)
-            lc = self._flip_and_jitter(lc)
+            lc = self._flip_and_jitter(lc, rng)
             if rng.random() < 0.5:
                 lc = gaussian_blur_pil(lc, rng=rng)
             crops.append(to_normalized_array(lc))
