@@ -169,3 +169,89 @@ class TestCropBatchPrefetcher:
         (g, l), = list(pre.batches(0, [[0, 1]]))
         assert g.shape == (4, 3, 32, 32) and l is None
         pre.close()
+
+
+class TestUint8Emit:
+    def test_uint8_crops_match_normalized(self, rng):
+        """normalize=False emits the SAME crops as normalize=True (same
+        rng draw sequence), just un-normalized uint8."""
+        from tpu_ac.data.augment import DINOAugmentation
+        from tpu_ac.data.mvtec import IMAGENET_MEAN, IMAGENET_STD
+
+        img = Image.fromarray(
+            rng.integers(0, 255, (64, 64, 3)).astype(np.uint8))
+        kw = dict(local_crops_number=3, global_size=32, local_size=16)
+        f32 = DINOAugmentation(**kw, seed=7)(img)
+        u8 = DINOAugmentation(**kw, seed=7, normalize=False)(img)
+        assert all(c.dtype == np.uint8 for c in u8)
+        m = IMAGENET_MEAN[:, None, None]
+        s = IMAGENET_STD[:, None, None]
+        for cf, cu in zip(f32, u8):
+            np.testing.assert_allclose(
+                (cu.astype(np.float32) / 255.0 - m) / s, cf,
+                rtol=0, atol=1e-6)
+
+
+class TestParallelAugPool:
+    """data/prefetch.py ParallelAugPool — the SCAN stages' DataLoader
+    (num_workers=8) role."""
+
+    def test_stack_worker_count_invariant(self, rng):
+        from tpu_ac.data.augment import (
+            SimCLRAugmentation, StrongAugmentation, WeakAugmentation)
+        from tpu_ac.data.prefetch import ParallelAugPool
+
+        imgs = [Image.fromarray(
+            rng.integers(0, 255, (40, 40, 3)).astype(np.uint8))
+            for _ in range(8)]
+        for aug in (SimCLRAugmentation(size=32), WeakAugmentation(size=32),
+                    StrongAugmentation(size=32)):
+            outs = []
+            for workers in (0, 1, 4):
+                pool = ParallelAugPool(workers, seed=3)
+                outs.append(pool.stack(aug, lambda i: imgs[i],
+                                       [0, 5, 2, 7], epoch=2, start=10,
+                                       stream="x"))
+                pool.close()
+            np.testing.assert_array_equal(outs[1], outs[0])
+            np.testing.assert_array_equal(outs[2], outs[0])
+
+    def test_stack_keys_vary(self, rng):
+        from tpu_ac.data.augment import SimCLRAugmentation
+        from tpu_ac.data.prefetch import ParallelAugPool
+
+        img = Image.fromarray(
+            rng.integers(0, 255, (40, 40, 3)).astype(np.uint8))
+        aug = SimCLRAugmentation(size=32)
+        pool = ParallelAugPool(2, seed=0)
+        a = pool.stack(aug, lambda i: img, [0, 0], epoch=0, stream="i")
+        b = pool.stack(aug, lambda i: img, [0, 0], epoch=0, stream="j")
+        c = pool.stack(aug, lambda i: img, [0, 0], epoch=1, stream="i")
+        assert not np.array_equal(a, b)      # stream keys the rng
+        assert not np.array_equal(a, c)      # epoch keys the rng
+        assert not np.array_equal(a[0], a[1])  # position keys the rng
+        pool.close()
+
+    def test_keyed_false_deterministic_transform(self, rng):
+        from tpu_ac.data.augment import ValTransform
+        from tpu_ac.data.prefetch import ParallelAugPool
+
+        imgs = [Image.fromarray(
+            rng.integers(0, 255, (40, 40, 3)).astype(np.uint8))
+            for _ in range(6)]
+        t = ValTransform(size=32)
+        pool = ParallelAugPool(3)
+        got = pool.stack(t, lambda i: imgs[i], range(6), keyed=False)
+        want = np.stack([t(im) for im in imgs])
+        np.testing.assert_array_equal(got, want)
+        pool.close()
+
+    def test_lookahead_order_and_serial(self):
+        from tpu_ac.data.prefetch import ParallelAugPool
+
+        for workers in (0, 2):
+            pool = ParallelAugPool(workers)
+            thunks = [lambda v=v: v * v for v in range(7)]
+            assert list(pool.lookahead(iter(thunks))) == [
+                v * v for v in range(7)]
+            pool.close()

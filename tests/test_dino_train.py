@@ -167,3 +167,41 @@ class TestRemat:
         np.testing.assert_allclose(np.asarray(sr.student[k]),
                                    np.asarray(sp.student[k]),
                                    rtol=1e-5, atol=1e-7)
+
+
+class TestUint8Input:
+    """The device-side normalization path: uint8 crops in, same training."""
+
+    def test_uint8_step_matches_host_normalized(self, state, rng):
+        from tpu_ac.data.mvtec import IMAGENET_MEAN, IMAGENET_STD
+
+        b = 4
+        g_u8 = rng.integers(0, 256, (2 * b, 3, 32, 32)).astype(np.uint8)
+        l_u8 = rng.integers(0, 256, (2 * b, 3, 16, 16)).astype(np.uint8)
+
+        def host_norm(u8):
+            arr = u8.astype(np.float32) / 255.0
+            m = IMAGENET_MEAN[:, None, None]
+            s = IMAGENET_STD[:, None, None]
+            return (arr - m) / s
+
+        step = jax.jit(make_dino_train_step(TINY_VIT, TINY_CFG))
+        s_u8, m_u8 = step(state, jnp.asarray(g_u8), jnp.asarray(l_u8),
+                          **_scalars())
+        s_f32, m_f32 = step(state, jnp.asarray(host_norm(g_u8)),
+                            jnp.asarray(host_norm(l_u8)), **_scalars())
+        np.testing.assert_allclose(float(m_u8["loss"]),
+                                   float(m_f32["loss"]), rtol=1e-5)
+        k = "backbone.blocks.0.attn.qkv.weight"
+        np.testing.assert_allclose(np.asarray(s_u8.student[k]),
+                                   np.asarray(s_f32.student[k]),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_uint8_no_locals(self, state, rng):
+        cfg = DINOConfig(**{**TINY_CFG.__dict__, "local_crops_number": 0})
+        step = jax.jit(make_dino_train_step(TINY_VIT, cfg))
+        g_u8 = jnp.asarray(
+            rng.integers(0, 256, (8, 3, 32, 32)).astype(np.uint8))
+        st = init_dino_state(0, TINY_VIT, cfg)
+        _, metrics = step(st, g_u8, None, **_scalars())
+        assert np.isfinite(float(metrics["loss"]))

@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "main_dino.py:125; 0 = serial). Per-image rng "
                         "keys make the crops identical at any worker "
                         "count.")
+    p.add_argument("--host_normalize", action="store_true",
+                   help="normalize crops to f32 on the host instead of "
+                        "uploading raw uint8 and normalizing inside the "
+                        "jitted step (same math, 4x the host->device "
+                        "transfer; device-side is the default).")
     p.add_argument("--max_steps_per_epoch", default=None, type=int,
                    help="cap steps per epoch (smoke tests)")
     p.add_argument("--profile", default=None, metavar="TRACE_DIR",
@@ -148,7 +153,7 @@ def train_dino(args) -> dict:
         local_crops_scale=tuple(args.local_crops_scale),
         local_crops_number=args.local_crops_number,
         global_size=args.global_size, local_size=args.local_size,
-        seed=args.seed)
+        seed=args.seed, normalize=args.host_normalize)
     # the reference feeds this loop through DataLoader(num_workers=10)
     # (main_dino.py:147-154); without the parallel loader the 20 ms jitted
     # step sits behind ~1 s of serial PIL multi-crop work (PERF.md)

@@ -12,6 +12,7 @@ import numpy as np
 
 from tpu_ac.data.imagefolder import ImageFolder
 from tpu_ac.data.mvtec import load_image
+from tpu_ac.data.prefetch import parallel_decode
 from tpu_ac.models.registry import load_backbone
 from tpu_ac.train.evals import extract_features, knn_classifier
 
@@ -37,10 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _load_split(root: str, imagesize: int):
     ds = ImageFolder(root)
-    imgs = np.stack([
-        load_image(path, resize=int(imagesize * 256 / 224),
-                   imagesize=imagesize)
-        for path, _ in ds.samples])
+    imgs = parallel_decode(
+        [path for path, _ in ds.samples],
+        lambda p: load_image(p, resize=int(imagesize * 256 / 224),
+                             imagesize=imagesize))
     labels = np.asarray([t for _, t in ds.samples])
     return imgs, labels, len(ds.class_to_idx)
 

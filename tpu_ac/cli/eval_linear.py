@@ -71,11 +71,13 @@ def main(argv=None) -> None:
         device_params = jax.device_put(dict(params))
 
     def load_split(split):
+        from tpu_ac.data.prefetch import parallel_decode
+
         ds = ImageFolder(os.path.join(args.data_path, split))
-        imgs = np.stack([
-            load_image(path, resize=int(args.imagesize * 256 / 224),
-                       imagesize=args.imagesize)
-            for path, _ in ds.samples])
+        imgs = parallel_decode(
+            [path for path, _ in ds.samples],
+            lambda p: load_image(p, resize=int(args.imagesize * 256 / 224),
+                                 imagesize=args.imagesize))
         return (extract_features(raw_embed, imgs, args.batch_size_per_gpu,
                                  normalize=False, mesh=mesh,
                                  params=device_params),

@@ -35,6 +35,7 @@ from tpu_ac.data.classification import (
     make_synthetic_classification,
     shuffled_batches,
 )
+from tpu_ac.data.prefetch import ParallelAugPool
 from tpu_ac.models.resnet_cifar import (
     RESNET18_CIFAR,
     RESNET18_STL,
@@ -148,8 +149,11 @@ def run_simclr(cfg) -> None:
     ds = _load_dataset(cfg, "train")
     size = cfg.get("image_size", 32)
     mcfg = _model_config(cfg)
+    # two independent views per image: one transform, two rng streams
+    # ("i"/"j" keys below — the reference gets independence from two
+    # dataloader passes through the same augmentation)
     aug = SimCLRAugmentation(size=size, seed=0)
-    aug2 = SimCLRAugmentation(size=size, seed=1)
+    pool = ParallelAugPool(cfg.get("num_workers", 8), seed=cfg.get("seed", 0))
 
     params, bn = init_contrastive_model(cfg.get("seed", 0), mcfg)
     opt = optax.chain(optax.add_decayed_weights(cfg.get("weight_decay", 1e-4)),
@@ -166,10 +170,18 @@ def run_simclr(cfg) -> None:
     bs = cfg.get("batch_size", 128)
     for epoch in range(start_epoch, cfg.get("epochs", 10)):
         losses = []
-        for idxs in _epoch_batches(len(ds), bs, epoch,
-                                   multiple_of=_train_dp(cfg)):
-            xi = np.stack([aug(ds.get_pil(int(i))) for i in idxs])
-            xj = np.stack([aug2(ds.get_pil(int(i))) for i in idxs])
+
+        def thunks(epoch=epoch):
+            pos = 0
+            for idxs in _epoch_batches(len(ds), bs, epoch,
+                                       multiple_of=_train_dp(cfg)):
+                yield (lambda idxs=idxs, pos=pos: (
+                    pool.stack(aug, ds.get_pil, idxs, epoch=epoch,
+                               start=pos, stream="i"),
+                    pool.stack(aug, ds.get_pil, idxs, epoch=epoch,
+                               start=pos, stream="j")))
+                pos += len(idxs)
+        for xi, xj in pool.lookahead(thunks()):
             state, loss = step(state, jnp.asarray(xi), jnp.asarray(xj))
             losses.append(float(loss))
         print(f"simclr epoch {epoch}: loss {np.mean(losses):.4f}")
@@ -190,10 +202,11 @@ def run_simclr(cfg) -> None:
                       mesh=_mining_mesh(cfg))
     for i in range(0, len(ds), bs):
         idxs = np.arange(i, min(i + bs, len(ds)))
-        imgs = np.stack([val_t(ds.get_pil(int(j))) for j in idxs])
+        imgs = pool.stack(val_t, ds.get_pil, idxs, keyed=False)
         emb, _, _ = contrastive_forward(state.params, state.bn_state,
                                         jnp.asarray(imgs), mcfg)
         bank.update(np.asarray(emb), ds.labels[idxs])
+    pool.close()
     topk = cfg.get("num_neighbors", 20)
     idx, acc = bank.mine_nearest_neighbors(topk)
     print(f"neighbor mining accuracy (top-{topk}): {acc:.4f}")
@@ -303,6 +316,7 @@ def run_scan(cfg) -> None:
 
     bs = cfg.get("batch_size", 128)
     rng = np.random.default_rng(0)
+    pool = ParallelAugPool(cfg.get("num_workers", 8), seed=cfg.get("seed", 0))
     head_losses = None
     for epoch in range(cfg.get("epochs", 10)):
         totals = []
@@ -310,13 +324,25 @@ def run_scan(cfg) -> None:
         # scan_evaluate sums over the dataset) — a single final batch
         # could rank the wrong head
         head_losses = None
-        for idxs in _epoch_batches(len(ds), bs, epoch,
-                                   multiple_of=_train_dp(cfg)):
-            nbr = neighbors[idxs, :][
-                np.arange(len(idxs)), rng.integers(0, neighbors.shape[1],
-                                                   len(idxs))]
-            anchors = np.stack([transform(ds.get_pil(int(i))) for i in idxs])
-            nbrs = np.stack([transform(ds.get_pil(int(i))) for i in nbr])
+
+        def thunks(epoch=epoch):
+            # neighbor draws stay on the (ordered) head thread, so the
+            # rng sequence is identical to the serial loop's
+            pos = 0
+            for idxs in _epoch_batches(len(ds), bs, epoch,
+                                       multiple_of=_train_dp(cfg)):
+                def t(idxs=idxs, pos=pos):
+                    nbr = neighbors[idxs, :][
+                        np.arange(len(idxs)),
+                        rng.integers(0, neighbors.shape[1], len(idxs))]
+                    a = pool.stack(transform, ds.get_pil, idxs, epoch=epoch,
+                                   start=pos, stream="a")
+                    n = pool.stack(transform, ds.get_pil, nbr, epoch=epoch,
+                                   start=pos, stream="n")
+                    return a, n
+                yield t
+                pos += len(idxs)
+        for anchors, nbrs in pool.lookahead(thunks()):
             state, metrics = step(state, jnp.asarray(anchors),
                                   jnp.asarray(nbrs))
             totals.append(float(metrics["total"]))
@@ -324,6 +350,7 @@ def run_scan(cfg) -> None:
             head_losses = (batch_head if head_losses is None
                            else head_losses + batch_head)
         print(f"scan epoch {epoch}: loss {np.mean(totals):.4f}")
+    pool.close()
     best = scan_evaluate_heads(head_losses)
     save_checkpoint(cfg.scan_dir, "model",
                     {"params": state.params, "bn": state.bn_state}, step=0,
@@ -338,18 +365,22 @@ def run_scan(cfg) -> None:
 
 
 def _predict_probs(params, bn_state, ds, mcfg, size,
-                   batch_size: int = 256) -> np.ndarray:
+                   batch_size: int = 256, num_workers: int = 8
+                   ) -> np.ndarray:
     """[heads, N, C] softmax class probabilities under the DETERMINISTIC
     val transform (get_predictions runs on dataloaders built with
     get_val_transformations, evaluate_utils.py:34-84 + scan.py:66-71)."""
     val_t = ValTransform(size=size)
+    pool = ParallelAugPool(num_workers)
     all_logits = []
     for i in range(0, len(ds), batch_size):
-        imgs = np.stack([val_t(ds.get_pil(j))
-                         for j in range(i, min(i + batch_size, len(ds)))])
+        imgs = pool.stack(val_t, ds.get_pil,
+                          range(i, min(i + batch_size, len(ds))),
+                          keyed=False)
         logits, _, _ = clustering_forward(params, bn_state,
                                           jnp.asarray(imgs), mcfg)
         all_logits.append(np.asarray(jax.nn.softmax(logits, axis=-1)))
+    pool.close()
     return np.concatenate(all_logits, axis=1)  # [heads, N, C]
 
 
@@ -384,16 +415,26 @@ def run_selflabel(cfg) -> None:
 
     weak = WeakAugmentation(size=size, seed=0)
     strong = StrongAugmentation(size=size, seed=0)
+    pool = ParallelAugPool(cfg.get("num_workers", 8), seed=cfg.get("seed", 0))
     bs = cfg.get("batch_size", 128)
     for epoch in range(cfg.get("epochs", 5)):
         losses = []
-        for idxs in _epoch_batches(len(ds), bs, epoch,
-                                   multiple_of=_train_dp(cfg)):
-            w = np.stack([weak(ds.get_pil(int(i))) for i in idxs])
-            s = np.stack([strong(ds.get_pil(int(i))) for i in idxs])
+
+        def thunks(epoch=epoch):
+            pos = 0
+            for idxs in _epoch_batches(len(ds), bs, epoch,
+                                       multiple_of=_train_dp(cfg)):
+                yield (lambda idxs=idxs, pos=pos: (
+                    pool.stack(weak, ds.get_pil, idxs, epoch=epoch,
+                               start=pos, stream="w"),
+                    pool.stack(strong, ds.get_pil, idxs, epoch=epoch,
+                               start=pos, stream="s")))
+                pos += len(idxs)
+        for w, s in pool.lookahead(thunks()):
             state, loss = step(state, jnp.asarray(w), jnp.asarray(s))
             losses.append(float(loss))
         print(f"selflabel epoch {epoch}: loss {np.mean(losses):.4f}")
+    pool.close()
     save_checkpoint(cfg.selflabel_dir, "model",
                     {"params": state.params, "bn": state.bn_state}, step=0)
     probs = _predict_probs(state.params, state.bn_state, ds, mcfg, size)

@@ -164,6 +164,13 @@ def to_normalized_array(img: Image.Image,
     return arr.transpose(2, 0, 1)
 
 
+def to_uint8_array(img: Image.Image) -> np.ndarray:
+    """Raw uint8 CHW — the device-side-normalization path (4x less
+    host->device transfer; `tpu_ac.data.mvtec.normalize_on_device` inside
+    the consuming jitted program computes the same f32 (x/255-mean)/std)."""
+    return np.asarray(img, dtype=np.uint8).transpose(2, 0, 1)
+
+
 # --------------------------------------------------------------------------
 # DINO multi-crop (main_dino.py:419-464)
 # --------------------------------------------------------------------------
@@ -176,9 +183,12 @@ class DINOAugmentation:
     global_size: int = 224
     local_size: int = 96
     seed: int | None = None
+    normalize: bool = True
 
     def __post_init__(self):
         self._rng = random.Random(self.seed)
+        self._to_array = to_normalized_array if self.normalize \
+            else to_uint8_array
 
     def _flip_and_jitter(self, img: Image.Image,
                          rng: random.Random) -> Image.Image:
@@ -192,7 +202,10 @@ class DINOAugmentation:
 
     def __call__(self, img: Image.Image,
                  rng: random.Random | None = None) -> list[np.ndarray]:
-        """-> [2 global crops, N local crops] normalized CHW arrays.
+        """-> [2 global crops, N local crops] CHW arrays (normalized f32,
+        or raw uint8 with ``normalize=False`` — the device-side
+        normalization path; the rng draw sequence is identical, so the
+        two modes produce the same crops).
 
         ``rng``: optional private stream for this call — the parallel
         loader (data/prefetch.py) keys one per (seed, epoch, position) so
@@ -206,7 +219,7 @@ class DINOAugmentation:
                                  self.global_crops_scale, rng=rng)
         g1 = self._flip_and_jitter(g1, rng)
         g1 = gaussian_blur_pil(g1, rng=rng)
-        crops.append(to_normalized_array(g1))
+        crops.append(self._to_array(g1))
         # global 2: blur p=0.1, solarize p=0.2
         g2 = random_resized_crop(img, self.global_size,
                                  self.global_crops_scale, rng=rng)
@@ -215,7 +228,7 @@ class DINOAugmentation:
             g2 = gaussian_blur_pil(g2, rng=rng)
         if rng.random() < 0.2:
             g2 = solarize(g2)
-        crops.append(to_normalized_array(g2))
+        crops.append(self._to_array(g2))
         # locals: blur p=0.5
         for _ in range(self.local_crops_number):
             lc = random_resized_crop(img, self.local_size,
@@ -223,7 +236,7 @@ class DINOAugmentation:
             lc = self._flip_and_jitter(lc, rng)
             if rng.random() < 0.5:
                 lc = gaussian_blur_pil(lc, rng=rng)
-            crops.append(to_normalized_array(lc))
+            crops.append(self._to_array(lc))
         return crops
 
 
@@ -242,8 +255,9 @@ class SimCLRAugmentation:
     def __post_init__(self):
         self._rng = random.Random(self.seed)
 
-    def __call__(self, img: Image.Image) -> np.ndarray:
-        rng = self._rng
+    def __call__(self, img: Image.Image,
+                 rng: random.Random | None = None) -> np.ndarray:
+        rng = self._rng if rng is None else rng
         img = random_resized_crop(img, self.size, self.scale, rng=rng,
                                   interpolation=Image.BILINEAR)
         if rng.random() < 0.5:
@@ -269,8 +283,9 @@ class StrongAugmentation:
     def __post_init__(self):
         self._rng = random.Random(self.seed)
 
-    def __call__(self, img: Image.Image) -> np.ndarray:
-        rng = self._rng
+    def __call__(self, img: Image.Image,
+                 rng: random.Random | None = None) -> np.ndarray:
+        rng = self._rng if rng is None else rng
         img = random_resized_crop(img, self.size, (0.5, 1.0), rng=rng,
                                   interpolation=Image.BILINEAR)
         if rng.random() < 0.5:
@@ -289,8 +304,9 @@ class WeakAugmentation:
     def __post_init__(self):
         self._rng = random.Random(self.seed)
 
-    def __call__(self, img: Image.Image) -> np.ndarray:
-        rng = self._rng
+    def __call__(self, img: Image.Image,
+                 rng: random.Random | None = None) -> np.ndarray:
+        rng = self._rng if rng is None else rng
         w, h = img.size
         pad = self.size // 8
         img = ImageOps.expand(img, border=pad, fill=0)

@@ -23,9 +23,42 @@ from __future__ import annotations
 
 import random
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Iterable, Iterator, Sequence
+from typing import Any, Callable, Iterable, Iterator, Sequence
 
 import numpy as np
+
+
+def _lookahead(head: ThreadPoolExecutor | None,
+               thunks: Iterable[Callable[[], Any]]) -> Iterator[Any]:
+    """Run thunks in submission order on the single ``head`` thread with
+    ONE pending result — batch i+1 assembles while the caller consumes
+    batch i.  ``head=None`` degrades to a plain serial map."""
+    it = iter(thunks)
+    if head is None:
+        for thunk in it:
+            yield thunk()
+        return
+    try:
+        pending = head.submit(next(it))
+    except StopIteration:
+        return
+    for thunk in it:
+        nxt = head.submit(thunk)
+        yield pending.result()
+        pending = nxt
+    yield pending.result()
+
+
+def parallel_decode(items: Sequence, loader: Callable,
+                    num_workers: int = 8) -> np.ndarray:
+    """``np.stack([loader(x) for x in items])`` with a thread pool (PIL
+    decode/resize release the GIL) — the reference's ``num_workers`` on
+    its eval dataloaders (dino-main/eval_knn.py:48-61).  Deterministic:
+    ``loader`` must be a pure function of its item (e.g. ``load_image``)."""
+    if num_workers <= 0 or len(items) <= 1:
+        return np.stack([loader(x) for x in items])
+    with ThreadPoolExecutor(num_workers, "tpu_ac-decode") as pool:
+        return np.stack(list(pool.map(loader, items)))
 
 
 class CropBatchPrefetcher:
@@ -74,26 +107,67 @@ class CropBatchPrefetcher:
     def batches(self, epoch: int, idx_batches: Iterable[Sequence[int]]
                 ) -> Iterator[tuple[np.ndarray, np.ndarray | None]]:
         """Yield assembled (g, l) arrays with one batch of lookahead."""
-        it = iter(idx_batches)
-        if self._head is None:
+        def thunks():
             pos = 0
-            for idxs in it:
-                yield self._assemble(epoch, pos, idxs)
+            for idxs in idx_batches:
+                yield (lambda idxs=idxs, pos=pos:
+                       self._assemble(epoch, pos, idxs))
                 pos += len(idxs)
-            return
-        pending, pos = None, 0
-        try:
-            first = next(it)
-        except StopIteration:
-            return
-        pending = self._head.submit(self._assemble, epoch, pos, first)
-        pos += len(first)
-        for idxs in it:
-            nxt = self._head.submit(self._assemble, epoch, pos, idxs)
-            pos += len(idxs)
-            yield pending.result()
-            pending = nxt
-        yield pending.result()
+        yield from _lookahead(self._head, thunks())
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+        if self._head is not None:
+            self._head.shutdown(wait=False, cancel_futures=True)
+
+
+class ParallelAugPool:
+    """Deterministic parallel augmentation for single-crop transform loops
+    (the reference's ``DataLoader(num_workers=8)`` role in the SCAN
+    stages, Unsupervised-Classification-master/configs/env.yml +
+    common_config.py get_train_dataloader).
+
+    ``stack`` pool-maps ``aug(img, rng=...)`` over a batch of dataset
+    indices and stacks the results; each call draws from
+    ``random.Random((seed, stream, epoch, position))`` so the output is
+    independent of worker scheduling.  ``lookahead`` overlaps whole-batch
+    assembly with the caller's consume (train step) via one background
+    thread.  ``num_workers=0`` degrades to the serial loop.
+    """
+
+    def __init__(self, num_workers: int = 8, seed: int = 0):
+        self.num_workers = num_workers
+        self.seed = seed
+        self._pool = (ThreadPoolExecutor(num_workers, "tpu_ac-aug")
+                      if num_workers > 0 else None)
+        self._head = (ThreadPoolExecutor(1, "tpu_ac-prefetch")
+                      if num_workers > 0 else None)
+
+    def stack(self, aug: Callable, get_image: Callable,
+              idxs: Sequence[int], *, epoch: int = 0, start: int = 0,
+              stream: str = "", keyed: bool = True) -> np.ndarray:
+        """np.stack([aug(get_image(i)) for i in idxs]), pool-mapped.
+
+        ``keyed=True`` passes a per-position private rng to ``aug``;
+        ``keyed=False`` is for deterministic transforms (ValTransform)
+        that take no rng argument.
+        """
+        def one(k_i):
+            k, i = k_i
+            img = get_image(int(i))
+            if not keyed:
+                return aug(img)
+            return aug(img, rng=random.Random(
+                f"{self.seed}/{stream}/{epoch}/{start + k}"))
+        work = list(enumerate(idxs))
+        if self._pool is None:
+            return np.stack([one(w) for w in work])
+        return np.stack(list(self._pool.map(one, work)))
+
+    def lookahead(self, thunks: Iterable[Callable[[], Any]]
+                  ) -> Iterator[Any]:
+        yield from _lookahead(self._head, thunks)
 
     def close(self) -> None:
         if self._pool is not None:

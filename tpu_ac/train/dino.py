@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from tpu_ac.data.mvtec import normalize_on_device
 from tpu_ac.models.dino_head import dino_head_forward, init_dino_head_params
 from tpu_ac.models.vit import ViTConfig, init_vit_params, vit_cls_forward
 
@@ -232,6 +233,14 @@ def make_dino_train_step(vit_cfg: ViTConfig, cfg: DINOConfig,
 
     def train_step(state: DINOTrainState, global_crops, local_crops,
                    lr, wd, teacher_momentum, teacher_temp, freeze_last):
+        # uint8 crops = the device-side normalization path (4x less
+        # host->device transfer than pre-normalized f32; the loader emits
+        # them via DINOAugmentation(normalize=False)).  dtype is static
+        # under jit, so this branch resolves at trace time.
+        if global_crops.dtype == jnp.uint8:
+            global_crops = normalize_on_device(global_crops)
+        if local_crops is not None and local_crops.dtype == jnp.uint8:
+            local_crops = normalize_on_device(local_crops)
         (loss, t_out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.student, state.teacher, state.center, global_crops,
             local_crops, teacher_temp)
