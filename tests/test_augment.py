@@ -4,6 +4,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+import jax.numpy as jnp
+
 from tpu_ac.data.augment import (
     DINOAugmentation,
     SimCLRAugmentation,
@@ -169,6 +171,31 @@ class TestCropBatchPrefetcher:
         (g, l), = list(pre.batches(0, [[0, 1]]))
         assert g.shape == (4, 3, 32, 32) and l is None
         pre.close()
+
+    def test_transfer_hook_runs_in_prefetch(self, rng):
+        """transfer= (the CLI's jax.device_put) is applied to the
+        assembled arrays inside the lookahead, same values out."""
+        from tpu_ac.data.prefetch import CropBatchPrefetcher
+
+        imgs, aug = self._setup(rng)
+        calls = []
+
+        def mark(x):
+            calls.append(x.shape)
+            return jnp.asarray(x)
+
+        plain = CropBatchPrefetcher(lambda i: imgs[i], aug, 2,
+                                    num_workers=2, seed=3)
+        moved = CropBatchPrefetcher(lambda i: imgs[i], aug, 2,
+                                    num_workers=2, seed=3, transfer=mark)
+        (g0, l0), = list(plain.batches(0, [[0, 1, 2]]))
+        (g1, l1), = list(moved.batches(0, [[0, 1, 2]]))
+        assert isinstance(g1, jnp.ndarray) and isinstance(l1, jnp.ndarray)
+        assert len(calls) == 2
+        np.testing.assert_array_equal(np.asarray(g1), g0)
+        np.testing.assert_array_equal(np.asarray(l1), l0)
+        plain.close()
+        moved.close()
 
 
 class TestUint8Emit:

@@ -23,17 +23,18 @@ def tiny_imagefolder(tmp_path_factory):
     return str(root)
 
 
-def _run(tiny_imagefolder, tmp_path, use_fp16: str):
+def _run(tiny_imagefolder, tmp_path, use_fp16: str, tag: str = "",
+         extra: list[str] = ()):
     from tpu_ac.cli.dino import main
 
-    out = str(tmp_path / f"out_{use_fp16}")
+    out = str(tmp_path / f"out_{use_fp16}{tag}")
     main(["--arch", "vit_tiny", "--patch_size", "16",
           "--data_path", tiny_imagefolder, "--output_dir", out,
           "--global_size", "32", "--local_size", "16",
           "--local_crops_number", "2", "--out_dim", "128",
           "--batch_size_per_gpu", "4", "--epochs", "1",
           "--max_steps_per_epoch", "2", "--warmup_epochs", "0",
-          "--use_fp16", use_fp16])
+          "--use_fp16", use_fp16, *extra])
     with open(os.path.join(out, "log.txt")) as f:
         row = json.loads(f.readline())
     assert np.isfinite(row["train_loss"])
@@ -46,4 +47,10 @@ def test_cli_end_to_end_bf16(tiny_imagefolder, tmp_path):
 
 
 def test_cli_end_to_end_f32(tiny_imagefolder, tmp_path):
-    _run(tiny_imagefolder, tmp_path, "false")
+    """Also pins resident-table (default) == --host_schedules numerics:
+    the device-gathered schedule values and the lagged async metric fetch
+    must not change a single bit of the training math."""
+    loss_resident = _run(tiny_imagefolder, tmp_path, "false")
+    loss_host = _run(tiny_imagefolder, tmp_path, "false", tag="_host",
+                     extra=["--host_schedules"])
+    assert loss_resident == loss_host

@@ -137,6 +137,74 @@ class TestSchedules:
         assert sch["momentum"][-1] <= 1.0
 
 
+class TestResidentSchedules:
+    """Device-resident schedule tables gathered by state.step must be
+    bit-identical to the host-scalar path (main_dino.py:309-312 indexing)."""
+
+    def test_tables_shapes_and_freeze_rule(self):
+        from tpu_ac.train.dino import make_schedules, make_step_schedule_tables
+        sch = make_schedules(TINY_CFG, batch_size_global=64)
+        tab = make_step_schedule_tables(TINY_CFG, sch)
+        t = TINY_CFG.total_steps
+        assert all(len(tab[k]) == t for k in
+                   ("lr", "wd", "momentum", "teacher_temp", "freeze_last"))
+        # freeze_last_layer=1 -> frozen exactly during epoch 0
+        spe = TINY_CFG.steps_per_epoch
+        assert bool(tab["freeze_last"][spe - 1]) is True
+        assert bool(tab["freeze_last"][spe]) is False
+        # teacher_temp expands the per-EPOCH table
+        np.testing.assert_array_equal(
+            np.asarray(tab["teacher_temp"][:spe]),
+            np.full(spe, sch["teacher_temp"][0], np.float32))
+
+    def test_resident_matches_host_scalars_over_epochs(self, batch):
+        from tpu_ac.train.dino import make_schedules, make_step_schedule_tables
+        sch = make_schedules(TINY_CFG, batch_size_global=64)
+        tab = make_step_schedule_tables(TINY_CFG, sch)
+        step_host = jax.jit(make_dino_train_step(TINY_VIT, TINY_CFG))
+        step_res = jax.jit(make_dino_train_step(TINY_VIT, TINY_CFG,
+                                                schedule_tables=tab))
+        g, l = batch
+        s_h = init_dino_state(0, TINY_VIT, TINY_CFG)
+        s_r = init_dino_state(0, TINY_VIT, TINY_CFG)
+        spe = TINY_CFG.steps_per_epoch
+        # 6 steps cross the epoch-0/1 boundary (freeze flips) and exercise
+        # the moving lr/wd/momentum tables
+        for it in range(6):
+            epoch = it // spe
+            s_h, m_h = step_host(
+                s_h, g, l,
+                lr=jnp.float32(sch["lr"][it]), wd=jnp.float32(sch["wd"][it]),
+                teacher_momentum=jnp.float32(sch["momentum"][it]),
+                teacher_temp=jnp.float32(sch["teacher_temp"][epoch]),
+                freeze_last=jnp.asarray(
+                    epoch < TINY_CFG.freeze_last_layer))
+            s_r, m_r = step_res(s_r, g, l)
+            np.testing.assert_array_equal(np.asarray(m_h["loss"]),
+                                          np.asarray(m_r["loss"]))
+            np.testing.assert_array_equal(np.asarray(m_h["lr"]),
+                                          np.asarray(m_r["lr"]))
+        k = "backbone.blocks.0.attn.qkv.weight"
+        np.testing.assert_array_equal(np.asarray(s_h.student[k]),
+                                      np.asarray(s_r.student[k]))
+        np.testing.assert_array_equal(np.asarray(s_h.teacher[k]),
+                                      np.asarray(s_r.teacher[k]))
+
+    def test_step_clamps_past_total_steps(self, batch):
+        from tpu_ac.train.dino import make_schedules, make_step_schedule_tables
+        sch = make_schedules(TINY_CFG, batch_size_global=64)
+        tab = make_step_schedule_tables(TINY_CFG, sch)
+        step_res = jax.jit(make_dino_train_step(TINY_VIT, TINY_CFG,
+                                                schedule_tables=tab))
+        g, l = batch
+        s = init_dino_state(0, TINY_VIT, TINY_CFG)._replace(
+            step=jnp.asarray(TINY_CFG.total_steps + 3, jnp.int32))
+        _, m = step_res(s, g, l)
+        # the reference clamps it to the last table entry (main_dino.py:309)
+        np.testing.assert_array_equal(np.asarray(m["lr"]),
+                                      np.float32(sch["lr"][-1]))
+
+
 class TestMixedPrecision:
     def test_bf16_step_close_to_f32(self, state, batch):
         step32 = jax.jit(make_dino_train_step(TINY_VIT, TINY_CFG))

@@ -39,8 +39,10 @@ from tpu_ac.train.dino import (
     init_dino_state,
     make_dino_train_step,
     make_schedules,
+    make_step_schedule_tables,
 )
 from tpu_ac.utils import (
+    LaggedFetch,
     MetricLogger,
     fix_seeds,
     latest_checkpoint,
@@ -89,6 +91,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "main_dino.py:125; 0 = serial). Per-image rng "
                         "keys make the crops identical at any worker "
                         "count.")
+    p.add_argument("--host_schedules", action="store_true",
+                   help="feed lr/wd/momentum/temp/freeze to the step as "
+                        "per-step host scalars (the reference's table "
+                        "indexing, main_dino.py:309-312) instead of the "
+                        "default device-resident tables gathered by the "
+                        "step counter. Identical numerics; the default "
+                        "saves 5 host->device round trips per step.")
     p.add_argument("--host_normalize", action="store_true",
                    help="normalize crops to f32 on the host instead of "
                         "uploading raw uint8 and normalizing inside the "
@@ -147,7 +156,9 @@ def train_dino(args) -> dict:
         cfg, args.batch_size_per_gpu * jax.process_count())
     step_fn = jax.jit(make_dino_train_step(
         vit_cfg, cfg,
-        compute_dtype=jnp.bfloat16 if args.use_fp16 else None))
+        compute_dtype=jnp.bfloat16 if args.use_fp16 else None,
+        schedule_tables=None if args.host_schedules
+        else make_step_schedule_tables(cfg, schedules)))
     aug = DINOAugmentation(
         global_crops_scale=tuple(args.global_crops_scale),
         local_crops_scale=tuple(args.local_crops_scale),
@@ -161,7 +172,8 @@ def train_dino(args) -> dict:
 
     loader = CropBatchPrefetcher(
         lambda i: dataset[int(i)][0], aug, cfg.local_crops_number,
-        num_workers=args.num_workers, seed=args.seed)
+        num_workers=args.num_workers, seed=args.seed,
+        transfer=jax.device_put)
 
     start_epoch = 0
     ckpt = latest_checkpoint(args.output_dir, "checkpoint")
@@ -172,15 +184,37 @@ def train_dino(args) -> dict:
 
     os.makedirs(args.output_dir, exist_ok=True)
     stats = {}
+
+    def consume(pending):
+        """Resolve the (already host-copied) metrics of a prior step."""
+        loss = float(pending["loss"])
+        if not math.isfinite(loss):
+            # one step later than the reference's per-step check
+            # (main_dino.py:330-333) — the lag overlaps the fetch with the
+            # next step's compute; nothing is checkpointed in between.
+            print(f"Loss is {loss}, stopping training", flush=True)
+            sys.exit(1)
+        logger.update(loss=loss, lr=float(pending["lr"]),
+                      wd=float(pending["wd"]))
+
     with maybe_profile(args.profile):
         for epoch in range(start_epoch, args.epochs):
             logger = MetricLogger()
             t_temp = schedules["teacher_temp"][min(
                 epoch, len(schedules["teacher_temp"]) - 1)]
+            if not args.host_schedules:
+                # pin the device-side table index to the reference's
+                # it = epoch * steps_per_epoch (exact under resume and
+                # --max_steps_per_epoch truncation alike)
+                state = state._replace(
+                    step=jnp.asarray(epoch * steps_per_epoch, jnp.int32))
             batches = dataset.epoch_batches(
                 args.batch_size_per_gpu, seed=args.seed + epoch,
                 num_shards=jax.process_count(),
                 shard_index=jax.process_index())
+            # start each step's d2h immediately, resolve it after the NEXT
+            # dispatch: the fetch round trip rides under step i+1's compute
+            fetch = LaggedFetch(consume)
             for i, (g, l) in enumerate(logger.log_every(
                     loader.batches(epoch, batches), 10,
                     f"Epoch: [{epoch}]")):
@@ -188,22 +222,22 @@ def train_dino(args) -> dict:
                     break
                 it = min(epoch * steps_per_epoch + i, cfg.total_steps - 1)
                 with step_annotation("dino_step", step=it):
-                    state, metrics = step_fn(
-                        state, jnp.asarray(g),
-                        jnp.asarray(l) if l is not None else None,
-                        lr=jnp.float32(schedules["lr"][it]),
-                        wd=jnp.float32(schedules["wd"][it]),
-                        teacher_momentum=jnp.float32(
-                            schedules["momentum"][it]),
-                        teacher_temp=jnp.float32(t_temp),
-                        freeze_last=jnp.asarray(
-                            epoch < cfg.freeze_last_layer))
-                loss = float(metrics["loss"])
-                if not math.isfinite(loss):
-                    print(f"Loss is {loss}, stopping training", flush=True)
-                    sys.exit(1)
-                logger.update(loss=loss, lr=float(metrics["lr"]),
-                              wd=float(metrics["wd"]))
+                    g = jnp.asarray(g)
+                    l = jnp.asarray(l) if l is not None else None
+                    if args.host_schedules:
+                        state, metrics = step_fn(
+                            state, g, l,
+                            lr=jnp.float32(schedules["lr"][it]),
+                            wd=jnp.float32(schedules["wd"][it]),
+                            teacher_momentum=jnp.float32(
+                                schedules["momentum"][it]),
+                            teacher_temp=jnp.float32(t_temp),
+                            freeze_last=jnp.asarray(
+                                epoch < cfg.freeze_last_layer))
+                    else:
+                        state, metrics = step_fn(state, g, l)
+                fetch.push(metrics)
+            fetch.flush()
             logger.synchronize_between_processes()
             stats = {k: m.global_avg for k, m in logger.meters.items()}
             if jax.process_index() == 0:

@@ -54,7 +54,8 @@ from tpu_ac.train.scan import (
     make_simclr_step,
     scan_evaluate_heads,
 )
-from tpu_ac.utils import latest_checkpoint, restore_checkpoint, save_checkpoint
+from tpu_ac.utils import (LaggedFetch, latest_checkpoint,
+                          restore_checkpoint, save_checkpoint)
 
 
 def _load_dataset(cfg, split: str) -> ArrayDataset:
@@ -143,6 +144,16 @@ def _train_dp(cfg) -> int:
     return int(cfg.get("train_dp") or 1)
 
 
+def _thunk_transfer(cfg):
+    """Host->device hook applied to assembled batches INSIDE the lookahead
+    thread, so the upload rides under the previous step's compute (the
+    blocking ``device_put`` releases the GIL).  Under ``train_dp`` the
+    batch must instead reach the jitted step as host numpy so jit places
+    it per its dp ``in_shardings`` (pre-placing on one device would force
+    a reshard)."""
+    return np.asarray if _train_dp(cfg) > 1 else jax.device_put
+
+
 def run_simclr(cfg) -> None:
     """Pretext stage (simclr.py:30-149): train, fill memory bank, mine and
     save top-k neighbors."""
@@ -168,6 +179,7 @@ def run_simclr(cfg) -> None:
     step = _train_step_jit(cfg, make_simclr_step(
         mcfg, opt, cfg.get("temperature", 0.1)), n_batch_args=2)
     bs = cfg.get("batch_size", 128)
+    put = _thunk_transfer(cfg)
     for epoch in range(start_epoch, cfg.get("epochs", 10)):
         losses = []
 
@@ -176,14 +188,16 @@ def run_simclr(cfg) -> None:
             for idxs in _epoch_batches(len(ds), bs, epoch,
                                        multiple_of=_train_dp(cfg)):
                 yield (lambda idxs=idxs, pos=pos: (
-                    pool.stack(aug, ds.get_pil, idxs, epoch=epoch,
-                               start=pos, stream="i"),
-                    pool.stack(aug, ds.get_pil, idxs, epoch=epoch,
-                               start=pos, stream="j")))
+                    put(pool.stack(aug, ds.get_pil, idxs, epoch=epoch,
+                                   start=pos, stream="i")),
+                    put(pool.stack(aug, ds.get_pil, idxs, epoch=epoch,
+                                   start=pos, stream="j"))))
                 pos += len(idxs)
+        fetch = LaggedFetch(lambda v, acc=losses: acc.append(float(v)))
         for xi, xj in pool.lookahead(thunks()):
-            state, loss = step(state, jnp.asarray(xi), jnp.asarray(xj))
-            losses.append(float(loss))
+            state, loss = step(state, xi, xj)
+            fetch.push(loss)
+        fetch.flush()
         print(f"simclr epoch {epoch}: loss {np.mean(losses):.4f}")
         save_checkpoint(cfg.pretext_dir, "checkpoint", state, step=epoch,
                         extra={"epoch": epoch}, keep=1)
@@ -317,6 +331,7 @@ def run_scan(cfg) -> None:
     bs = cfg.get("batch_size", 128)
     rng = np.random.default_rng(0)
     pool = ParallelAugPool(cfg.get("num_workers", 8), seed=cfg.get("seed", 0))
+    put = _thunk_transfer(cfg)
     head_losses = None
     for epoch in range(cfg.get("epochs", 10)):
         totals = []
@@ -339,16 +354,21 @@ def run_scan(cfg) -> None:
                                    start=pos, stream="a")
                     n = pool.stack(transform, ds.get_pil, nbr, epoch=epoch,
                                    start=pos, stream="n")
-                    return a, n
+                    return put(a), put(n)
                 yield t
                 pos += len(idxs)
-        for anchors, nbrs in pool.lookahead(thunks()):
-            state, metrics = step(state, jnp.asarray(anchors),
-                                  jnp.asarray(nbrs))
+
+        def consume(metrics):
+            nonlocal head_losses
             totals.append(float(metrics["total"]))
             batch_head = np.asarray(metrics["head_losses"])
             head_losses = (batch_head if head_losses is None
                            else head_losses + batch_head)
+        fetch = LaggedFetch(consume)
+        for anchors, nbrs in pool.lookahead(thunks()):
+            state, metrics = step(state, anchors, nbrs)
+            fetch.push(metrics)
+        fetch.flush()
         print(f"scan epoch {epoch}: loss {np.mean(totals):.4f}")
     pool.close()
     best = scan_evaluate_heads(head_losses)
@@ -417,6 +437,7 @@ def run_selflabel(cfg) -> None:
     strong = StrongAugmentation(size=size, seed=0)
     pool = ParallelAugPool(cfg.get("num_workers", 8), seed=cfg.get("seed", 0))
     bs = cfg.get("batch_size", 128)
+    put = _thunk_transfer(cfg)
     for epoch in range(cfg.get("epochs", 5)):
         losses = []
 
@@ -425,14 +446,16 @@ def run_selflabel(cfg) -> None:
             for idxs in _epoch_batches(len(ds), bs, epoch,
                                        multiple_of=_train_dp(cfg)):
                 yield (lambda idxs=idxs, pos=pos: (
-                    pool.stack(weak, ds.get_pil, idxs, epoch=epoch,
-                               start=pos, stream="w"),
-                    pool.stack(strong, ds.get_pil, idxs, epoch=epoch,
-                               start=pos, stream="s")))
+                    put(pool.stack(weak, ds.get_pil, idxs, epoch=epoch,
+                                   start=pos, stream="w")),
+                    put(pool.stack(strong, ds.get_pil, idxs, epoch=epoch,
+                                   start=pos, stream="s"))))
                 pos += len(idxs)
+        fetch = LaggedFetch(lambda v, acc=losses: acc.append(float(v)))
         for w, s in pool.lookahead(thunks()):
-            state, loss = step(state, jnp.asarray(w), jnp.asarray(s))
-            losses.append(float(loss))
+            state, loss = step(state, w, s)
+            fetch.push(loss)
+        fetch.flush()
         print(f"selflabel epoch {epoch}: loss {np.mean(losses):.4f}")
     pool.close()
     save_checkpoint(cfg.selflabel_dir, "model",

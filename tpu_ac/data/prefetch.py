@@ -71,15 +71,22 @@ class CropBatchPrefetcher:
         n_local: number of local crops ``aug`` emits after the 2 globals.
         num_workers: augmentation threads (0 = fully serial, no lookahead).
         seed: determinism base for the per-image rng keys.
+        transfer: optional host->device hook (``jax.device_put``) applied
+            to the assembled arrays INSIDE the lookahead thread, so the
+            upload (which blocks its calling thread for the whole
+            transfer, releasing the GIL) rides under the previous step's
+            compute instead of stalling the dispatch thread.
     """
 
     def __init__(self, get_image: Callable, aug: Callable, n_local: int,
-                 *, num_workers: int = 8, seed: int = 0):
+                 *, num_workers: int = 8, seed: int = 0,
+                 transfer: Callable | None = None):
         self.get_image = get_image
         self.aug = aug
         self.n_local = n_local
         self.num_workers = num_workers
         self.seed = seed
+        self.transfer = transfer
         self._pool = (ThreadPoolExecutor(num_workers, "tpu_ac-aug")
                       if num_workers > 0 else None)
         self._head = (ThreadPoolExecutor(1, "tpu_ac-prefetch")
@@ -102,6 +109,9 @@ class CropBatchPrefetcher:
         l = (np.concatenate([np.stack([c[2 + k] for c in crops])
                              for k in range(self.n_local)])
              if self.n_local else None)
+        if self.transfer is not None:
+            g = self.transfer(g)
+            l = self.transfer(l) if l is not None else None
         return g, l
 
     def batches(self, epoch: int, idx_batches: Iterable[Sequence[int]]

@@ -11,6 +11,7 @@ from tpu_ac.train.dino import (
     DINOTrainState,
     init_dino_state,
     make_dino_train_step,
+    make_step_schedule_tables,
     cosine_scheduler,
     dino_loss,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "DINOTrainState",
     "init_dino_state",
     "make_dino_train_step",
+    "make_step_schedule_tables",
     "cosine_scheduler",
     "dino_loss",
 ]

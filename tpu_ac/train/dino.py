@@ -184,9 +184,34 @@ def init_dino_state(seed: int, vit_cfg: ViTConfig,
         step=jnp.zeros((), jnp.int32))
 
 
+def make_step_schedule_tables(cfg: DINOConfig,
+                              schedules: Mapping[str, np.ndarray]):
+    """Per-STEP device-resident schedule tables for ``schedule_tables=``.
+
+    Expands ``make_schedules`` output (lr/wd/momentum per step,
+    teacher_temp per EPOCH, main_dino.py:371-377) plus the
+    freeze-last-layer epoch rule (main_dino.py:334-336) into five
+    length-``total_steps`` arrays indexed by the step counter inside the
+    jitted step.  Eliminates the five per-step host->device scalar
+    transfers (each a full link round trip on remote-attached chips).
+    """
+    t = cfg.total_steps
+    epoch_of = np.minimum(np.arange(t) // cfg.steps_per_epoch,
+                          cfg.epochs - 1)
+    temp = np.asarray(schedules["teacher_temp"], np.float32)
+    return {
+        "lr": jnp.asarray(schedules["lr"], jnp.float32),
+        "wd": jnp.asarray(schedules["wd"], jnp.float32),
+        "momentum": jnp.asarray(schedules["momentum"], jnp.float32),
+        "teacher_temp": jnp.asarray(
+            temp[np.minimum(epoch_of, len(temp) - 1)]),
+        "freeze_last": jnp.asarray(epoch_of < cfg.freeze_last_layer),
+    }
+
+
 def make_dino_train_step(vit_cfg: ViTConfig, cfg: DINOConfig,
                          precision=jax.lax.Precision.DEFAULT,
-                         compute_dtype=None):
+                         compute_dtype=None, schedule_tables=None):
     """Build the jittable train step.
 
     Step signature: (state, global_crops [2B, 3, Hg, Wg],
@@ -196,6 +221,13 @@ def make_dino_train_step(vit_cfg: ViTConfig, cfg: DINOConfig,
     Schedule values are passed as traced scalars so one compiled program
     serves the whole run (the reference indexes per-iteration numpy tables,
     main_dino.py:309-312 — do the same on the host and feed the scalars).
+
+    With ``schedule_tables`` (from :func:`make_step_schedule_tables`) the
+    signature is just ``(state, global_crops, local_crops)``: all five
+    values are gathered on DEVICE at ``min(state.step, total_steps - 1)``
+    — the reference's ``it`` clamp (main_dino.py:309) — so a remote link
+    pays zero schedule round trips per step.  The tables total
+    ~20 bytes/step, negligible as jit constants.
 
     ``compute_dtype=jnp.bfloat16`` is the TPU mixed-precision mode (the
     reference's fp16 autocast + GradScaler, main_dino.py:233-235,337-344):
@@ -289,7 +321,21 @@ def make_dino_train_step(vit_cfg: ViTConfig, cfg: DINOConfig,
                                    step=state.step + 1)
         return new_state, {"loss": loss, "lr": lr, "wd": wd}
 
-    return train_step
+    if schedule_tables is None:
+        return train_step
+
+    tables = dict(schedule_tables)
+
+    def train_step_resident(state: DINOTrainState, global_crops,
+                            local_crops):
+        it = jnp.minimum(state.step, cfg.total_steps - 1)
+        return train_step(state, global_crops, local_crops,
+                          lr=tables["lr"][it], wd=tables["wd"][it],
+                          teacher_momentum=tables["momentum"][it],
+                          teacher_temp=tables["teacher_temp"][it],
+                          freeze_last=tables["freeze_last"][it])
+
+    return train_step_resident
 
 
 def make_schedules(cfg: DINOConfig, batch_size_global: int):

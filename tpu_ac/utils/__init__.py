@@ -9,13 +9,15 @@ from tpu_ac.utils.checkpoint import (
     restore_checkpoint,
     latest_checkpoint,
 )
-from tpu_ac.utils.logging import MetricLogger, SmoothedValue, StepTimer
+from tpu_ac.utils.logging import (LaggedFetch, MetricLogger, SmoothedValue,
+                                  StepTimer)
 from tpu_ac.utils.seeding import fix_seeds
 
 __all__ = [
     "save_checkpoint",
     "restore_checkpoint",
     "latest_checkpoint",
+    "LaggedFetch",
     "MetricLogger",
     "SmoothedValue",
     "StepTimer",

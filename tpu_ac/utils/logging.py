@@ -134,6 +134,37 @@ class MetricLogger:
             f"{datetime.timedelta(seconds=int(time.time() - start))}")
 
 
+class LaggedFetch:
+    """One-step-lagged async resolution of per-step device scalars.
+
+    ``float(metrics["loss"])`` right after a train-step dispatch blocks
+    the host for the full device round trip (30-50 ms per step on
+    remote-attached chips).  ``push`` starts the d2h copy immediately but
+    resolves the PREVIOUS step's values instead, so each fetch rides
+    under the next step's compute; ``flush`` drains the last pending
+    entry at loop end.  ``consume`` receives the (ready) metric tree.
+    """
+
+    def __init__(self, consume):
+        self._consume = consume
+        self._pending = None
+
+    def push(self, tree) -> None:
+        import jax
+
+        for leaf in jax.tree.leaves(tree):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        if self._pending is not None:
+            self._consume(self._pending)
+        self._pending = tree
+
+    def flush(self) -> None:
+        if self._pending is not None:
+            self._consume(self._pending)
+            self._pending = None
+
+
 class StepTimer:
     """Step-time + device-memory reporter; optional jax.profiler trace."""
 
