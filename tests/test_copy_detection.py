@@ -176,3 +176,46 @@ class TestCopyDetectionCLI:
         # noised near-copies with a real (random-weight) ViT still retrieve
         # their original nearly perfectly
         assert res["jpegqual/75"] > 0.8
+
+    def test_cli_dp_matches_single(self, copydays_root):
+        """--dp (dp-sharded extraction batches over the 8-device virtual
+        mesh — the reference's DistributedSampler + cross-rank all_gather,
+        eval_copy_detection.py:162,186-194) reproduces the single-device
+        per-block mAPs."""
+        from tpu_ac.cli.eval_copy_detection import main
+        from tpu_ac.models.registry import register_backbone, BackboneSpec
+        from tpu_ac.models.vit import ViTConfig
+
+        register_backbone("tiny_test_cd_dp", BackboneSpec(
+            "vit", ViTConfig(patch_size=8, embed_dim=32, depth=2,
+                             num_heads=2, img_size=32), None))
+        args = ["--data_path", copydays_root, "--arch", "tiny_test_cd_dp",
+                "--imsize", "32", "--batch_size_per_gpu", "3"]
+        res1 = main(args)
+        res_dp = main(args + ["--dp"])  # batch 3 rounds up to 8
+        for block in res1:
+            assert res_dp[block] == pytest.approx(res1[block], abs=1e-5)
+
+
+class TestDistributedExtraction:
+    def test_extract_mesh_matches_single(self, rng):
+        """extract_copydetect_features(mesh=...) == the closure path."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        from tpu_ac.train.copy_detection import extract_copydetect_features
+
+        def tokens(p, x):
+            pooled = jnp.mean(x, axis=(2, 3)) @ p["w"]  # [B, D]
+            return jnp.stack([pooled, pooled * 0.5, pooled + 1.0], axis=1)
+
+        params = {"w": jnp.asarray(
+            rng.standard_normal((3, 6)).astype(np.float32))}
+        imgs = rng.standard_normal((13, 3, 8, 8)).astype(np.float32)
+        mesh = Mesh(np.asarray(jax.devices()), ("dp",))
+        f_dp = extract_copydetect_features(tokens, imgs, 8, mesh=mesh,
+                                           params=params)
+        f_1 = extract_copydetect_features(
+            lambda x: tokens(params, x), imgs, 8)
+        np.testing.assert_allclose(f_dp, f_1, rtol=1e-5, atol=1e-6)

@@ -6,6 +6,7 @@ import json
 import os
 
 import numpy as np
+from typing import Sequence
 import pytest
 from PIL import Image
 
@@ -24,7 +25,7 @@ def tiny_imagefolder(tmp_path_factory):
 
 
 def _run(tiny_imagefolder, tmp_path, use_fp16: str, tag: str = "",
-         extra: list[str] = ()):
+         extra: Sequence[str] = ()):
     from tpu_ac.cli.dino import main
 
     out = str(tmp_path / f"out_{use_fp16}{tag}")

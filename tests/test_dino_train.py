@@ -138,8 +138,12 @@ class TestSchedules:
 
 
 class TestResidentSchedules:
-    """Device-resident schedule tables gathered by state.step must be
-    bit-identical to the host-scalar path (main_dino.py:309-312 indexing)."""
+    """Device-resident schedule tables gathered by state.step must match
+    the host-scalar path (main_dino.py:309-312 indexing).  Contract
+    (PARITY.md #22): the gathered SCALARS (lr/wd/...) are bit-identical —
+    both sides round the same float64 table entry to f32 — but the LOSS
+    and params may differ by ~1 ulp because a table gather fuses into the
+    downstream program differently than a passed scalar."""
 
     def test_tables_shapes_and_freeze_rule(self):
         from tpu_ac.train.dino import make_schedules, make_step_schedule_tables
@@ -163,7 +167,7 @@ class TestResidentSchedules:
         tab = make_step_schedule_tables(TINY_CFG, sch)
         step_host = jax.jit(make_dino_train_step(TINY_VIT, TINY_CFG))
         step_res = jax.jit(make_dino_train_step(TINY_VIT, TINY_CFG,
-                                                schedule_tables=tab))
+                                                resident_schedules=True))
         g, l = batch
         s_h = init_dino_state(0, TINY_VIT, TINY_CFG)
         s_r = init_dino_state(0, TINY_VIT, TINY_CFG)
@@ -179,27 +183,32 @@ class TestResidentSchedules:
                 teacher_temp=jnp.float32(sch["teacher_temp"][epoch]),
                 freeze_last=jnp.asarray(
                     epoch < TINY_CFG.freeze_last_layer))
-            s_r, m_r = step_res(s_r, g, l)
-            np.testing.assert_array_equal(np.asarray(m_h["loss"]),
-                                          np.asarray(m_r["loss"]))
+            s_r, m_r = step_res(s_r, g, l, tab)
+            # loss: ≤2 ulp (fusion-order tolerance, see class docstring)
+            np.testing.assert_allclose(np.asarray(m_h["loss"]),
+                                       np.asarray(m_r["loss"]),
+                                       rtol=5e-7, atol=0)
+            # the gathered schedule scalar itself IS bit-identical
             np.testing.assert_array_equal(np.asarray(m_h["lr"]),
                                           np.asarray(m_r["lr"]))
         k = "backbone.blocks.0.attn.qkv.weight"
-        np.testing.assert_array_equal(np.asarray(s_h.student[k]),
-                                      np.asarray(s_r.student[k]))
-        np.testing.assert_array_equal(np.asarray(s_h.teacher[k]),
-                                      np.asarray(s_r.teacher[k]))
+        np.testing.assert_allclose(np.asarray(s_h.student[k]),
+                                   np.asarray(s_r.student[k]),
+                                   rtol=5e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(s_h.teacher[k]),
+                                   np.asarray(s_r.teacher[k]),
+                                   rtol=5e-7, atol=1e-9)
 
     def test_step_clamps_past_total_steps(self, batch):
         from tpu_ac.train.dino import make_schedules, make_step_schedule_tables
         sch = make_schedules(TINY_CFG, batch_size_global=64)
         tab = make_step_schedule_tables(TINY_CFG, sch)
         step_res = jax.jit(make_dino_train_step(TINY_VIT, TINY_CFG,
-                                                schedule_tables=tab))
+                                                resident_schedules=True))
         g, l = batch
         s = init_dino_state(0, TINY_VIT, TINY_CFG)._replace(
             step=jnp.asarray(TINY_CFG.total_steps + 3, jnp.int32))
-        _, m = step_res(s, g, l)
+        _, m = step_res(s, g, l, tab)
         # the reference clamps it to the last table entry (main_dino.py:309)
         np.testing.assert_array_equal(np.asarray(m["lr"]),
                                       np.float32(sch["lr"][-1]))

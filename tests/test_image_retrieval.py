@@ -104,3 +104,63 @@ class TestRetrievalCLI:
         # ViT embeds near-dups close, so Medium mAP is far above chance
         assert res["mAP_M"] > 0.5
         assert res["mP@k_M"].shape == (3,)
+
+    def test_dp_matches_single(self, roxford_root):
+        """--dp (shape-bucketed dp extraction over the 8-device virtual
+        mesh — the reference's DistributedSampler sharding,
+        eval_image_retrieval.py:112-118) reproduces the single-device
+        metrics."""
+        from tpu_ac.cli.eval_image_retrieval import main
+        from tpu_ac.models.registry import BackboneSpec, register_backbone
+        from tpu_ac.models.vit import ViTConfig
+
+        register_backbone("tiny_retrieval_dp", BackboneSpec(
+            "vit", ViTConfig(patch_size=8, embed_dim=32, depth=2,
+                             num_heads=2, img_size=32), None))
+        args = ["--data_path", roxford_root, "--dataset", "roxford5k",
+                "--arch", "tiny_retrieval_dp", "--imsize", "48"]
+        res1 = main(args)
+        res_dp = main(args + ["--dp"])
+        assert res_dp["mAP_M"] == pytest.approx(res1["mAP_M"], abs=1e-5)
+        assert res_dp["mAP_H"] == pytest.approx(res1["mAP_H"], abs=1e-5)
+
+    def test_bucketed_extraction_mixed_shapes(self):
+        """The dp path groups images by shape, pads ragged groups to the
+        device-count multiple, and scatters features back in dataset
+        order — identical to the per-image path."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        from tpu_ac.cli.eval_image_retrieval import extract_split_features
+
+        rng = np.random.default_rng(0)
+
+        class FakeDS:
+            def __init__(self):
+                # two shape buckets, both ragged vs the 8-device mesh
+                self.imgs = ([rng.standard_normal((3, 16, 16)).astype(
+                    np.float32) for _ in range(5)] +
+                    [rng.standard_normal((3, 16, 24)).astype(np.float32)
+                     for _ in range(3)])
+                # interleave so scatter-back ordering is exercised
+                order = [0, 5, 1, 6, 2, 7, 3, 4]
+                self.imgs = [self.imgs[i] for i in order]
+
+            def __len__(self):
+                return len(self.imgs)
+
+            def __getitem__(self, i):
+                return self.imgs[i]
+
+        def embed(p, x):
+            return jnp.mean(x, axis=(2, 3)) @ p["w"]
+
+        params = {"w": jnp.asarray(
+            rng.standard_normal((3, 7)).astype(np.float32))}
+        mesh = Mesh(np.asarray(jax.devices()), ("dp",))
+        ds = FakeDS()
+        f_dp = extract_split_features(embed, ds, mesh=mesh, params=params)
+        f_1 = extract_split_features(
+            lambda x: embed(params, x), ds)
+        np.testing.assert_allclose(f_dp, f_1, rtol=1e-5, atol=1e-6)

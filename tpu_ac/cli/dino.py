@@ -96,8 +96,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "per-step host scalars (the reference's table "
                         "indexing, main_dino.py:309-312) instead of the "
                         "default device-resident tables gathered by the "
-                        "step counter. Identical numerics; the default "
-                        "saves 5 host->device round trips per step.")
+                        "step counter. Equivalent numerics to ~1 ulp "
+                        "(table gathers fuse differently than passed "
+                        "scalars, PARITY.md #22); the default saves 5 "
+                        "host->device round trips per step. Console "
+                        "log_every meters lag one step behind the printed "
+                        "iteration (LaggedFetch); epoch stats and log.txt "
+                        "are exact either way.")
     p.add_argument("--host_normalize", action="store_true",
                    help="normalize crops to f32 on the host instead of "
                         "uploading raw uint8 and normalizing inside the "
@@ -157,8 +162,12 @@ def train_dino(args) -> dict:
     step_fn = jax.jit(make_dino_train_step(
         vit_cfg, cfg,
         compute_dtype=jnp.bfloat16 if args.use_fp16 else None,
-        schedule_tables=None if args.host_schedules
-        else make_step_schedule_tables(cfg, schedules)))
+        resident_schedules=not args.host_schedules))
+    # Device-resident tables, passed as jit ARGUMENTS every step (free:
+    # the arrays already live on device) rather than closed over — closure
+    # would inline ~20 B/step of HLO constants, ~40 MB at ImageNet scale.
+    tables = (None if args.host_schedules
+              else make_step_schedule_tables(cfg, schedules))
     aug = DINOAugmentation(
         global_crops_scale=tuple(args.global_crops_scale),
         local_crops_scale=tuple(args.local_crops_scale),
@@ -192,6 +201,10 @@ def train_dino(args) -> dict:
             # one step later than the reference's per-step check
             # (main_dino.py:330-333) — the lag overlaps the fetch with the
             # next step's compute; nothing is checkpointed in between.
+            # Multi-host caveat: a one-sided sys.exit leaves peers blocked
+            # in the next collective until the distributed-runtime timeout
+            # tears the job down (same failure mode as the reference's
+            # per-rank exit under DDP).
             print(f"Loss is {loss}, stopping training", flush=True)
             sys.exit(1)
         logger.update(loss=loss, lr=float(pending["lr"]),
@@ -235,7 +248,7 @@ def train_dino(args) -> dict:
                             freeze_last=jnp.asarray(
                                 epoch < cfg.freeze_last_layer))
                     else:
-                        state, metrics = step_fn(state, g, l)
+                        state, metrics = step_fn(state, g, l, tables)
                 fetch.push(metrics)
             fetch.flush()
             logger.synchronize_between_processes()

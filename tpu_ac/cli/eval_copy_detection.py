@@ -37,6 +37,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--arch", default="dino_vitbase8",
                    help="backbone registry name")
     p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--dp", action="store_true",
+                   help="shard every extraction batch over all local "
+                        "devices (the reference's DistributedSampler + "
+                        "cross-rank all_gather, eval_copy_detection.py:"
+                        "162,186-194). batch_size_per_gpu is rounded up "
+                        "to a device-count multiple.")
     return p
 
 
@@ -75,36 +81,44 @@ def main(argv=None) -> None:
         raise SystemExit(f"Architecture {args.arch} non supported")
     from tpu_ac.models.vit import vit_intermediate_layers
 
-    @jax.jit
     def tokens(p, x):
         return vit_intermediate_layers(p, x, cfg, n=1,
                                        precision=jax.lax.Precision.DEFAULT)[0]
 
-    device_params = jax.device_put(dict(params))
-    embed = lambda x: tokens(device_params, x)  # noqa: E731
+    mesh = None
+    batch = args.batch_size_per_gpu
+    if args.dp:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(jax.devices()), ("dp",))
+        n_dev = mesh.devices.size
+        batch = ((batch + n_dev - 1) // n_dev) * n_dev
+        device_params = jax.device_put(dict(params),
+                                       NamedSharding(mesh, P()))
+    else:
+        device_params = jax.device_put(dict(params))
+    # tokens+GeM jitted inside extract_copydetect_features with the
+    # (already device-resident) weights as a jit argument
+    extract = lambda imgs: extract_copydetect_features(  # noqa: E731
+        tokens, imgs, batch, mesh=mesh, params=device_params)
 
     dataset = CopydaysDataset(args.data_path)
     qpaths, block_sizes = dataset.query_paths()
-    queries = extract_copydetect_features(
-        embed, _load_paths(qpaths, args.imsize), args.batch_size_per_gpu)
+    queries = extract(_load_paths(qpaths, args.imsize))
     print(f"Extraction of queries features done. Shape: {queries.shape}")
-    database = extract_copydetect_features(
-        embed, _load_paths(dataset.database_paths(), args.imsize),
-        args.batch_size_per_gpu)
+    database = extract(_load_paths(dataset.database_paths(), args.imsize))
 
     distractors = None
     if args.distractors_path and os.path.isdir(args.distractors_path):
         print("Using distractors...")
-        distractors = extract_copydetect_features(
-            embed, _load_dir_images(args.distractors_path, args.imsize),
-            args.batch_size_per_gpu)
+        distractors = extract(
+            _load_dir_images(args.distractors_path, args.imsize))
     whitening = None
     if args.whitening_path and os.path.isdir(args.whitening_path):
         print(f"Extracting features on images from {args.whitening_path} "
               "for learning the whitening operator.")
-        whitening = extract_copydetect_features(
-            embed, _load_dir_images(args.whitening_path, args.imsize),
-            args.batch_size_per_gpu)
+        whitening = extract(
+            _load_dir_images(args.whitening_path, args.imsize))
 
     results = copydays_eval(queries, database, dataset, block_sizes,
                             distractor_features=distractors,

@@ -13,6 +13,7 @@ rank by cosine similarity, and report Medium/Hard mAP and mP@k.
 from __future__ import annotations
 
 import argparse
+import functools
 
 import numpy as np
 
@@ -35,15 +36,76 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--arch", default="dino_vitbase16",
                    help="backbone registry name")
     p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--dp", action="store_true",
+                   help="shape-bucketed data-parallel extraction over all "
+                        "local devices (the reference's DistributedSampler "
+                        "sharding, eval_image_retrieval.py:112-118).")
     return p
 
 
+@functools.lru_cache(maxsize=16)
+def _bucketed_extractor(embed_fn, mesh, multiscale: bool):
+    """One dp-sharded jit per (embed_fn, mesh, multiscale) so the train
+    and query splits share the per-shape trace/compile cache."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+
+    def batched(p, x):
+        if multiscale:
+            return multi_scale(x, lambda xx: embed_fn(p, xx))
+        return embed_fn(p, x)
+
+    return jax.jit(batched, in_shardings=(rep, shard), out_shardings=rep)
+
+
 def extract_split_features(embed_fn, dataset: OxfordParisDataset,
-                           multiscale: bool = False) -> np.ndarray:
+                           multiscale: bool = False, *, mesh=None,
+                           params=None) -> np.ndarray:
     """Per-image CLS features (images vary in shape after thumbnail, so
     the jitted embed runs once per distinct shape — the reference likewise
-    iterates with batch_size=1, eval_image_retrieval.py:118-127)."""
+    iterates with batch_size=1, eval_image_retrieval.py:118-127).
+
+    With ``mesh`` (and ``params``; ``embed_fn(params, batch)``) extraction
+    is SHAPE-BUCKETED data parallel — the TPU-native answer to the
+    reference's DistributedSampler sharding (eval_image_retrieval.py:
+    112-118): images are grouped by post-thumbnail shape, each group is
+    padded to a device-count multiple and embedded as one dp-sharded
+    batch, and features scatter back into dataset order.  Same numerics
+    as the per-image path (the ViT is per-image; only batching changes),
+    same compile count (one program per distinct shape).
+    """
+    import jax
     import jax.numpy as jnp
+
+    if mesh is not None:
+        if params is None:
+            raise ValueError("extract_split_features(mesh=...) requires "
+                             "params= (weights travel as a jit argument)")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        jitted = _bucketed_extractor(embed_fn, mesh, multiscale)
+        device_params = jax.device_put(params, rep)
+        n_dev = mesh.devices.size
+
+        groups: dict[tuple, list[int]] = {}
+        imgs = [dataset[i] for i in range(len(dataset))]
+        for i, im in enumerate(imgs):
+            groups.setdefault(im.shape, []).append(i)
+        out: list[np.ndarray | None] = [None] * len(imgs)
+        for shape, idxs in groups.items():
+            x = np.stack([imgs[i] for i in idxs])
+            pad = (-len(idxs)) % n_dev
+            if pad:
+                x = np.concatenate(
+                    [x, np.zeros((pad, *shape), x.dtype)])
+            f = np.asarray(jitted(device_params, jnp.asarray(x)))
+            for k, i in enumerate(idxs):
+                out[i] = f[k]
+        return np.stack(out)
 
     feats = []
     for i in range(len(dataset)):
@@ -67,20 +129,25 @@ def main(argv=None) -> dict:
         raise SystemExit(f"Architecture {args.arch} non supported")
     from tpu_ac.models.vit import vit_cls_forward
 
-    @jax.jit
     def cls(p, x):
-        return vit_cls_forward(p, x, cfg,
-                               precision=jax.lax.Precision.DEFAULT)
-
-    device_params = jax.device_put(dict(params))
-
-    def embed(x):
         # ViT patch grid needs H, W divisible by patch_size; the stride-ps
         # conv in the reference silently floors — cropping the remainder is
         # numerically identical
         h = (x.shape[2] // cfg.patch_size) * cfg.patch_size
         w = (x.shape[3] // cfg.patch_size) * cfg.patch_size
-        return cls(device_params, x[:, :, :h, :w])
+        return vit_cls_forward(p, x[:, :, :h, :w], cfg,
+                               precision=jax.lax.Precision.DEFAULT)
+
+    mesh = None
+    if args.dp:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()), ("dp",))
+
+    if mesh is None:
+        device_params = jax.device_put(dict(params))
+        cls_jit = jax.jit(cls)
+        embed = lambda x: cls_jit(device_params, x)  # noqa: E731
 
     ds_train = OxfordParisDataset(args.data_path, args.dataset, "train",
                                   imsize=args.imsize)
@@ -88,10 +155,21 @@ def main(argv=None) -> dict:
                                   imsize=args.imsize)
     print(f"train: {len(ds_train)} imgs / query: {len(ds_query)} imgs")
 
-    train_features = extract_split_features(embed, ds_train,
-                                            bool(args.multiscale))
-    query_features = extract_split_features(embed, ds_query,
-                                            bool(args.multiscale))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep_params = jax.device_put(dict(params), NamedSharding(mesh, P()))
+        train_features = extract_split_features(
+            cls, ds_train, bool(args.multiscale), mesh=mesh,
+            params=rep_params)
+        query_features = extract_split_features(
+            cls, ds_query, bool(args.multiscale), mesh=mesh,
+            params=rep_params)
+    else:
+        train_features = extract_split_features(embed, ds_train,
+                                                bool(args.multiscale))
+        query_features = extract_split_features(embed, ds_query,
+                                                bool(args.multiscale))
 
     ks = [1, 5, 10]
     res = revisited_retrieval_eval(query_features, train_features,

@@ -72,10 +72,13 @@ class CropBatchPrefetcher:
         num_workers: augmentation threads (0 = fully serial, no lookahead).
         seed: determinism base for the per-image rng keys.
         transfer: optional host->device hook (``jax.device_put``) applied
-            to the assembled arrays INSIDE the lookahead thread, so the
-            upload (which blocks its calling thread for the whole
-            transfer, releasing the GIL) rides under the previous step's
-            compute instead of stalling the dispatch thread.
+            to the assembled arrays INSIDE the lookahead thread when
+            ``num_workers > 0``, so the upload (which blocks its calling
+            thread for the whole transfer, releasing the GIL) rides under
+            the previous step's compute instead of stalling the dispatch
+            thread.  With ``num_workers=0`` there is no lookahead thread
+            and the transfer blocks the dispatch thread (serial mode
+            trades the overlap away for simplicity).
     """
 
     def __init__(self, get_image: Callable, aug: Callable, n_local: int,

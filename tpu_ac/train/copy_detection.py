@@ -18,6 +18,7 @@ Rebuilds the full protocol the reference ships:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Callable, Sequence
 
@@ -113,9 +114,36 @@ def gem_cls_features(tokens: jnp.ndarray, p: float = 4.0) -> jnp.ndarray:
     return jnp.concatenate([cls_tok, gem], axis=1)
 
 
+@functools.lru_cache(maxsize=8)
+def _gem_fused(embed_fn: Callable) -> Callable:
+    """Stable (per embed_fn) tokens+GeM function so extract_features'
+    jit-program cache is shared across the query/database/distractor/
+    whitening extraction calls."""
+    def fused(p, x):
+        return gem_cls_features(embed_fn(p, x))
+
+    return fused
+
+
 def extract_copydetect_features(embed_fn: Callable, images: np.ndarray,
-                                batch_size: int = 16) -> np.ndarray:
-    """embed_fn: [B,3,H,W] -> final-norm'd last-block tokens [B,1+N,D]."""
+                                batch_size: int = 16, *, mesh=None,
+                                params=None) -> np.ndarray:
+    """embed_fn: [B,3,H,W] -> final-norm'd last-block tokens [B,1+N,D].
+
+    With ``params`` the tokens+GeM program is jitted here with the weights
+    as a replicated jit argument and ``embed_fn(params, batch)`` is the
+    tokens fn; with ``mesh`` on top, each batch dp-shards over the mesh
+    axis and the replicated feature output lowers to one ICI all_gather —
+    the TPU-native form of the reference's DistributedSampler + async
+    cross-rank ``all_gather`` assembly (eval_copy_detection.py:162,
+    186-194).  Copydays resizes every image to the same square, so the
+    batched/sharded path applies uniformly (unlike retrieval's
+    variable-shape thumbnails)."""
+    if params is not None:
+        from tpu_ac.train.evals import extract_features
+
+        return extract_features(_gem_fused(embed_fn), images, batch_size,
+                                normalize=False, mesh=mesh, params=params)
     feats = []
     for i in range(0, len(images), batch_size):
         toks = embed_fn(jnp.asarray(images[i:i + batch_size]))

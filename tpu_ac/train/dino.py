@@ -211,7 +211,7 @@ def make_step_schedule_tables(cfg: DINOConfig,
 
 def make_dino_train_step(vit_cfg: ViTConfig, cfg: DINOConfig,
                          precision=jax.lax.Precision.DEFAULT,
-                         compute_dtype=None, schedule_tables=None):
+                         compute_dtype=None, resident_schedules=False):
     """Build the jittable train step.
 
     Step signature: (state, global_crops [2B, 3, Hg, Wg],
@@ -222,12 +222,21 @@ def make_dino_train_step(vit_cfg: ViTConfig, cfg: DINOConfig,
     serves the whole run (the reference indexes per-iteration numpy tables,
     main_dino.py:309-312 — do the same on the host and feed the scalars).
 
-    With ``schedule_tables`` (from :func:`make_step_schedule_tables`) the
-    signature is just ``(state, global_crops, local_crops)``: all five
-    values are gathered on DEVICE at ``min(state.step, total_steps - 1)``
-    — the reference's ``it`` clamp (main_dino.py:309) — so a remote link
-    pays zero schedule round trips per step.  The tables total
-    ~20 bytes/step, negligible as jit constants.
+    With ``resident_schedules=True`` the signature becomes
+    ``(state, global_crops, local_crops, tables)`` where ``tables`` is the
+    dict from :func:`make_step_schedule_tables`: all five values are
+    gathered on DEVICE at ``min(state.step, total_steps - 1)`` — the
+    reference's ``it`` clamp (main_dino.py:309) — so a remote link pays
+    zero schedule round trips per step.  The tables are ordinary jit
+    arguments (already device-resident, so passing them is free), NOT
+    closed-over constants — at ImageNet scale (~2M steps) inlined tables
+    would add ~40 MB of HLO constants to a remote-compile path that
+    rejects >100 MB payloads.
+
+    Contract: the resident path is numerically equivalent to the
+    host-scalar path within a 1-2 ulp tolerance, NOT bit-identical — the
+    table gather fuses differently than a passed scalar, so XLA may emit
+    a differently-associated fusion for the same math (PARITY.md #22).
 
     ``compute_dtype=jnp.bfloat16`` is the TPU mixed-precision mode (the
     reference's fp16 autocast + GradScaler, main_dino.py:233-235,337-344):
@@ -321,13 +330,11 @@ def make_dino_train_step(vit_cfg: ViTConfig, cfg: DINOConfig,
                                    step=state.step + 1)
         return new_state, {"loss": loss, "lr": lr, "wd": wd}
 
-    if schedule_tables is None:
+    if not resident_schedules:
         return train_step
 
-    tables = dict(schedule_tables)
-
     def train_step_resident(state: DINOTrainState, global_crops,
-                            local_crops):
+                            local_crops, tables):
         it = jnp.minimum(state.step, cfg.total_steps - 1)
         return train_step(state, global_crops, local_crops,
                           lr=tables["lr"][it], wd=tables["wd"][it],

@@ -28,6 +28,22 @@ from tpu_ac.ops.normalize import l2_normalize
 from tpu_ac.ops.interpolate import interpolate_bilinear
 
 
+@functools.lru_cache(maxsize=64)
+def _jitted_extractor(embed_fn: Callable, mesh):
+    """One jit wrapper per (embed_fn, mesh) so repeated extract_features
+    calls (train/query/distractor/whitening splits) share the trace +
+    compile cache instead of re-jitting per call."""
+    if mesh is None:
+        return jax.jit(embed_fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        embed_fn,
+        in_shardings=(rep, NamedSharding(mesh, P(mesh.axis_names[0]))),
+        out_shardings=rep)
+
+
 def extract_features(embed_fn: Callable, images: np.ndarray,
                      batch_size: int = 64, normalize: bool = True,
                      mesh=None, params=None) -> np.ndarray:
@@ -50,23 +66,18 @@ def extract_features(embed_fn: Callable, images: np.ndarray,
     """
     fn = embed_fn
     if params is not None:
+        if mesh is not None and batch_size % mesh.devices.size:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by mesh size "
+                f"{mesh.devices.size}")
+        jitted = _jitted_extractor(embed_fn, mesh)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            if batch_size % mesh.devices.size:
-                raise ValueError(
-                    f"batch_size {batch_size} not divisible by mesh size "
-                    f"{mesh.devices.size}")
-            rep = NamedSharding(mesh, P())
-            jitted = jax.jit(
-                embed_fn,
-                in_shardings=(rep,
-                              NamedSharding(mesh, P(mesh.axis_names[0]))),
-                out_shardings=rep)
             # no-op if the caller already placed them with this sharding
-            device_params = jax.device_put(params, rep)
+            device_params = jax.device_put(params,
+                                           NamedSharding(mesh, P()))
         else:
-            jitted = jax.jit(embed_fn)
             device_params = jax.device_put(params)
         fn = lambda x: jitted(device_params, x)  # noqa: E731
     elif mesh is not None:
