@@ -1,5 +1,16 @@
 # Development targets (tox.ini / local_run_test.sh equivalents).
-.PHONY: test test-fast native bench lint clean export serve-example
+.PHONY: test test-fast native bench lint clean export serve-example \
+	parity-real parity-real-smoke
+
+# Real-weight drop-in drill: convert --verify -> full 15-category sweep ->
+# evaluate -> diff vs the reference's published tau_result.csv.  Reports
+# cleanly when the checkpoint / MVTec dataset are absent (zero-egress
+# environments); see scripts/parity_real.py.
+parity-real:
+	python scripts/parity_real.py
+
+parity-real-smoke:
+	python scripts/parity_real.py --smoke
 
 test:
 	python -m pytest tests/ -q

@@ -193,6 +193,57 @@ def measure_tpu(categories: list[np.ndarray],
     return total_images / sorted(times)[len(times) // 2], times
 
 
+def measure_detect() -> dict:
+    """TPU_AC_BENCH_MODE=detect: PatchCore fit/predict at real MVTec scale
+    (the reference's flagship recipe, sample_training.sh:7-34 /
+    patchcore.py:156-229): wideresnet50 layer2+layer3 -> 1024-dim patch
+    features, 224 px -> 784 patches/image, 220 train images -> 172,480-row
+    bank, 10% approximate greedy coreset, 83 test images.  Reproduces the
+    PERF.md "Detection stack" numbers on demand (expect ~4 s fit /
+    ~40-50 img/s predict warm on the tunneled v5e)."""
+    _setup_jax()
+    import types
+
+    from tpu_ac.cli.patchcore import _build_patchcore
+
+    # smoke override (CI/CPU): TPU_AC_BENCH_DETECT_N="8,4"
+    n_train, n_test = (int(x) for x in os.environ.get(
+        "TPU_AC_BENCH_DETECT_N", "220,83").split(","))
+    args = types.SimpleNamespace(
+        pretrain_embed_dimension=1024, target_embed_dimension=1024,
+        patchsize=3, sampler_name="approx_greedy_coreset", percentage=0.1,
+        seed=0, coreset_select_batch=int(
+            os.environ.get("TPU_AC_BENCH_CORESET_BATCH", "1")),
+        anomaly_scorer_num_nn=1, nn_method="exact", dp=None,
+        imagesize=IMG, batch_size=BATCH)
+    pc = _build_patchcore("wideresnet50", ["layer2", "layer3"], args)
+    rng = np.random.default_rng(0)
+    train = rng.integers(0, 255, (n_train, 3, IMG, IMG)).astype(
+        np.uint8).astype(np.float32) / 255.0
+    test = rng.integers(0, 255, (n_test, 3, IMG, IMG)).astype(
+        np.uint8).astype(np.float32) / 255.0
+
+    pc.fit(train[:BATCH * 2])        # warm/compile both phases
+    pc.predict(test[:BATCH])
+    fits, preds = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pc.fit(train)
+        fits.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        scores, masks = pc.predict(test)
+        preds.append(time.perf_counter() - t0)
+        assert np.isfinite(scores).all() and masks.shape[0] == n_test
+    fit_s = sorted(fits)[1]
+    pred_s = sorted(preds)[1]
+    return {"fit_s": round(fit_s, 2),
+            "fit_img_per_s": round(n_train / fit_s, 1),
+            "predict_img_per_s": round(n_test / pred_s, 1),
+            "n_train": n_train, "n_test": n_test,
+            "bank_rows": n_train * 784,
+            "coreset_select_batch": args.coreset_select_batch}
+
+
 _REF_MODELS_DIR = "/root/reference/Anomaly-Clustering/models"
 _BASELINE_VERSION = 3  # v3: n*(n-1) alpha pair count (j==i is skipped)
 
@@ -311,6 +362,24 @@ def measure_torch_baseline() -> tuple[float, float]:
 
 
 def main() -> None:
+    if os.environ.get("TPU_AC_BENCH_MODE") == "detect":
+        detail = measure_detect()
+        try:
+            health = measure_window_health()
+        except Exception:  # noqa: BLE001
+            health = None
+        print(json.dumps({
+            "metric": (f"PatchCore predict images/sec (wrn50 layer2+3, "
+                       f"{detail['bank_rows']:,}-row bank, 10% approx "
+                       f"coreset, {detail['n_train']} train / "
+                       f"{detail['n_test']} test)"),
+            "value": detail["predict_img_per_s"],
+            "unit": "images/sec",
+            "vs_baseline": None,
+            "detail": detail,
+            "window_health": health,
+        }))
+        return
     rng = np.random.default_rng(0)
     if SWEEP_MODE == "uniform32":
         sizes = [N_IMAGES] * SWEEP
