@@ -48,10 +48,24 @@ def test_cli_end_to_end_bf16(tiny_imagefolder, tmp_path):
 
 
 def test_cli_end_to_end_f32(tiny_imagefolder, tmp_path):
-    """Also pins resident-table (default) == --host_schedules numerics:
-    the device-gathered schedule values and the lagged async metric fetch
-    must not change a single bit of the training math."""
+    """Also pins resident-table (default) ~= --host_schedules numerics
+    (~1 ulp contract, PARITY.md #22: a table gather fuses differently
+    than a passed scalar) and the lagged async metric fetch."""
     loss_resident = _run(tiny_imagefolder, tmp_path, "false")
     loss_host = _run(tiny_imagefolder, tmp_path, "false", tag="_host",
                      extra=["--host_schedules"])
-    assert loss_resident == loss_host
+    assert loss_resident == pytest.approx(loss_host, rel=5e-7)
+
+
+def test_cli_steps_per_dispatch_matches_single(tiny_imagefolder, tmp_path):
+    """--steps_per_dispatch 2 (one fused lax.scan program per 2 steps,
+    ragged tail through the single-step program: 3 steps = one 2-scan +
+    one single) must reproduce the per-step path's epoch stats — the
+    deterministic (seed, epoch, position) aug keys make the crops
+    identical, and the scan body IS the single step."""
+    extra = ["--max_steps_per_epoch", "3"]
+    loss_single = _run(tiny_imagefolder, tmp_path, "false", tag="_k1",
+                       extra=extra)
+    loss_fused = _run(tiny_imagefolder, tmp_path, "false", tag="_k2",
+                      extra=extra + ["--steps_per_dispatch", "2"])
+    assert loss_fused == pytest.approx(loss_single, rel=5e-7)

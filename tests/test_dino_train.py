@@ -214,6 +214,73 @@ class TestResidentSchedules:
                                       np.float32(sch["lr"][-1]))
 
 
+class TestMultiStep:
+    """k-step fused dispatch (make_dino_multi_step): one lax.scan program
+    must equal k sequential resident-schedule steps."""
+
+    def test_matches_sequential_steps(self, batch):
+        from tpu_ac.train.dino import (make_dino_multi_step,
+                                       make_schedules,
+                                       make_step_schedule_tables)
+        sch = make_schedules(TINY_CFG, batch_size_global=64)
+        tab = make_step_schedule_tables(TINY_CFG, sch)
+        step = jax.jit(make_dino_train_step(TINY_VIT, TINY_CFG,
+                                            resident_schedules=True))
+        multi = jax.jit(make_dino_multi_step(TINY_VIT, TINY_CFG, k=3))
+        g, l = batch
+        rng = np.random.default_rng(7)
+        gs = jnp.asarray(rng.standard_normal(
+            (3, *np.shape(g))).astype(np.float32))
+        ls = jnp.asarray(rng.standard_normal(
+            (3, *np.shape(l))).astype(np.float32))
+
+        s_seq = init_dino_state(0, TINY_VIT, TINY_CFG)
+        seq_losses = []
+        for i in range(3):
+            s_seq, m = step(s_seq, gs[i], ls[i], tab)
+            seq_losses.append(float(m["loss"]))
+        s_multi = init_dino_state(0, TINY_VIT, TINY_CFG)
+        s_multi, ms = multi(s_multi, gs, ls, tab)
+
+        assert ms["loss"].shape == (3,)
+        np.testing.assert_allclose(np.asarray(ms["loss"]),
+                                   np.asarray(seq_losses),
+                                   rtol=5e-7, atol=0)
+        # lr stacked per inner step follows the advancing step counter
+        np.testing.assert_array_equal(
+            np.asarray(ms["lr"]), np.asarray(sch["lr"][:3], np.float32))
+        assert int(s_multi.step) == int(s_seq.step) == 3
+        k = "backbone.blocks.0.attn.qkv.weight"
+        np.testing.assert_allclose(np.asarray(s_multi.student[k]),
+                                   np.asarray(s_seq.student[k]),
+                                   rtol=5e-7, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(s_multi.teacher[k]),
+                                   np.asarray(s_seq.teacher[k]),
+                                   rtol=5e-7, atol=1e-8)
+
+    def test_no_local_crops_variant(self, batch):
+        from tpu_ac.train.dino import (make_dino_multi_step,
+                                       make_schedules,
+                                       make_step_schedule_tables)
+        import dataclasses
+
+        cfg = dataclasses.replace(TINY_CFG, local_crops_number=0)
+        sch = make_schedules(cfg, batch_size_global=64)
+        tab = make_step_schedule_tables(cfg, sch)
+        multi = jax.jit(make_dino_multi_step(TINY_VIT, cfg, k=2))
+        g, _ = batch
+        gs = jnp.stack([g, g])
+        s = init_dino_state(0, TINY_VIT, cfg)
+        s, ms = multi(s, gs, None, tab)
+        assert ms["loss"].shape == (2,)
+        assert np.isfinite(np.asarray(ms["loss"])).all()
+
+    def test_rejects_k_below_one(self):
+        from tpu_ac.train.dino import make_dino_multi_step
+        with pytest.raises(ValueError):
+            make_dino_multi_step(TINY_VIT, TINY_CFG, k=0)
+
+
 class TestMixedPrecision:
     def test_bf16_step_close_to_f32(self, state, batch):
         step32 = jax.jit(make_dino_train_step(TINY_VIT, TINY_CFG))

@@ -37,6 +37,7 @@ from tpu_ac.models.vit import VIT_BASE, VIT_SMALL, VIT_TINY, ViTConfig
 from tpu_ac.train.dino import (
     DINOConfig,
     init_dino_state,
+    make_dino_multi_step,
     make_dino_train_step,
     make_schedules,
     make_step_schedule_tables,
@@ -113,6 +114,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", default=None, metavar="TRACE_DIR",
                    help="Capture a jax.profiler trace (with per-step "
                         "StepTraceAnnotations) into TRACE_DIR.")
+    p.add_argument("--steps_per_dispatch", default=1, type=int,
+                   help="fuse k train steps into one jitted lax.scan "
+                        "program (k x fewer host dispatches and metric "
+                        "fetches — the lever for remote-attached chips "
+                        "where every dispatch pays the link round trip). "
+                        "Identical math to k sequential steps; the NaN "
+                        "abort lags up to k steps and the loader stages "
+                        "k batches ahead. Requires the default "
+                        "device-resident schedules (not "
+                        "--host_schedules).")
+    p.add_argument("--remat", default=False, type=_bool_flag,
+                   help="jax.checkpoint each transformer block "
+                        "(rematerialize activations in backward — trades "
+                        "FLOPs for HBM; the ViT-B/16 paper recipe at "
+                        "batch 16 x 10 crops uses it, PERF.md).")
     p.add_argument("--use_fp16", default=True, type=_bool_flag,
                    help="Mixed-precision training (main_dino.py:78): "
                         "forward/backward in bfloat16 with f32 master "
@@ -154,15 +170,22 @@ def train_dino(args) -> dict:
         lr=args.lr, warmup_epochs=args.warmup_epochs, min_lr=args.min_lr,
         weight_decay=args.weight_decay,
         weight_decay_end=args.weight_decay_end,
-        clip_grad=args.clip_grad, freeze_last_layer=args.freeze_last_layer)
+        clip_grad=args.clip_grad, freeze_last_layer=args.freeze_last_layer,
+        remat=args.remat)
 
+    k = args.steps_per_dispatch
+    if k > 1 and args.host_schedules:
+        raise SystemExit("--steps_per_dispatch > 1 needs the device-"
+                         "resident schedules (drop --host_schedules)")
     state = init_dino_state(args.seed, vit_cfg, cfg)
     schedules = make_schedules(
         cfg, args.batch_size_per_gpu * jax.process_count())
+    compute_dtype = jnp.bfloat16 if args.use_fp16 else None
     step_fn = jax.jit(make_dino_train_step(
-        vit_cfg, cfg,
-        compute_dtype=jnp.bfloat16 if args.use_fp16 else None,
+        vit_cfg, cfg, compute_dtype=compute_dtype,
         resident_schedules=not args.host_schedules))
+    multi_fn = (jax.jit(make_dino_multi_step(
+        vit_cfg, cfg, k, compute_dtype=compute_dtype)) if k > 1 else None)
     # Device-resident tables, passed as jit ARGUMENTS every step (free:
     # the arrays already live on device) rather than closed over — closure
     # would inline ~20 B/step of HLO constants, ~40 MB at ImageNet scale.
@@ -195,20 +218,25 @@ def train_dino(args) -> dict:
     stats = {}
 
     def consume(pending):
-        """Resolve the (already host-copied) metrics of a prior step."""
-        loss = float(pending["loss"])
-        if not math.isfinite(loss):
-            # one step later than the reference's per-step check
-            # (main_dino.py:330-333) — the lag overlaps the fetch with the
-            # next step's compute; nothing is checkpointed in between.
-            # Multi-host caveat: a one-sided sys.exit leaves peers blocked
-            # in the next collective until the distributed-runtime timeout
-            # tears the job down (same failure mode as the reference's
-            # per-rank exit under DDP).
-            print(f"Loss is {loss}, stopping training", flush=True)
-            sys.exit(1)
-        logger.update(loss=loss, lr=float(pending["lr"]),
-                      wd=float(pending["wd"]))
+        """Resolve the (already host-copied) metrics of a prior dispatch
+        (a scalar tree, or a [k]-stacked one under --steps_per_dispatch)."""
+        losses = np.atleast_1d(np.asarray(pending["loss"]))
+        lrs = np.atleast_1d(np.asarray(pending["lr"]))
+        wds = np.atleast_1d(np.asarray(pending["wd"]))
+        for loss, lr, wd in zip(losses, lrs, wds):
+            loss = float(loss)
+            if not math.isfinite(loss):
+                # one dispatch later than the reference's per-step check
+                # (main_dino.py:330-333) — the lag overlaps the fetch with
+                # the next dispatch's compute; nothing is checkpointed in
+                # between (up to k steps under --steps_per_dispatch).
+                # Multi-host caveat: a one-sided sys.exit leaves peers
+                # blocked in the next collective until the distributed-
+                # runtime timeout tears the job down (same failure mode as
+                # the reference's per-rank exit under DDP).
+                print(f"Loss is {loss}, stopping training", flush=True)
+                sys.exit(1)
+            logger.update(loss=loss, lr=float(lr), wd=float(wd))
 
     with maybe_profile(args.profile):
         for epoch in range(start_epoch, args.epochs):
@@ -228,28 +256,64 @@ def train_dino(args) -> dict:
             # start each step's d2h immediately, resolve it after the NEXT
             # dispatch: the fetch round trip rides under step i+1's compute
             fetch = LaggedFetch(consume)
-            for i, (g, l) in enumerate(logger.log_every(
-                    loader.batches(epoch, batches), 10,
-                    f"Epoch: [{epoch}]")):
-                if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
-                    break
-                it = min(epoch * steps_per_epoch + i, cfg.total_steps - 1)
-                with step_annotation("dino_step", step=it):
-                    g = jnp.asarray(g)
-                    l = jnp.asarray(l) if l is not None else None
-                    if args.host_schedules:
-                        state, metrics = step_fn(
-                            state, g, l,
-                            lr=jnp.float32(schedules["lr"][it]),
-                            wd=jnp.float32(schedules["wd"][it]),
-                            teacher_momentum=jnp.float32(
-                                schedules["momentum"][it]),
-                            teacher_temp=jnp.float32(t_temp),
-                            freeze_last=jnp.asarray(
-                                epoch < cfg.freeze_last_layer))
-                    else:
+            it_src = logger.log_every(loader.batches(epoch, batches), 10,
+                                      f"Epoch: [{epoch}]")
+            if k > 1:
+                # k-step fused dispatch: stage k batches, run ONE scan
+                # program; a ragged tail (epoch end / max_steps cap) runs
+                # through the single-step program
+                buf_g: list = []
+                buf_l: list = []
+                done = 0
+                for i, (g, l) in enumerate(it_src):
+                    if (args.max_steps_per_epoch
+                            and i >= args.max_steps_per_epoch):
+                        break
+                    buf_g.append(jnp.asarray(g))
+                    buf_l.append(jnp.asarray(l) if l is not None else None)
+                    if len(buf_g) < k:
+                        continue
+                    it = min(epoch * steps_per_epoch + done,
+                             cfg.total_steps - 1)
+                    with step_annotation("dino_step", step=it):
+                        state, metrics = multi_fn(
+                            state, jnp.stack(buf_g),
+                            jnp.stack(buf_l)
+                            if buf_l[0] is not None else None,
+                            tables)
+                    fetch.push(metrics)
+                    done += k
+                    buf_g, buf_l = [], []
+                for g, l in zip(buf_g, buf_l):
+                    it = min(epoch * steps_per_epoch + done,
+                             cfg.total_steps - 1)
+                    with step_annotation("dino_step", step=it):
                         state, metrics = step_fn(state, g, l, tables)
-                fetch.push(metrics)
+                    fetch.push(metrics)
+                    done += 1
+            else:
+                for i, (g, l) in enumerate(it_src):
+                    if (args.max_steps_per_epoch
+                            and i >= args.max_steps_per_epoch):
+                        break
+                    it = min(epoch * steps_per_epoch + i,
+                             cfg.total_steps - 1)
+                    with step_annotation("dino_step", step=it):
+                        g = jnp.asarray(g)
+                        l = jnp.asarray(l) if l is not None else None
+                        if args.host_schedules:
+                            state, metrics = step_fn(
+                                state, g, l,
+                                lr=jnp.float32(schedules["lr"][it]),
+                                wd=jnp.float32(schedules["wd"][it]),
+                                teacher_momentum=jnp.float32(
+                                    schedules["momentum"][it]),
+                                teacher_temp=jnp.float32(t_temp),
+                                freeze_last=jnp.asarray(
+                                    epoch < cfg.freeze_last_layer))
+                        else:
+                            state, metrics = step_fn(state, g, l, tables)
+                    fetch.push(metrics)
             fetch.flush()
             logger.synchronize_between_processes()
             stats = {k: m.global_avg for k, m in logger.meters.items()}

@@ -345,6 +345,53 @@ def make_dino_train_step(vit_cfg: ViTConfig, cfg: DINOConfig,
     return train_step_resident
 
 
+def make_dino_multi_step(vit_cfg: ViTConfig, cfg: DINOConfig, k: int,
+                         precision=jax.lax.Precision.DEFAULT,
+                         compute_dtype=None):
+    """k train steps fused into ONE jitted program via ``lax.scan``.
+
+    Signature: ``(state, global_stack [k, 2B, 3, Hg, Wg],
+    local_stack [k, L*B, 3, Hl, Wl] or None, tables) -> (state,
+    metrics)`` with each metric leaf stacked ``[k]``.
+
+    TPU-native dispatch amortization: on remote-attached chips every
+    dispatch pays the link round trip (~30-50 ms through a tunnel), so a
+    k-step program divides the per-step dispatch/fetch overhead by k.
+    The scan body is exactly the resident-schedule single step — same
+    math, same per-step schedule gathers at the advancing ``state.step``
+    — so the k-step chain is the same program composition XLA would run
+    step-by-step (equivalence pinned by
+    tests/test_dino_train.py::TestMultiStep).  The reference has no
+    equivalent; its loop is host-driven per step (main_dino.py:306-356).
+
+    Trade-offs: the loader must stage k batches of crops ahead (k x the
+    in-flight batch memory) and NaN detection lags up to k steps.
+    """
+    if k < 1:
+        raise ValueError(f"steps_per_dispatch must be >= 1, got {k}")
+    step = make_dino_train_step(vit_cfg, cfg, precision, compute_dtype,
+                                resident_schedules=True)
+
+    def multi_step(state: DINOTrainState, global_stack, local_stack,
+                   tables):
+        def body(s, crops):
+            g, l = crops
+            s2, m = step(s, g, l, tables)
+            return s2, m
+
+        xs = (global_stack,
+              local_stack if local_stack is not None
+              else jnp.zeros((global_stack.shape[0], 0)))
+        if local_stack is None:
+            def body(s, crops):  # noqa: F811 — no-local variant
+                g, _ = crops
+                s2, m = step(s, g, None, tables)
+                return s2, m
+        return jax.lax.scan(body, state, xs)
+
+    return multi_step
+
+
 def make_schedules(cfg: DINOConfig, batch_size_global: int):
     """Per-step lr/wd/momentum tables (main_dino.py:238-251)."""
     scaled_lr = cfg.lr * batch_size_global / 256.0
