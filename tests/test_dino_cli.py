@@ -57,6 +57,23 @@ def test_cli_end_to_end_f32(tiny_imagefolder, tmp_path):
     assert loss_resident == pytest.approx(loss_host, rel=5e-7)
 
 
+def test_cli_device_aug_end_to_end(tiny_imagefolder, tmp_path):
+    """--device_aug: host decodes square uint8 bases, the jitted program
+    does crops+jitter+blur+solarize+normalize+train in one dispatch.
+    Deterministic per seed (aug keys fold in the global step), and the
+    fused k=2 path reproduces the per-step epoch stats."""
+    extra = ["--device_aug", "--base_size", "48",
+             "--max_steps_per_epoch", "3"]
+    loss_a = _run(tiny_imagefolder, tmp_path, "false", tag="_dev",
+                  extra=extra)
+    loss_b = _run(tiny_imagefolder, tmp_path, "false", tag="_dev2",
+                  extra=extra)
+    assert loss_a == loss_b  # same seed -> same keys -> same crops
+    loss_k2 = _run(tiny_imagefolder, tmp_path, "false", tag="_devk2",
+                   extra=extra + ["--steps_per_dispatch", "2"])
+    assert loss_k2 == pytest.approx(loss_a, rel=5e-7)
+
+
 def test_cli_steps_per_dispatch_matches_single(tiny_imagefolder, tmp_path):
     """--steps_per_dispatch 2 (one fused lax.scan program per 2 steps,
     ragged tail through the single-step program: 3 steps = one 2-scan +

@@ -114,6 +114,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", default=None, metavar="TRACE_DIR",
                    help="Capture a jax.profiler trace (with per-step "
                         "StepTraceAnnotations) into TRACE_DIR.")
+    p.add_argument("--device_aug", action="store_true",
+                   help="run the full multi-crop augmentation INSIDE the "
+                        "jitted train program (data/device_aug.py): the "
+                        "host only decodes + square-resizes each image "
+                        "to --base_size uint8. Removes the host PIL "
+                        "bottleneck (~145 ms/batch at 10 workers vs the "
+                        "~18 ms fused device step, PERF.md round 5). "
+                        "Distribution-equivalent to the PIL path, not "
+                        "bit-comparable (PARITY.md #23); crops sample "
+                        "from the square base resize. Requires the "
+                        "default device-resident schedules.")
+    p.add_argument("--base_size", default=256, type=int,
+                   help="square uint8 base-image size the device aug "
+                        "crops from (--device_aug only).")
     p.add_argument("--steps_per_dispatch", default=1, type=int,
                    help="fuse k train steps into one jitted lax.scan "
                         "program (k x fewer host dispatches and metric "
@@ -177,15 +191,50 @@ def train_dino(args) -> dict:
     if k > 1 and args.host_schedules:
         raise SystemExit("--steps_per_dispatch > 1 needs the device-"
                          "resident schedules (drop --host_schedules)")
+    if args.device_aug and args.host_schedules:
+        raise SystemExit("--device_aug needs the device-resident "
+                         "schedules (drop --host_schedules)")
     state = init_dino_state(args.seed, vit_cfg, cfg)
     schedules = make_schedules(
         cfg, args.batch_size_per_gpu * jax.process_count())
     compute_dtype = jnp.bfloat16 if args.use_fp16 else None
-    step_fn = jax.jit(make_dino_train_step(
-        vit_cfg, cfg, compute_dtype=compute_dtype,
-        resident_schedules=not args.host_schedules))
-    multi_fn = (jax.jit(make_dino_multi_step(
-        vit_cfg, cfg, k, compute_dtype=compute_dtype)) if k > 1 else None)
+    if args.device_aug:
+        # aug + train fused into one program: (state, raw_u8, key, tables)
+        # single-step, (state, raws [k,...], keys [k,2], tables) fused
+        from tpu_ac.data.device_aug import DeviceAugConfig, device_multicrop
+
+        aug_cfg = DeviceAugConfig(
+            global_crops_scale=tuple(args.global_crops_scale),
+            local_crops_scale=tuple(args.local_crops_scale),
+            local_crops_number=args.local_crops_number,
+            global_size=args.global_size, local_size=args.local_size,
+            base_size=args.base_size)
+        inner = make_dino_train_step(vit_cfg, cfg,
+                                     compute_dtype=compute_dtype,
+                                     resident_schedules=True)
+
+        def _aug_step(state, raw, key, tables):
+            g, l = device_multicrop(raw, key, aug_cfg)
+            return inner(state, g, l, tables)
+
+        step_fn = jax.jit(_aug_step)
+
+        def _aug_multi(state, raws, keys, tables):
+            def body(s, xk):
+                raw, key = xk
+                g, l = device_multicrop(raw, key, aug_cfg)
+                return inner(s, g, l, tables)
+            return jax.lax.scan(body, state, (raws, keys))
+
+        multi_fn = jax.jit(_aug_multi) if k > 1 else None
+        aug_base_key = jax.random.PRNGKey(args.seed)
+    else:
+        step_fn = jax.jit(make_dino_train_step(
+            vit_cfg, cfg, compute_dtype=compute_dtype,
+            resident_schedules=not args.host_schedules))
+        multi_fn = (jax.jit(make_dino_multi_step(
+            vit_cfg, cfg, k, compute_dtype=compute_dtype))
+            if k > 1 else None)
     # Device-resident tables, passed as jit ARGUMENTS every step (free:
     # the arrays already live on device) rather than closed over — closure
     # would inline ~20 B/step of HLO constants, ~40 MB at ImageNet scale.
@@ -200,12 +249,19 @@ def train_dino(args) -> dict:
     # the reference feeds this loop through DataLoader(num_workers=10)
     # (main_dino.py:147-154); without the parallel loader the 20 ms jitted
     # step sits behind ~1 s of serial PIL multi-crop work (PERF.md)
-    from tpu_ac.data.prefetch import CropBatchPrefetcher
+    if args.device_aug:
+        from tpu_ac.data.prefetch import BaseImagePrefetcher
 
-    loader = CropBatchPrefetcher(
-        lambda i: dataset[int(i)][0], aug, cfg.local_crops_number,
-        num_workers=args.num_workers, seed=args.seed,
-        transfer=jax.device_put)
+        loader = BaseImagePrefetcher(
+            lambda i: dataset[int(i)][0], args.base_size,
+            num_workers=args.num_workers, transfer=jax.device_put)
+    else:
+        from tpu_ac.data.prefetch import CropBatchPrefetcher
+
+        loader = CropBatchPrefetcher(
+            lambda i: dataset[int(i)][0], aug, cfg.local_crops_number,
+            num_workers=args.num_workers, seed=args.seed,
+            transfer=jax.device_put)
 
     start_epoch = 0
     ckpt = latest_checkpoint(args.output_dir, "checkpoint")
@@ -258,6 +314,12 @@ def train_dino(args) -> dict:
             fetch = LaggedFetch(consume)
             it_src = logger.log_every(loader.batches(epoch, batches), 10,
                                       f"Epoch: [{epoch}]")
+            def _aug_keys(it0, n):
+                # per-step aug keys tied to the GLOBAL step index —
+                # deterministic and resume-stable like the schedule gather
+                return jnp.stack([jax.random.fold_in(aug_base_key, it0 + j)
+                                  for j in range(n)])
+
             if k > 1:
                 # k-step fused dispatch: stage k batches, run ONE scan
                 # program; a ragged tail (epoch end / max_steps cap) runs
@@ -265,22 +327,33 @@ def train_dino(args) -> dict:
                 buf_g: list = []
                 buf_l: list = []
                 done = 0
-                for i, (g, l) in enumerate(it_src):
+                for i, item in enumerate(it_src):
                     if (args.max_steps_per_epoch
                             and i >= args.max_steps_per_epoch):
                         break
-                    buf_g.append(jnp.asarray(g))
-                    buf_l.append(jnp.asarray(l) if l is not None else None)
+                    if args.device_aug:
+                        buf_g.append(jnp.asarray(item))
+                        buf_l.append(None)
+                    else:
+                        g, l = item
+                        buf_g.append(jnp.asarray(g))
+                        buf_l.append(jnp.asarray(l)
+                                     if l is not None else None)
                     if len(buf_g) < k:
                         continue
                     it = min(epoch * steps_per_epoch + done,
                              cfg.total_steps - 1)
                     with step_annotation("dino_step", step=it):
-                        state, metrics = multi_fn(
-                            state, jnp.stack(buf_g),
-                            jnp.stack(buf_l)
-                            if buf_l[0] is not None else None,
-                            tables)
+                        if args.device_aug:
+                            state, metrics = multi_fn(
+                                state, jnp.stack(buf_g),
+                                _aug_keys(it, k), tables)
+                        else:
+                            state, metrics = multi_fn(
+                                state, jnp.stack(buf_g),
+                                jnp.stack(buf_l)
+                                if buf_l[0] is not None else None,
+                                tables)
                     fetch.push(metrics)
                     done += k
                     buf_g, buf_l = [], []
@@ -288,9 +361,26 @@ def train_dino(args) -> dict:
                     it = min(epoch * steps_per_epoch + done,
                              cfg.total_steps - 1)
                     with step_annotation("dino_step", step=it):
-                        state, metrics = step_fn(state, g, l, tables)
+                        if args.device_aug:
+                            state, metrics = step_fn(
+                                state, g, jax.random.fold_in(
+                                    aug_base_key, it), tables)
+                        else:
+                            state, metrics = step_fn(state, g, l, tables)
                     fetch.push(metrics)
                     done += 1
+            elif args.device_aug:
+                for i, raw in enumerate(it_src):
+                    if (args.max_steps_per_epoch
+                            and i >= args.max_steps_per_epoch):
+                        break
+                    it = min(epoch * steps_per_epoch + i,
+                             cfg.total_steps - 1)
+                    with step_annotation("dino_step", step=it):
+                        state, metrics = step_fn(
+                            state, jnp.asarray(raw),
+                            jax.random.fold_in(aug_base_key, it), tables)
+                    fetch.push(metrics)
             else:
                 for i, (g, l) in enumerate(it_src):
                     if (args.max_steps_per_epoch

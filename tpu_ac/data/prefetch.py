@@ -135,6 +135,51 @@ class CropBatchPrefetcher:
             self._head.shutdown(wait=False, cancel_futures=True)
 
 
+class BaseImagePrefetcher:
+    """Square uint8 base-image batches for the device-side aug path
+    (``cli.dino --device_aug``): the host only decodes + square-resizes
+    each image (``device_aug.load_base_image``) — all crop work happens
+    in the jitted program.  Same pool + one-batch-lookahead structure as
+    :class:`CropBatchPrefetcher`; yields ``[B, 3, base, base]`` uint8
+    (device arrays when ``transfer`` is set)."""
+
+    def __init__(self, get_image: Callable, base_size: int, *,
+                 num_workers: int = 8, transfer: Callable | None = None):
+        from tpu_ac.data.device_aug import load_base_image
+
+        self.get_image = get_image
+        self.base_size = base_size
+        self.transfer = transfer
+        self._load = lambda i: load_base_image(get_image(int(i)),
+                                               base_size)
+        self._pool = (ThreadPoolExecutor(num_workers, "tpu_ac-decode")
+                      if num_workers > 0 else None)
+        self._head = (ThreadPoolExecutor(1, "tpu_ac-prefetch")
+                      if num_workers > 0 else None)
+
+    def _assemble(self, idxs: Sequence[int]):
+        if self._pool is None:
+            batch = np.stack([self._load(i) for i in idxs])
+        else:
+            batch = np.stack(list(self._pool.map(self._load, idxs)))
+        return self.transfer(batch) if self.transfer is not None else batch
+
+    def batches(self, epoch: int, idx_batches: Iterable[Sequence[int]]
+                ) -> Iterator[np.ndarray]:
+        del epoch  # no per-epoch rng: the aug randomness lives on device
+
+        def thunks():
+            for idxs in idx_batches:
+                yield lambda idxs=idxs: self._assemble(idxs)
+        yield from _lookahead(self._head, thunks())
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+        if self._head is not None:
+            self._head.shutdown(wait=False, cancel_futures=True)
+
+
 class ParallelAugPool:
     """Deterministic parallel augmentation for single-crop transform loops
     (the reference's ``DataLoader(num_workers=8)`` role in the SCAN
