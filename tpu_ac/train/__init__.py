@@ -10,7 +10,9 @@ from tpu_ac.train.dino import (
     DINOConfig,
     DINOTrainState,
     init_dino_state,
+    make_dino_multi_step,
     make_dino_train_step,
+    make_schedules,
     make_step_schedule_tables,
     cosine_scheduler,
     dino_loss,
@@ -20,7 +22,9 @@ __all__ = [
     "DINOConfig",
     "DINOTrainState",
     "init_dino_state",
+    "make_dino_multi_step",
     "make_dino_train_step",
+    "make_schedules",
     "make_step_schedule_tables",
     "cosine_scheduler",
     "dino_loss",
