@@ -196,3 +196,41 @@ class TestFullProgram:
             np.uint8))
         base = load_base_image(img, 64)
         assert base.shape == (3, 64, 64) and base.dtype == np.uint8
+
+
+class TestBaseCache:
+    def test_passthrough_and_validation(self, rng):
+        base = rng.integers(0, 255, (3, 24, 24)).astype(np.uint8)
+        assert load_base_image(base, 24) is base
+        with pytest.raises(ValueError):
+            load_base_image(base, 32)  # wrong size
+        with pytest.raises(ValueError):
+            load_base_image(base.astype(np.float32), 24)  # wrong dtype
+
+    def test_build_matches_direct_decode_and_reuses(self, rng, tmp_path):
+        from PIL import Image
+
+        from tpu_ac.data.device_aug import build_base_cache
+        from tpu_ac.data.imagefolder import ImageFolder
+
+        root = tmp_path / "data"
+        for cls in ("a", "b"):
+            (root / cls).mkdir(parents=True)
+            for i in range(3):
+                arr = rng.integers(0, 255, (30, 40, 3)).astype(np.uint8)
+                Image.fromarray(arr).save(root / cls / f"{i}.png")
+        ds = ImageFolder(str(root))
+        cache = build_base_cache(ds, 24, str(tmp_path / "cache"))
+        assert cache.shape == (6, 3, 24, 24) and cache.dtype == np.uint8
+        for i in range(6):
+            np.testing.assert_array_equal(
+                cache[i], load_base_image(ds[i][0], 24))
+        # second call maps the SAME file (keyed by path list + size)
+        files = list((tmp_path / "cache").iterdir())
+        assert len(files) == 1
+        again = build_base_cache(ds, 24, str(tmp_path / "cache"))
+        np.testing.assert_array_equal(np.asarray(again), np.asarray(cache))
+        assert len(list((tmp_path / "cache").iterdir())) == 1
+        # a different base size is a different cache entry
+        build_base_cache(ds, 16, str(tmp_path / "cache"))
+        assert len(list((tmp_path / "cache").iterdir())) == 2

@@ -74,6 +74,33 @@ def test_cli_device_aug_end_to_end(tiny_imagefolder, tmp_path):
     assert loss_k2 == pytest.approx(loss_a, rel=5e-7)
 
 
+def test_cli_data_cache_matches_live_decode(tiny_imagefolder, tmp_path):
+    """--data_cache (decode-once memmapped uint8 bases) feeds the exact
+    bytes load_base_image produces, so the run is bit-identical to the
+    live-decode --device_aug path; a second run reuses the cache file."""
+    extra = ["--device_aug", "--base_size", "48",
+             "--max_steps_per_epoch", "3"]
+    loss_live = _run(tiny_imagefolder, tmp_path, "false", tag="_dc0",
+                     extra=extra)
+    cache_dir = tmp_path / "base_cache"
+    loss_cached = _run(tiny_imagefolder, tmp_path, "false", tag="_dc1",
+                       extra=extra + ["--data_cache", str(cache_dir)])
+    assert loss_cached == loss_live
+    files = list(cache_dir.iterdir())
+    assert len(files) == 1 and files[0].suffix == ".npy"
+    loss_again = _run(tiny_imagefolder, tmp_path, "false", tag="_dc2",
+                      extra=extra + ["--data_cache", str(cache_dir)])
+    assert loss_again == loss_live
+    assert list(cache_dir.iterdir()) == files
+
+    from tpu_ac.cli.dino import main
+
+    with pytest.raises(SystemExit, match="--device_aug"):
+        main(["--data_path", tiny_imagefolder,
+              "--output_dir", str(tmp_path / "bad"),
+              "--data_cache", str(cache_dir)])
+
+
 def test_cli_steps_per_dispatch_matches_single(tiny_imagefolder, tmp_path):
     """--steps_per_dispatch 2 (one fused lax.scan program per 2 steps,
     ragged tail through the single-step program: 3 steps = one 2-scan +

@@ -125,6 +125,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "bit-comparable (PARITY.md #23); crops sample "
                         "from the square base resize. Requires the "
                         "default device-resident schedules.")
+    p.add_argument("--data_cache", default=None, type=str,
+                   help="Directory for a decode-once memory-mapped uint8 "
+                        "base-image cache (--device_aug only): the host's "
+                        "per-step work drops from B image decodes to one "
+                        "memmap read — the data-path lever on decode-poor "
+                        "hosts. Keyed by the ordered file list + "
+                        "--base_size; reused across runs.")
     p.add_argument("--base_size", default=256, type=int,
                    help="square uint8 base-image size the device aug "
                         "crops from (--device_aug only).")
@@ -191,6 +198,10 @@ def train_dino(args) -> dict:
     if k > 1 and args.host_schedules:
         raise SystemExit("--steps_per_dispatch > 1 needs the device-"
                          "resident schedules (drop --host_schedules)")
+    if args.data_cache and not args.device_aug:
+        raise SystemExit("--data_cache is the --device_aug base-image "
+                         "cache; the PIL aug path crops from the "
+                         "original-resolution images and cannot use it")
     if args.device_aug and args.host_schedules:
         raise SystemExit("--device_aug needs the device-resident "
                          "schedules (drop --host_schedules)")
@@ -199,8 +210,14 @@ def train_dino(args) -> dict:
         cfg, args.batch_size_per_gpu * jax.process_count())
     compute_dtype = jnp.bfloat16 if args.use_fp16 else None
     if args.device_aug:
-        # aug + train fused into one program: (state, raw_u8, key, tables)
-        # single-step, (state, raws [k,...], keys [k,2], tables) fused
+        # aug + train fused into one program: (state, raw_u8, base_key,
+        # tables) single-step, (state, raws [k,...], base_key, tables)
+        # fused.  The per-step aug key is derived IN-PROGRAM from the
+        # device-resident step counter (fold_in(base_key, state.step),
+        # clamped like the schedule gather) — zero per-step/per-group key
+        # dispatches on the host, and the stream is identical to host
+        # folding at it = min(epoch*steps_per_epoch + i, total-1) because
+        # the CLI pins state.step to the epoch start index.
         from tpu_ac.data.device_aug import DeviceAugConfig, device_multicrop
 
         aug_cfg = DeviceAugConfig(
@@ -213,18 +230,18 @@ def train_dino(args) -> dict:
                                      compute_dtype=compute_dtype,
                                      resident_schedules=True)
 
-        def _aug_step(state, raw, key, tables):
-            g, l = device_multicrop(raw, key, aug_cfg)
-            return inner(state, g, l, tables)
+        def _aug_body(s, raw, base_key, tables):
+            it = jnp.minimum(s.step, cfg.total_steps - 1)
+            g, l = device_multicrop(raw, jax.random.fold_in(base_key, it),
+                                    aug_cfg)
+            return inner(s, g, l, tables)
 
-        step_fn = jax.jit(_aug_step)
+        step_fn = jax.jit(_aug_body)
 
-        def _aug_multi(state, raws, keys, tables):
-            def body(s, xk):
-                raw, key = xk
-                g, l = device_multicrop(raw, key, aug_cfg)
-                return inner(s, g, l, tables)
-            return jax.lax.scan(body, state, (raws, keys))
+        def _aug_multi(state, raws, base_key, tables):
+            def body(s, raw):
+                return _aug_body(s, raw, base_key, tables)
+            return jax.lax.scan(body, state, raws)
 
         multi_fn = jax.jit(_aug_multi) if k > 1 else None
         aug_base_key = jax.random.PRNGKey(args.seed)
@@ -252,8 +269,16 @@ def train_dino(args) -> dict:
     if args.device_aug:
         from tpu_ac.data.prefetch import BaseImagePrefetcher
 
+        if args.data_cache:
+            from tpu_ac.data.device_aug import build_base_cache
+
+            base_cache = build_base_cache(dataset, args.base_size,
+                                          args.data_cache)
+            fetch_base = lambda i: base_cache[int(i)]  # noqa: E731
+        else:
+            fetch_base = lambda i: dataset[int(i)][0]  # noqa: E731
         loader = BaseImagePrefetcher(
-            lambda i: dataset[int(i)][0], args.base_size,
+            fetch_base, args.base_size,
             num_workers=args.num_workers, transfer=jax.device_put)
     else:
         from tpu_ac.data.prefetch import CropBatchPrefetcher
@@ -314,12 +339,6 @@ def train_dino(args) -> dict:
             fetch = LaggedFetch(consume)
             it_src = logger.log_every(loader.batches(epoch, batches), 10,
                                       f"Epoch: [{epoch}]")
-            def _aug_keys(it0, n):
-                # per-step aug keys tied to the GLOBAL step index —
-                # deterministic and resume-stable like the schedule gather
-                return jnp.stack([jax.random.fold_in(aug_base_key, it0 + j)
-                                  for j in range(n)])
-
             if k > 1:
                 # k-step fused dispatch: stage k batches, run ONE scan
                 # program; a ragged tail (epoch end / max_steps cap) runs
@@ -347,7 +366,7 @@ def train_dino(args) -> dict:
                         if args.device_aug:
                             state, metrics = multi_fn(
                                 state, jnp.stack(buf_g),
-                                _aug_keys(it, k), tables)
+                                aug_base_key, tables)
                         else:
                             state, metrics = multi_fn(
                                 state, jnp.stack(buf_g),
@@ -363,8 +382,7 @@ def train_dino(args) -> dict:
                     with step_annotation("dino_step", step=it):
                         if args.device_aug:
                             state, metrics = step_fn(
-                                state, g, jax.random.fold_in(
-                                    aug_base_key, it), tables)
+                                state, g, aug_base_key, tables)
                         else:
                             state, metrics = step_fn(state, g, l, tables)
                     fetch.push(metrics)
@@ -378,8 +396,7 @@ def train_dino(args) -> dict:
                              cfg.total_steps - 1)
                     with step_annotation("dino_step", step=it):
                         state, metrics = step_fn(
-                            state, jnp.asarray(raw),
-                            jax.random.fold_in(aug_base_key, it), tables)
+                            state, jnp.asarray(raw), aug_base_key, tables)
                     fetch.push(metrics)
             else:
                 for i, (g, l) in enumerate(it_src):

@@ -261,9 +261,18 @@ def device_multicrop(images_u8, key, cfg: DeviceAugConfig):
 def load_base_image(img, base_size: int) -> np.ndarray:
     """Host side: PIL image -> square uint8 base [3, base, base]
     (shorter-edge bilinear resize + center crop — one cheap resize per
-    image; every crop after this happens on device)."""
+    image; every crop after this happens on device).  A pre-decoded
+    uint8 array of the right shape (a ``build_base_cache`` row) passes
+    through untouched."""
     from PIL import Image
 
+    if isinstance(img, np.ndarray):
+        if (img.dtype != np.uint8
+                or img.shape != (3, base_size, base_size)):
+            raise ValueError(
+                f"pre-decoded base image must be uint8 [3, {base_size}, "
+                f"{base_size}], got {img.dtype} {img.shape}")
+        return img
     w, h = img.size
     s = base_size / min(w, h)
     img = img.resize((max(base_size, int(round(w * s))),
@@ -278,3 +287,40 @@ def load_base_image(img, base_size: int) -> np.ndarray:
 def make_device_multicrop(cfg: DeviceAugConfig):
     """Jitted (images_u8 [B,3,S,S], key) -> (g, l) program."""
     return jax.jit(partial(device_multicrop, cfg=cfg))
+
+
+def build_base_cache(dataset, base_size: int, cache_dir: str) -> np.ndarray:
+    """Decode-once, memory-mapped uint8 base-image cache for the
+    ``--device_aug`` training path.
+
+    The reference re-decodes and re-augments every image every epoch in
+    its DataLoader workers (dino-main/main_dino.py:145-154); with the aug
+    on device, the only per-epoch host work left is the JPEG/PNG decode —
+    at ImageNet scale that is the data-path bottleneck on decode-poor
+    hosts (measured: the ViT-B/16 paper-recipe step is 103 ms on chip
+    while 16 PNG decodes serialize ~10x that on a 1-vCPU host, PERF.md
+    round 5).  This materializes ``load_base_image`` for the whole
+    dataset ONCE into an ``open_memmap`` .npy ([N, 3, base, base] uint8,
+    ~250 GB for full ImageNet at base 256 — page-cached, reused across
+    runs) keyed by a digest of the exact ordered file list + base size,
+    like ``load_imagenet``'s mmap cache (classification.py).
+    """
+    import hashlib
+    import os
+
+    paths = [p for p, _ in dataset.samples]
+    digest = hashlib.sha1("\n".join(paths).encode()).hexdigest()[:12]
+    os.makedirs(cache_dir, exist_ok=True)
+    cache_path = os.path.join(
+        cache_dir, f"dino_base_{len(paths)}_{base_size}_{digest}.npy")
+    if not os.path.exists(cache_path):
+        arr = np.lib.format.open_memmap(
+            cache_path + ".tmp", mode="w+", dtype=np.uint8,
+            shape=(len(paths), 3, base_size, base_size))
+        for i in range(len(paths)):
+            img, _ = dataset[i]
+            arr[i] = load_base_image(img, base_size)
+        arr.flush()
+        del arr
+        os.replace(cache_path + ".tmp", cache_path)
+    return np.load(cache_path, mmap_mode="r")
