@@ -113,3 +113,12 @@ def test_cli_steps_per_dispatch_matches_single(tiny_imagefolder, tmp_path):
     loss_fused = _run(tiny_imagefolder, tmp_path, "false", tag="_k2",
                       extra=extra + ["--steps_per_dispatch", "2"])
     assert loss_fused == pytest.approx(loss_single, rel=5e-7)
+
+
+def test_remat_flag_parses():
+    from tpu_ac.cli.dino import _remat_flag
+
+    assert _remat_flag("dots") == "dots"
+    assert _remat_flag("DOTS") == "dots"
+    assert _remat_flag("true") is True
+    assert _remat_flag("false") is False

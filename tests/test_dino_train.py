@@ -311,6 +311,14 @@ class TestRemat:
         np.testing.assert_allclose(np.asarray(sr.student[k]),
                                    np.asarray(sp.student[k]),
                                    rtol=1e-5, atol=1e-7)
+        cfg_d = dataclasses.replace(TINY_CFG, remat="dots")
+        sd, md = jax.jit(make_dino_train_step(TINY_VIT, cfg_d))(
+            state, g, l, **_scalars())
+        np.testing.assert_allclose(float(md["loss"]), float(mp["loss"]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(sd.student[k]),
+                                   np.asarray(sp.student[k]),
+                                   rtol=1e-5, atol=1e-7)
 
 
 class TestUint8Input:

@@ -152,9 +152,14 @@ class TestScanBlocks:
 
         g_plain = jax.grad(loss)(tiny_params, False, False)
         g_scan = jax.grad(loss)(tiny_params, True, True)
+        # "dots" policy: matmul outputs saved, elementwise chain recomputed
+        g_dots = jax.grad(loss)(tiny_params, True, "dots")
         for k in ("blocks.0.attn.qkv.weight", "blocks.2.mlp.fc1.weight",
                   "patch_embed.proj.weight"):
             np.testing.assert_allclose(np.asarray(g_scan[k]),
+                                       np.asarray(g_plain[k]),
+                                       rtol=5e-4, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(g_dots[k]),
                                        np.asarray(g_plain[k]),
                                        rtol=5e-4, atol=1e-6)
 

@@ -26,6 +26,13 @@ def _bool_flag(s: str) -> bool:
         return True
     raise argparse.ArgumentTypeError(f"invalid bool flag {s!r}")
 
+
+def _remat_flag(s: str):
+    """bool_flag plus the 'dots' policy (save matmul outputs)."""
+    if s.lower() == "dots":
+        return "dots"
+    return _bool_flag(s)
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -145,11 +152,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "k batches ahead. Requires the default "
                         "device-resident schedules (not "
                         "--host_schedules).")
-    p.add_argument("--remat", default=False, type=_bool_flag,
+    p.add_argument("--remat", default=False, type=_remat_flag,
                    help="jax.checkpoint each transformer block "
                         "(rematerialize activations in backward — trades "
                         "FLOPs for HBM; the ViT-B/16 paper recipe at "
-                        "batch 16 x 10 crops uses it, PERF.md).")
+                        "batch 16 x 10 crops uses it, PERF.md). 'dots' "
+                        "saves matmul outputs and recomputes only the "
+                        "elementwise chain — most of the memory win at a "
+                        "fraction of the recompute FLOPs.")
     p.add_argument("--use_fp16", default=True, type=_bool_flag,
                    help="Mixed-precision training (main_dino.py:78): "
                         "forward/backward in bfloat16 with f32 master "

@@ -327,6 +327,14 @@ def block_forward(params: Params, i: int, x: jnp.ndarray, cfg: ViTConfig,
     return x
 
 
+def _remat_policy(remat):
+    """None (save nothing) for ``remat=True``; the save-matmul-outputs
+    policy for ``remat="dots"`` (recompute only the elementwise chain)."""
+    if remat == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    return None
+
+
 def vit_forward(
     params: Params,
     images: jnp.ndarray,
@@ -336,7 +344,7 @@ def vit_forward(
     precision=jax.lax.Precision.HIGHEST,
     attention_impl: Callable | None = None,
     max_depth: int | None = None,
-    remat: bool = False,
+    remat: bool | str = False,
     scan_blocks: bool = False,
     seq_pad: bool = False,
 ) -> dict[int, jnp.ndarray]:
@@ -351,6 +359,10 @@ def vit_forward(
     ``remat=True`` checkpoints each block (jax.checkpoint): activations are
     recomputed in the backward pass, trading ~1/3 more FLOPs for O(depth)
     less live memory — the HBM lever for large-batch multi-crop training.
+    ``remat="dots"`` uses the ``dots_with_no_batch_dims_saveable`` policy
+    instead: matmul outputs are SAVED and only the cheap elementwise chain
+    (LayerNorm/GELU/softmax) recomputes — most of full remat's memory win
+    at a fraction of its recompute FLOPs.
 
     ``seq_pad=True`` pads the token stream to the next lane-aligned length
     (multiple of 128) with masked attention: at the flagship S=785
@@ -382,7 +394,8 @@ def vit_forward(
                              attn_bias=attn_bias)
 
     if remat:
-        run_block = jax.checkpoint(run_block, static_argnums=(0,))
+        run_block = jax.checkpoint(run_block, static_argnums=(0,),
+                                   policy=_remat_policy(remat))
 
     start = 0
     if scan_blocks:
@@ -401,7 +414,8 @@ def vit_forward(
                                   attention_impl, attn_bias=attn_bias)
                 return y, None
 
-            body = (jax.checkpoint(scan_body) if remat else scan_body)
+            body = (jax.checkpoint(scan_body, policy=_remat_policy(remat))
+                    if remat else scan_body)
             x, _ = jax.lax.scan(body, x, stacked)
             start = prefix_len
 
@@ -437,7 +451,7 @@ def _stack_block_params(params: Params, start: int, end: int
 def vit_cls_forward(params: Params, images: jnp.ndarray, cfg: ViTConfig,
                     precision=jax.lax.Precision.HIGHEST,
                     attention_impl: Callable | None = None,
-                    remat: bool = False,
+                    remat: bool | str = False,
                     scan_blocks: bool = False) -> jnp.ndarray:
     """Full forward -> final norm -> CLS token (vision_transformer.py:209-214)."""
     x = vit_forward(params, images, cfg, precision=precision,

@@ -68,7 +68,7 @@ class DINOConfig:
     head_hidden_dim: int = 2048
     head_bottleneck_dim: int = 256
     head_nlayers: int = 3
-    remat: bool = False  # jax.checkpoint each block (memory vs FLOPs)
+    remat: bool | str = False  # jax.checkpoint each block; 'dots' saves matmuls
     # lax.scan over the transformer blocks: one block body in the HLO
     # instead of `depth` copies — cuts train-step compile time ~depth-fold
     # at identical numerics (tested). Disable to let XLA unroll.
@@ -118,7 +118,7 @@ def _no_wd_mask(params: Params) -> dict[str, bool]:
 def student_forward(params: Params, global_crops: jnp.ndarray,
                     local_crops: jnp.ndarray | None, vit_cfg: ViTConfig,
                     precision=jax.lax.Precision.DEFAULT,
-                    remat: bool = False,
+                    remat: bool | str = False,
                     scan_blocks: bool = False) -> jnp.ndarray:
     """MultiCropWrapper forward (utils.py:594-629): backbone per resolution
     bucket, head on the concatenation.  Returns [(2+L)*B, out_dim]."""
