@@ -345,9 +345,17 @@ class TestUint8Input:
         np.testing.assert_allclose(float(m_u8["loss"]),
                                    float(m_f32["loss"]), rtol=1e-5)
         k = "backbone.blocks.0.attn.qkv.weight"
+        # Not bit-identical by contract: the in-jit (u8/255 - m)/s chain
+        # may fuse into a different FMA order than host normalization
+        # (~1 ulp on the inputs), and AdamW's m/(sqrt(v)+eps) amplifies
+        # that for near-zero-gradient elements — a first-step update is
+        # ~lr-sized (1e-3), so allow a small absolute slice of it
+        # (observed worst case 1.8e-5 on 2/3072 elements in full-suite
+        # runs; a wrong normalization constant would shift EVERY element
+        # by ~1e-3 and still fail).
         np.testing.assert_allclose(np.asarray(s_u8.student[k]),
                                    np.asarray(s_f32.student[k]),
-                                   rtol=1e-4, atol=1e-6)
+                                   rtol=1e-4, atol=5e-5)
 
     def test_uint8_no_locals(self, state, rng):
         cfg = DINOConfig(**{**TINY_CFG.__dict__, "local_crops_number": 0})
