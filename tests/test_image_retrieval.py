@@ -164,3 +164,44 @@ class TestRetrievalCLI:
         f_1 = extract_split_features(
             lambda x: embed(params, x), ds)
         np.testing.assert_allclose(f_dp, f_1, rtol=1e-5, atol=1e-6)
+
+    def test_streaming_flush_large_group(self):
+        """A shape group larger than the 8 x n_dev buffer cap flushes in
+        full-buffer chunks plus a padded tail — host memory stays bounded
+        by the live buffers, and ordering survives interleaved flushes."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        from tpu_ac.cli.eval_image_retrieval import extract_split_features
+
+        rng = np.random.default_rng(1)
+        n_dev = len(jax.devices())
+        n_big = 8 * n_dev + 3  # one full flush + ragged tail
+
+        class FakeDS:
+            def __init__(self):
+                big = [rng.standard_normal((3, 16, 16)).astype(np.float32)
+                       for _ in range(n_big)]
+                small = [rng.standard_normal((3, 16, 24)).astype(
+                    np.float32) for _ in range(2)]
+                # drop the smalls mid-stream so the big group's first
+                # flush happens with the small buffer still live
+                self.imgs = big[:5] + small + big[5:]
+
+            def __len__(self):
+                return len(self.imgs)
+
+            def __getitem__(self, i):
+                return self.imgs[i]
+
+        def embed(p, x):
+            return jnp.mean(x, axis=(2, 3)) @ p["w"]
+
+        params = {"w": jnp.asarray(
+            rng.standard_normal((3, 7)).astype(np.float32))}
+        mesh = Mesh(np.asarray(jax.devices()), ("dp",))
+        ds = FakeDS()
+        f_dp = extract_split_features(embed, ds, mesh=mesh, params=params)
+        f_1 = extract_split_features(lambda x: embed(params, x), ds)
+        np.testing.assert_allclose(f_dp, f_1, rtol=1e-5, atol=1e-6)

@@ -255,6 +255,13 @@ def train_dino(args) -> dict:
 
         multi_fn = jax.jit(_aug_multi) if k > 1 else None
         aug_base_key = jax.random.PRNGKey(args.seed)
+        if jax.process_count() > 1:
+            # decorrelate crop-box/jitter draws across hosts (each host
+            # augments a DIFFERENT data shard — the reference's DataLoader
+            # workers likewise draw from per-process torch RNG streams);
+            # single-process streams are untouched (no fold_in)
+            aug_base_key = jax.random.fold_in(aug_base_key,
+                                              jax.process_index())
     else:
         step_fn = jax.jit(make_dino_train_step(
             vit_cfg, cfg, compute_dtype=compute_dtype,

@@ -71,11 +71,15 @@ def extract_split_features(embed_fn, dataset: OxfordParisDataset,
     With ``mesh`` (and ``params``; ``embed_fn(params, batch)``) extraction
     is SHAPE-BUCKETED data parallel — the TPU-native answer to the
     reference's DistributedSampler sharding (eval_image_retrieval.py:
-    112-118): images are grouped by post-thumbnail shape, each group is
-    padded to a device-count multiple and embedded as one dp-sharded
-    batch, and features scatter back into dataset order.  Same numerics
-    as the per-image path (the ViT is per-image; only batching changes),
-    same compile count (one program per distinct shape).
+    112-118): images are grouped by post-thumbnail shape into bounded
+    streaming buffers, each full buffer (8 x device count) is embedded as
+    one dp-sharded batch and the ragged tail pads to a device-count
+    multiple, and features scatter back into dataset order.  Same
+    numerics as the per-image path (the ViT is per-image; only batching
+    changes); at most two programs per distinct shape (the full-buffer
+    size and its tail).  Host memory is bounded by the live buffers, not
+    the split size (a revisited-Oxford split is tens of GB of f32
+    thumbnails).
     """
     import jax
     import jax.numpy as jnp
@@ -90,21 +94,28 @@ def extract_split_features(embed_fn, dataset: OxfordParisDataset,
         jitted = _bucketed_extractor(embed_fn, mesh, multiscale)
         device_params = jax.device_put(params, rep)
         n_dev = mesh.devices.size
+        cap = 8 * n_dev
 
-        groups: dict[tuple, list[int]] = {}
-        imgs = [dataset[i] for i in range(len(dataset))]
-        for i, im in enumerate(imgs):
-            groups.setdefault(im.shape, []).append(i)
-        out: list[np.ndarray | None] = [None] * len(imgs)
-        for shape, idxs in groups.items():
-            x = np.stack([imgs[i] for i in idxs])
+        out: list[np.ndarray | None] = [None] * len(dataset)
+        buffers: dict[tuple, list[tuple[int, np.ndarray]]] = {}
+
+        def flush(shape):
+            idxs = [i for i, _ in buffers[shape]]
+            x = np.stack([im for _, im in buffers.pop(shape)])
             pad = (-len(idxs)) % n_dev
             if pad:
-                x = np.concatenate(
-                    [x, np.zeros((pad, *shape), x.dtype)])
+                x = np.concatenate([x, np.zeros((pad, *shape), x.dtype)])
             f = np.asarray(jitted(device_params, jnp.asarray(x)))
             for k, i in enumerate(idxs):
                 out[i] = f[k]
+
+        for i in range(len(dataset)):
+            im = dataset[i]
+            buffers.setdefault(im.shape, []).append((i, im))
+            if len(buffers[im.shape]) >= cap:
+                flush(im.shape)
+        for shape in list(buffers):
+            flush(shape)
         return np.stack(out)
 
     feats = []
