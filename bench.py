@@ -366,7 +366,8 @@ def main() -> None:
         detail = measure_detect()
         try:
             health = measure_window_health()
-        except Exception:  # noqa: BLE001
+        except Exception as e:  # noqa: BLE001 — probe is best-effort
+            print(f"window-health probe failed: {e}", file=sys.stderr)
             health = None
         print(json.dumps({
             "metric": (f"PatchCore predict images/sec (wrn50 layer2+3, "

@@ -67,11 +67,22 @@ def parse_tau_csv(path: str, encoding: str = "utf-8") -> dict:
     return rows
 
 
-def diff_csvs(ours: str, theirs: str, theirs_encoding: str = "utf-8"
+def diff_csvs(ours: str, theirs: str, theirs_encoding: str | None = None
               ) -> tuple[float, int, list[str]]:
-    """(max_abs_diff, n_rows_compared, messages)."""
+    """(max_abs_diff, n_rows_compared, messages).
+
+    ``theirs_encoding=None`` tries utf-8 then falls back to gbk — the
+    reference writes its CSVs gbk-encoded (examples/test.py:255, PARITY
+    quirk #8); its checked-in copies happen to be ASCII-only, but a
+    regenerated one need not be."""
     a = parse_tau_csv(ours)
-    b = parse_tau_csv(theirs, encoding=theirs_encoding)
+    if theirs_encoding is None:
+        try:
+            b = parse_tau_csv(theirs, encoding="utf-8")
+        except UnicodeDecodeError:
+            b = parse_tau_csv(theirs, encoding="gbk")
+    else:
+        b = parse_tau_csv(theirs, encoding=theirs_encoding)
     common = sorted(set(a) & set(b))
     msgs = []
     if not common:

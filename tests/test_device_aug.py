@@ -234,3 +234,36 @@ class TestBaseCache:
         # a different base size is a different cache entry
         build_base_cache(ds, 16, str(tmp_path / "cache"))
         assert len(list((tmp_path / "cache").iterdir())) == 2
+
+    def test_failed_build_cleans_tmp_and_can_retry(self, rng, tmp_path):
+        """A builder that dies mid-decode removes its per-process temp
+        file (concurrent builders use pid-suffixed temps so they cannot
+        truncate each other); a retry then succeeds."""
+        from PIL import Image
+
+        from tpu_ac.data.device_aug import build_base_cache
+        from tpu_ac.data.imagefolder import ImageFolder
+
+        root = tmp_path / "data"
+        (root / "a").mkdir(parents=True)
+        for i in range(3):
+            arr = rng.integers(0, 255, (20, 20, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(root / "a" / f"{i}.png")
+        ds = ImageFolder(str(root))
+
+        class Flaky:
+            samples = ds.samples
+            calls = 0
+
+            def __getitem__(self, i):
+                if i == 2 and Flaky.calls == 0:
+                    Flaky.calls += 1
+                    raise OSError("truncated file")
+                return ds[i]
+
+        cache_dir = tmp_path / "cache"
+        with pytest.raises(OSError):
+            build_base_cache(Flaky(), 16, str(cache_dir))
+        assert not any(".tmp" in p.name for p in cache_dir.iterdir())
+        out = build_base_cache(Flaky(), 16, str(cache_dir))
+        assert out.shape == (3, 3, 16, 16)

@@ -87,6 +87,21 @@ class TestCsvDiff:
                                                theirs_encoding="gbk")
         assert n == 0 and worst == float("inf") and msgs
 
+    def test_gbk_reference_falls_back(self, tmp_path):
+        """The reference writes its CSVs gbk-encoded (examples/test.py:
+        255); a regenerated one with non-ASCII bytes must still diff
+        under the default (utf-8 -> gbk fallback) encoding."""
+        ours = tmp_path / "ours.csv"
+        theirs = tmp_path / "theirs_gbk.csv"
+        body = "TAU=1.0\nCategory,NMI,ARI,F1\nbottle,0.5,0.4,0.6\n"
+        ours.write_text(body)
+        with open(theirs, "w", encoding="gbk", newline="") as f:
+            f.write("备注 gbk header\n" + body)  # non-ASCII gbk bytes
+        with pytest.raises(UnicodeDecodeError):
+            parity_real.parse_tau_csv(str(theirs), encoding="utf-8")
+        worst, n, _ = parity_real.diff_csvs(str(ours), str(theirs))
+        assert n == 1 and worst == 0.0
+
 
 class TestSmokeCheckpoint:
     def test_standin_matches_frozen_manifest(self, tmp_path):

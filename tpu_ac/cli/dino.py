@@ -356,73 +356,19 @@ def train_dino(args) -> dict:
             fetch = LaggedFetch(consume)
             it_src = logger.log_every(loader.batches(epoch, batches), 10,
                                       f"Epoch: [{epoch}]")
-            if k > 1:
-                # k-step fused dispatch: stage k batches, run ONE scan
-                # program; a ragged tail (epoch end / max_steps cap) runs
-                # through the single-step program
-                buf_g: list = []
-                buf_l: list = []
-                done = 0
-                for i, item in enumerate(it_src):
-                    if (args.max_steps_per_epoch
-                            and i >= args.max_steps_per_epoch):
-                        break
+
+            # one loop body for all four mode combinations (device/host
+            # aug x fused/single dispatch); only the dispatch closures
+            # differ.  ``item`` is a raw uint8 base batch under
+            # --device_aug, else a (global_crops, local_crops) pair.
+            def run_single(item, it):
+                nonlocal state
+                with step_annotation("dino_step", step=it):
                     if args.device_aug:
-                        buf_g.append(jnp.asarray(item))
-                        buf_l.append(None)
+                        state, metrics = step_fn(
+                            state, jnp.asarray(item), aug_base_key, tables)
                     else:
                         g, l = item
-                        buf_g.append(jnp.asarray(g))
-                        buf_l.append(jnp.asarray(l)
-                                     if l is not None else None)
-                    if len(buf_g) < k:
-                        continue
-                    it = min(epoch * steps_per_epoch + done,
-                             cfg.total_steps - 1)
-                    with step_annotation("dino_step", step=it):
-                        if args.device_aug:
-                            state, metrics = multi_fn(
-                                state, jnp.stack(buf_g),
-                                aug_base_key, tables)
-                        else:
-                            state, metrics = multi_fn(
-                                state, jnp.stack(buf_g),
-                                jnp.stack(buf_l)
-                                if buf_l[0] is not None else None,
-                                tables)
-                    fetch.push(metrics)
-                    done += k
-                    buf_g, buf_l = [], []
-                for g, l in zip(buf_g, buf_l):
-                    it = min(epoch * steps_per_epoch + done,
-                             cfg.total_steps - 1)
-                    with step_annotation("dino_step", step=it):
-                        if args.device_aug:
-                            state, metrics = step_fn(
-                                state, g, aug_base_key, tables)
-                        else:
-                            state, metrics = step_fn(state, g, l, tables)
-                    fetch.push(metrics)
-                    done += 1
-            elif args.device_aug:
-                for i, raw in enumerate(it_src):
-                    if (args.max_steps_per_epoch
-                            and i >= args.max_steps_per_epoch):
-                        break
-                    it = min(epoch * steps_per_epoch + i,
-                             cfg.total_steps - 1)
-                    with step_annotation("dino_step", step=it):
-                        state, metrics = step_fn(
-                            state, jnp.asarray(raw), aug_base_key, tables)
-                    fetch.push(metrics)
-            else:
-                for i, (g, l) in enumerate(it_src):
-                    if (args.max_steps_per_epoch
-                            and i >= args.max_steps_per_epoch):
-                        break
-                    it = min(epoch * steps_per_epoch + i,
-                             cfg.total_steps - 1)
-                    with step_annotation("dino_step", step=it):
                         g = jnp.asarray(g)
                         l = jnp.asarray(l) if l is not None else None
                         if args.host_schedules:
@@ -437,7 +383,47 @@ def train_dino(args) -> dict:
                                     epoch < cfg.freeze_last_layer))
                         else:
                             state, metrics = step_fn(state, g, l, tables)
-                    fetch.push(metrics)
+                fetch.push(metrics)
+
+            def run_fused(items, it):
+                nonlocal state
+                with step_annotation("dino_step", step=it):
+                    if args.device_aug:
+                        state, metrics = multi_fn(
+                            state,
+                            jnp.stack([jnp.asarray(x) for x in items]),
+                            aug_base_key, tables)
+                    else:
+                        gs = jnp.stack([jnp.asarray(g) for g, _ in items])
+                        ls = (jnp.stack([jnp.asarray(l) for _, l in items])
+                              if items[0][1] is not None else None)
+                        state, metrics = multi_fn(state, gs, ls, tables)
+                fetch.push(metrics)
+
+            # k-step fused dispatch stages k batches and runs ONE scan
+            # program; a ragged tail (epoch end / max_steps cap) runs
+            # through the single-step program
+            buf: list = []
+            done = 0
+            for i, item in enumerate(it_src):
+                if (args.max_steps_per_epoch
+                        and i >= args.max_steps_per_epoch):
+                    break
+                if k > 1:
+                    buf.append(item)
+                    if len(buf) < k:
+                        continue
+                    run_fused(buf, min(epoch * steps_per_epoch + done,
+                                       cfg.total_steps - 1))
+                    done += k
+                    buf = []
+                else:
+                    run_single(item, min(epoch * steps_per_epoch + i,
+                                         cfg.total_steps - 1))
+            for item in buf:
+                run_single(item, min(epoch * steps_per_epoch + done,
+                                     cfg.total_steps - 1))
+                done += 1
             fetch.flush()
             logger.synchronize_between_processes()
             stats = {k: m.global_avg for k, m in logger.meters.items()}

@@ -44,21 +44,26 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 @functools.lru_cache(maxsize=16)
+def _multiscale_fused(embed_fn, multiscale: bool):
+    """Stable (per embed_fn) multiscale wrapper so the train and query
+    splits share one `_jitted_extractor` entry — same composition as
+    copy_detection's `_gem_fused`."""
+    if not multiscale:
+        return embed_fn
+
+    def fused(p, x):
+        return multi_scale(x, lambda xx: embed_fn(p, xx))
+
+    return fused
+
+
 def _bucketed_extractor(embed_fn, mesh, multiscale: bool):
-    """One dp-sharded jit per (embed_fn, mesh, multiscale) so the train
-    and query splits share the per-shape trace/compile cache."""
-    import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    """One dp-sharded jit per (embed_fn, mesh, multiscale): replicated
+    params, dp-sharded batch, replicated output (train/evals.py's shared
+    wrapper — one copy of the dp-jit pattern across the eval CLIs)."""
+    from tpu_ac.train.evals import _jitted_extractor
 
-    rep = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(mesh.axis_names[0]))
-
-    def batched(p, x):
-        if multiscale:
-            return multi_scale(x, lambda xx: embed_fn(p, xx))
-        return embed_fn(p, x)
-
-    return jax.jit(batched, in_shardings=(rep, shard), out_shardings=rep)
+    return _jitted_extractor(_multiscale_fused(embed_fn, multiscale), mesh)
 
 
 def extract_split_features(embed_fn, dataset: OxfordParisDataset,
@@ -90,6 +95,10 @@ def extract_split_features(embed_fn, dataset: OxfordParisDataset,
                              "params= (weights travel as a jit argument)")
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from concurrent.futures import ThreadPoolExecutor
+
+        from tpu_ac.data.prefetch import _lookahead
+
         rep = NamedSharding(mesh, P())
         jitted = _bucketed_extractor(embed_fn, mesh, multiscale)
         device_params = jax.device_put(params, rep)
@@ -109,11 +118,22 @@ def extract_split_features(embed_fn, dataset: OxfordParisDataset,
             for k, i in enumerate(idxs):
                 out[i] = f[k]
 
-        for i in range(len(dataset)):
-            im = dataset[i]
-            buffers.setdefault(im.shape, []).append((i, im))
-            if len(buffers[im.shape]) >= cap:
-                flush(im.shape)
+        # decode/thumbnail one cap-sized chunk ahead on a thread pool (PIL
+        # releases the GIL) while the current chunk's buffers embed — the
+        # dp speedup would otherwise be re-bottlenecked on serial decode
+        with ThreadPoolExecutor(8, "tpu_ac-decode") as pool, \
+                ThreadPoolExecutor(1, "tpu_ac-prefetch") as head:
+            def chunks():
+                for s in range(0, len(dataset), cap):
+                    idxs = range(s, min(s + cap, len(dataset)))
+                    yield lambda idxs=idxs: list(
+                        pool.map(lambda i: (i, dataset[i]), idxs))
+
+            for chunk in _lookahead(head, chunks()):
+                for i, im in chunk:
+                    buffers.setdefault(im.shape, []).append((i, im))
+                    if len(buffers[im.shape]) >= cap:
+                        flush(im.shape)
         for shape in list(buffers):
             flush(shape)
         return np.stack(out)

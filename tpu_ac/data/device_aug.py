@@ -314,13 +314,26 @@ def build_base_cache(dataset, base_size: int, cache_dir: str) -> np.ndarray:
     cache_path = os.path.join(
         cache_dir, f"dino_base_{len(paths)}_{base_size}_{digest}.npy")
     if not os.path.exists(cache_path):
+        # per-process temp name: concurrent builders (multi-host runs on a
+        # shared filesystem, or two jobs sharing one cache dir) must not
+        # truncate each other's live memmap; every builder produces
+        # identical bytes (keyed by the same ordered file list), so the
+        # atomic os.replace is last-writer-wins and always consistent.
+        # At ImageNet scale pre-build once (one process) to avoid every
+        # host redundantly decoding the whole dataset.
+        tmp_path = f"{cache_path}.tmp.{os.getpid()}"
         arr = np.lib.format.open_memmap(
-            cache_path + ".tmp", mode="w+", dtype=np.uint8,
+            tmp_path, mode="w+", dtype=np.uint8,
             shape=(len(paths), 3, base_size, base_size))
-        for i in range(len(paths)):
-            img, _ = dataset[i]
-            arr[i] = load_base_image(img, base_size)
-        arr.flush()
+        try:
+            for i in range(len(paths)):
+                img, _ = dataset[i]
+                arr[i] = load_base_image(img, base_size)
+            arr.flush()
+        except BaseException:
+            del arr
+            os.unlink(tmp_path)
+            raise
         del arr
-        os.replace(cache_path + ".tmp", cache_path)
+        os.replace(tmp_path, cache_path)
     return np.load(cache_path, mmap_mode="r")

@@ -186,7 +186,8 @@ def init_dino_state(seed: int, vit_cfg: ViTConfig,
 
 def make_step_schedule_tables(cfg: DINOConfig,
                               schedules: Mapping[str, np.ndarray]):
-    """Per-STEP device-resident schedule tables for ``schedule_tables=``.
+    """Per-STEP schedule tables — the ``tables`` argument of a
+    ``make_dino_train_step(..., resident_schedules=True)`` step.
 
     Expands ``make_schedules`` output (lr/wd/momentum per step,
     teacher_temp per EPOCH, main_dino.py:371-377) plus the
