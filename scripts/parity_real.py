@@ -34,6 +34,10 @@ import argparse
 import csv
 import os
 import sys
+
+# `python scripts/parity_real.py` puts scripts/ (not the repo root) on
+# sys.path; make tpu_ac importable without requiring a pip install
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import tempfile
 
 REFERENCE_CSV_DIR = "/root/reference/Anomaly-Clustering/outputs/mvtec_ad"
