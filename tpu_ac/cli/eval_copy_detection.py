@@ -56,19 +56,21 @@ def _load_paths(paths: list[str], imsize: int) -> np.ndarray:
     # reference transform: Resize((imsize, imsize)) + normalize — a SQUARE
     # resize with no crop (eval_copy_detection.py:154-158); shorter-edge
     # resize + center crop would discard content on non-square Copydays
-    # images and change the protocol
+    # images and change the protocol.  Decodes on a thread pool (the
+    # reference's DataLoader num_workers role; PIL releases the GIL).
     from PIL import Image
 
     from tpu_ac.data.mvtec import IMAGENET_MEAN, IMAGENET_STD
+    from tpu_ac.data.prefetch import parallel_decode
 
-    out = []
-    for p in paths:
+    def one(p):
         img = Image.open(p).convert("RGB").resize((imsize, imsize),
                                                   Image.BILINEAR)
         arr = np.asarray(img, np.float32) / 255.0
         arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
-        out.append(arr.transpose(2, 0, 1))
-    return np.stack(out).astype(np.float32)
+        return arr.transpose(2, 0, 1)
+
+    return parallel_decode(paths, one).astype(np.float32)
 
 
 def main(argv=None) -> None:
