@@ -397,6 +397,12 @@ def main() -> None:
     ]
 
     precision = os.environ.get("TPU_AC_BENCH_PRECISION", "bfloat16")
+    _setup_jax()
+    try:
+        health_pre = measure_window_health()
+    except Exception as e:  # noqa: BLE001 — health probe is best-effort
+        print(f"window-health pre-probe failed: {e}", file=sys.stderr)
+        health_pre = None
     tpu_ips, sweep_times = measure_tpu(categories, precision=precision)
     try:
         health = measure_window_health()
@@ -416,16 +422,20 @@ def main() -> None:
         "value": round(tpu_ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(tpu_ips / torch_ips, 2) if torch_ips else None,
-        # window health: healthy tunnel ~40-50 MB/s upload, ~30 ms RTT;
-        # a capture with upload_MBps << 40 or rtt_ms >> 50 ran in a
-        # degraded remote-link window and undershoots the device's
-        # capability (see PERF.md round-over-round serving table)
+        # window health, probed BEFORE and AFTER the measurement (healthy
+        # tunnel ~40-85 MB/s upload, ~25-30 ms RTT): a capture with
+        # upload_MBps << 40 or rtt_ms >> 50 on either probe — or a wide
+        # best/worst spread in the raw sweep times despite healthy probes
+        # (mid-run link degradation) — undershoots the device's capability
+        # (see PERF.md round-over-round table)
+        "window_health_pre": health_pre,
         "window_health": health,
         "sweep_img_per_s": {
             "best": round(total / min(sweep_times), 1),
             "median": round(tpu_ips, 1),
             "worst": round(total / max(sweep_times), 1),
             "n_sweeps": len(sweep_times),
+            "times_s": [round(t, 2) for t in sweep_times],
         },
     }
     print(json.dumps(out))
