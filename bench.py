@@ -90,8 +90,8 @@ def measure_window_health() -> dict:
     round-trip latency, recorded alongside the headline so a degraded
     remote-link capture is identifiable in the JSON instead of silently
     becoming the round's record (the link varies +-20% run to run and
-    occasionally degrades badly for minutes; healthy ~40-50 MB/s and
-    ~30 ms RTT through the tunnel)."""
+    occasionally degrades badly for minutes; healthy ~40-85 MB/s and
+    ~25-30 ms RTT through the tunnel)."""
     import jax
     import jax.numpy as jnp
 
@@ -191,6 +191,16 @@ def measure_tpu(categories: list[np.ndarray],
             times.append(time.perf_counter() - t0)
     total_images = sum(c.shape[0] for c in categories)
     return total_images / sorted(times)[len(times) // 2], times
+
+
+def _probe_health(label: str) -> dict | None:
+    """Best-effort measure_window_health() — a probe failure is reported
+    on stderr, never fatal to the bench's one-JSON-line contract."""
+    try:
+        return measure_window_health()
+    except Exception as e:  # noqa: BLE001
+        print(f"window-health {label} probe failed: {e}", file=sys.stderr)
+        return None
 
 
 def measure_detect() -> dict:
@@ -363,12 +373,10 @@ def measure_torch_baseline() -> tuple[float, float]:
 
 def main() -> None:
     if os.environ.get("TPU_AC_BENCH_MODE") == "detect":
+        _setup_jax()
+        health_pre = _probe_health("pre")
         detail = measure_detect()
-        try:
-            health = measure_window_health()
-        except Exception as e:  # noqa: BLE001 — probe is best-effort
-            print(f"window-health probe failed: {e}", file=sys.stderr)
-            health = None
+        health = _probe_health("post")
         print(json.dumps({
             "metric": (f"PatchCore predict images/sec (wrn50 layer2+3, "
                        f"{detail['bank_rows']:,}-row bank, 10% approx "
@@ -378,6 +386,7 @@ def main() -> None:
             "unit": "images/sec",
             "vs_baseline": None,
             "detail": detail,
+            "window_health_pre": health_pre,
             "window_health": health,
         }))
         return
@@ -398,17 +407,9 @@ def main() -> None:
 
     precision = os.environ.get("TPU_AC_BENCH_PRECISION", "bfloat16")
     _setup_jax()
-    try:
-        health_pre = measure_window_health()
-    except Exception as e:  # noqa: BLE001 — health probe is best-effort
-        print(f"window-health pre-probe failed: {e}", file=sys.stderr)
-        health_pre = None
+    health_pre = _probe_health("pre")
     tpu_ips, sweep_times = measure_tpu(categories, precision=precision)
-    try:
-        health = measure_window_health()
-    except Exception as e:  # noqa: BLE001 — health probe is best-effort
-        print(f"window-health probe failed: {e}", file=sys.stderr)
-        health = None
+    health = _probe_health("post")
     try:
         t_embed, t_pair = measure_torch_baseline()
         torch_ips = torch_ips_for(sizes, t_embed, t_pair)
